@@ -1,0 +1,127 @@
+"""Schemas and table loaders.
+
+Two data models live here:
+
+1. ``CAR_DATA_SCHEMA`` — the reference's single denormalized table
+   (authoritative Hive schema at reference ``backend/config.py:8-23``;
+   column comments in ``backend/table.ipynb:7-30``). DECIMAL columns are
+   declared DoubleType in the working schema because the reference's own
+   generator produces Python floats (reference ``backend/func.py:100-112``)
+   and the DuckDB oracle compares doubles; DecimalType belongs only at a
+   storage edge if a consumer requires exact decimals.
+
+2. The driver's TPC-H-ish corpus (``region nation customer supplier part
+   orders lineitem events documents embeddings``) — one parquet per table
+   under a scale-factor directory.
+
+Loaders return plain DataFrames; nothing is collected. ``load_tables`` also
+registers temp views so operators can be written in either the DataFrame or
+the SQL API — Catalyst produces the same plan for both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Reference table: backend/config.py:8-23.
+CAR_DATA_SCHEMA = T.StructType(
+    [
+        T.StructField("car_brand", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("car_model", T.StringType()),
+        T.StructField("manufacturer_suggested_price", T.DoubleType()),
+        T.StructField("engine_horsepower", T.IntegerType()),
+        T.StructField("num_doors", T.IntegerType()),
+        T.StructField("min_reference_price", T.DoubleType()),
+        T.StructField("car_type", T.StringType()),
+        T.StructField("manufacture_year", T.IntegerType()),
+        T.StructField("fuel_capacity", T.DoubleType()),
+        T.StructField("popularity", T.IntegerType()),
+        T.StructField("discount_percentage", T.DoubleType()),
+        T.StructField(
+            "historical_price", T.MapType(T.StringType(), T.IntegerType())
+        ),
+        T.StructField(
+            "city_license_plates", T.MapType(T.StringType(), T.IntegerType())
+        ),
+    ]
+)
+
+# API car view column mapping (reference backend/app.py:15-26): db name →
+# frontend name. `city` and `fuel_capacity` are dropped from the view.
+CAR_FIELD_MAPPING = {
+    "car_brand": "brand",
+    "car_model": "model",
+    "manufacturer_suggested_price": "guide_price",
+    "engine_horsepower": "horsepower",
+    "num_doors": "doors",
+    "min_reference_price": "min_price",
+    "popularity": "attention",
+    "discount_percentage": "discount",
+    "car_type": "car_type",
+}
+
+# Upload path pass-through whitelist (reference backend/app.py:218-222).
+UPLOAD_PASSTHROUGH_COLUMNS = [
+    "city",
+    "manufacture_year",
+    "fuel_capacity",
+    "historical_price",
+    "city_license_plates",
+]
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+# Columns stored as INT64 TIMESTAMP(NANOS) in parquet. Spark's reader maps
+# them to LongType (``spark.sql.legacy.parquet.nanosAsLong``); normalize to
+# TimestampType by integer-dividing to µs — the same truncation DuckDB
+# applies, so oracle comparisons agree.
+_NANOS_TS_COLUMNS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table. Parquet scan → column pruning and predicate
+    pushdown are free once downstream operators project/filter."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLUMNS.get(name, []):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            # `div` = integer division; float division would lose precision
+            # (ns-epoch values exceed double's 2^53 exact-integer range).
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load the full corpus; optionally register each as a temp view."""
+    tables = {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+    if register_views:
+        for name, df in tables.items():
+            df.createOrReplaceTempView(name)
+    return tables
+
+
+def car_data_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Build a car_data DataFrame from row dicts (test fixtures, small
+    ingests). Missing columns become nulls, matching the reference's
+    defaultdict/``.get(k, 0)`` tolerance for absent fields."""
+    filled = [
+        {field.name: row.get(field.name) for field in CAR_DATA_SCHEMA.fields}
+        for row in rows
+    ]
+    return spark.createDataFrame(filled, schema=CAR_DATA_SCHEMA)
