@@ -1,0 +1,550 @@
+"""Relational query library over the TPC-H-ish corpus.
+
+Each query exercises operators from the reference's inventory (SURVEY §2) on
+the driver corpus, re-expressed as a single Catalyst plan. Every function
+takes ``(spark, sf_dir)`` and returns a DataFrame; ``ORACLE`` holds the
+equivalent DuckDB SQL for the driver's hash-comparison gate.
+
+Determinism rules (the gate hashes values order-insensitively but exactly):
+
+* every floating aggregate is rounded in-query, identically on both sides;
+* every LIMIT/top-k has a total ordering (unique tie-break key);
+* count-like outputs are cast to bigint on both sides (DuckDB SUM(int)
+  returns HUGEINT, Spark returns long).
+
+Scale notes are attached per query — the corpus is small locally but the
+plans are written for the 100 TB layout: dimension joins broadcast,
+aggregations combine map-side, windows partition by high-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+
+
+# --- aggregation core -------------------------------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (reference op A3: GROUP BY + multi-agg): per
+    returnflag/linestatus over shipped rows — sums, averages, count.
+
+    Scale: single scan, partial aggregation map-side; the shuffle carries
+    |flags×statuses| × partitions rows. The shipdate filter and 7-column
+    projection push to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def year_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ops A3+R3 (market trends): per order year — order count,
+    total and average price. Years with no orders simply absent (matches
+    the reference's defaultdict grouping)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op A10 (price_distribution): fixed-range bucketing of
+    o_totalprice with ALL buckets present even when empty.
+
+    The static bucket dimension is 5 rows broadcast against the aggregated
+    facts — the row-level scan only computes a bucket id, so the join never
+    sees fact-table cardinality."""
+    orders = load_table(spark, sf_dir, "orders")
+    buckets = [
+        (0, 0.0, 50_000.0, "0-50k"),
+        (1, 50_000.0, 150_000.0, "50k-150k"),
+        (2, 150_000.0, 300_000.0, "150k-300k"),
+        (3, 300_000.0, 450_000.0, "300k-450k"),
+        (4, 450_000.0, None, "450k+"),
+    ]
+    dim = spark.createDataFrame(
+        [(b[0], b[3]) for b in buckets], "bucket_id int, price_range string"
+    )
+    expr = F.lit(buckets[-1][0])
+    for bucket_id, lo, hi, _ in reversed(buckets[:-1]):
+        expr = F.when(
+            (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi),
+            F.lit(bucket_id),
+        ).otherwise(expr)
+    per_bucket = (
+        orders.select(expr.alias("bucket_id"), "o_totalprice")
+        .groupBy("bucket_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+    return dim.join(F.broadcast(per_bucket), "bucket_id", "left").select(
+        "bucket_id",
+        "price_range",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("avg_price"), F.lit(0.0)).alias("avg_price"),
+    )
+
+
+def segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ops A4+A5 (consumer preferences): revenue per market
+    segment and its share of total (shares sum to 1.0).
+
+    The ratio-of-total window runs over the |segments|-row aggregate, not
+    the fact table — the single-partition window is on ~5 rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_seg = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    total = Window.partitionBy()
+    return per_seg.select(
+        "c_mktsegment",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(total), 6).alias("share"),
+    )
+
+
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (orderstatus, orderpriority): subtotals + grand total.
+    Beyond reference surface (it has no grouping sets) but core OLAP."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# --- scans / filters / point lookups ---------------------------------------
+
+
+def filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ops P1-P6 (pushed-down conjunctive filters + projection):
+    returned high-value line items. All predicates and the 5-column
+    projection reach the parquet scan (PushedFilters in the plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") >= 30)
+        & (F.col("l_discount") > 0.03)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+def distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op S3/A6 (DISTINCT scan): distinct order priorities."""
+    return load_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op P7 (point lookup by key): one order by primary key.
+    At scale this is a partition-pruned / min-max-skipped scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where(F.col("o_orderkey") == 1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ops R2+R4 (sort + top-k): 10 most expensive orders.
+    Total ordering (price desc, key asc) makes the LIMIT deterministic;
+    Spark executes it as TakeOrdered — no global sort materialization."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .limit(10)
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region,
+    revenue per nation within one region.
+
+    Scale: nation/region are broadcast (tiny); customer joins orders on
+    custkey, lineitem joins orders on orderkey — the two big shuffles hash
+    on their join keys and AQE handles skew. Filters (region name, order
+    year) sit below the joins so they prune before shuffling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join): orders in a date range
+    having at least one line item, counted per priority. Semi join avoids
+    materializing the multiplicity of the big side."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li.select("l_orderkey"), orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers with no order in 1995, per
+    nation. The year predicate prunes the build side before the anti-join
+    shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    orders_1995 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return (
+        cust.join(
+            orders_1995.select("o_custkey"),
+            cust.c_custkey == orders_1995.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def supplier_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account-balance comparison: aggregate customers and
+    suppliers independently, then full-outer join the two small aggregates
+    on nation. Exercises multi-source agg + outer join + null handling."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy("c_nationkey").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("customer_balance")
+    )
+    s = supp.groupBy("s_nationkey").agg(
+        F.round(F.sum("s_acctbal"), 2).alias("supplier_balance")
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+        F.coalesce("customer_balance", F.lit(0.0)).alias("customer_balance"),
+        F.coalesce("supplier_balance", F.lit(0.0)).alias("supplier_balance"),
+    )
+
+
+# --- window functions -------------------------------------------------------
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price (window row_number ≤ 3,
+    deterministic via partkey tie-break). The reference ranks by full sort
+    (R1); per-group top-k is its scalable generalization."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("brand_rank", F.row_number().over(w))
+        .where(F.col("brand_rank") <= 3)
+        .select(
+            "p_brand",
+            "brand_rank",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+    )
+
+
+def customer_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum of account balance per nation ordered by custkey
+    (cumulative window; partitioned by nation → parallel, no global sort)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.sum("c_acctbal").over(w), 2).alias("running_balance"),
+    )
+
+
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op A9 (argmax) generalized per group: the highest-balance
+    customer of each nation, deterministic tie-break on custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+    )
+
+
+def order_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): per customer, each order's price change vs their previous
+    order (by date, orderkey tie-break). Exercises ordered windows with a
+    high-cardinality partition key — the scalable window shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("price_delta"),
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+
+def customer_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nation keys present in both customer and supplier."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supp.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+ORACLE: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "year_trend": """
+        SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price,
+               ROUND(AVG(o_totalprice), 6) AS avg_price
+        FROM orders GROUP BY 1
+    """,
+    "price_histogram": """
+        WITH dim(bucket_id, price_range) AS (
+            VALUES (0, '0-50k'), (1, '50k-150k'), (2, '150k-300k'),
+                   (3, '300k-450k'), (4, '450k+')
+        ), facts AS (
+            SELECT CASE
+                     WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 0
+                     WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 1
+                     WHEN o_totalprice >= 150000 AND o_totalprice < 300000 THEN 2
+                     WHEN o_totalprice >= 300000 AND o_totalprice < 450000 THEN 3
+                     ELSE 4
+                   END AS bucket_id,
+                   o_totalprice
+            FROM orders
+        ), agg AS (
+            SELECT bucket_id, COUNT(*) AS n_orders,
+                   ROUND(AVG(o_totalprice), 6) AS avg_price
+            FROM facts GROUP BY bucket_id
+        )
+        SELECT dim.bucket_id, dim.price_range,
+               CAST(COALESCE(agg.n_orders, 0) AS BIGINT) AS n_orders,
+               COALESCE(agg.avg_price, 0.0) AS avg_price
+        FROM dim LEFT JOIN agg ON dim.bucket_id = agg.bucket_id
+    """,
+    "segment_share": """
+        WITH per_seg AS (
+            SELECT c_mktsegment, SUM(o_totalprice) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment,
+               ROUND(CAST(revenue AS DOUBLE), 2) AS revenue,
+               ROUND(CAST(revenue / SUM(revenue) OVER () AS DOUBLE), 6) AS share
+        FROM per_seg
+    """,
+    "rollup_order_counts": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "filtered_scan": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity >= 30 AND l_discount > 0.03
+    """,
+    "distinct_priorities": "SELECT DISTINCT o_orderpriority FROM orders",
+    "point_lookup": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey = 1
+    """,
+    "top_orders": """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "order_priority_check": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority
+    """,
+    "customers_without_orders": """
+        SELECT c_nationkey, COUNT(*) AS n_customers
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        )
+        GROUP BY c_nationkey
+    """,
+    "supplier_customer_balance": """
+        WITH c AS (
+            SELECT c_nationkey, ROUND(CAST(SUM(c_acctbal) AS DOUBLE), 2)
+                   AS customer_balance
+            FROM customer GROUP BY c_nationkey
+        ), s AS (
+            SELECT s_nationkey, ROUND(CAST(SUM(s_acctbal) AS DOUBLE), 2)
+                   AS supplier_balance
+            FROM supplier GROUP BY s_nationkey
+        )
+        SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+               COALESCE(customer_balance, 0.0) AS customer_balance,
+               COALESCE(supplier_balance, 0.0) AS supplier_balance
+        FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+    """,
+    "top_parts_per_brand": """
+        SELECT p_brand, brand_rank, p_partkey,
+               ROUND(p_retailprice, 2) AS p_retailprice
+        FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey
+                   ) AS INTEGER) AS brand_rank
+            FROM part
+        ) WHERE brand_rank <= 3
+    """,
+    "customer_running_balance": """
+        SELECT c_nationkey, c_custkey,
+               ROUND(CAST(SUM(c_acctbal) OVER (
+                   PARTITION BY c_nationkey ORDER BY c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 2) AS running_balance
+        FROM customer
+    """,
+    "top_customer_per_nation": """
+        SELECT c_nationkey, c_custkey, c_name,
+               ROUND(c_acctbal, 2) AS c_acctbal
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_nationkey
+                ORDER BY c_acctbal DESC, c_custkey
+            ) AS _rn
+            FROM customer
+        ) WHERE _rn = 1
+    """,
+    "order_price_delta": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(o_totalprice - LAG(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ), 2) AS price_delta
+        FROM orders
+    """,
+    "customer_supplier_nations": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+}
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "year_trend": year_trend,
+    "price_histogram": price_histogram,
+    "segment_share": segment_share,
+    "rollup_order_counts": rollup_order_counts,
+    "filtered_scan": filtered_scan,
+    "distinct_priorities": distinct_priorities,
+    "point_lookup": point_lookup,
+    "top_orders": top_orders,
+    "revenue_by_nation": revenue_by_nation,
+    "order_priority_check": order_priority_check,
+    "customers_without_orders": customers_without_orders,
+    "supplier_customer_balance": supplier_customer_balance,
+    "top_parts_per_brand": top_parts_per_brand,
+    "customer_running_balance": customer_running_balance,
+    "top_customer_per_nation": top_customer_per_nation,
+    "order_price_delta": order_price_delta,
+    "customer_supplier_nations": customer_supplier_nations,
+}

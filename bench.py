@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line with per-query and
+total wall-clock seconds.
+
+Each query is executed once after a session-warmup no-op; timing covers
+plan + execution + result materialization (``collect``), which is what a
+user of the engine pays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from automotive_big_data_analysis_spark import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "order_priority_check",
+    "segment_share",
+    "price_histogram",
+    "top_parts_per_brand",
+    "order_price_delta",
+    "customers_without_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bench")
+    spark.range(1).count()  # JVM warmup so q1 doesn't pay session startup
+
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries] + [
+        n for n in sorted(queries) if n not in HEADLINE
+    ]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_clock_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
