@@ -1,0 +1,73 @@
+"""Vector column expressions over ``array<float>`` embeddings.
+
+Everything stays in JVM higher-order functions (``zip_with`` /
+``aggregate``) — no Python in the scoring loop. Floats are cast to double
+before arithmetic so results are bit-identical to the DuckDB oracle (which
+does the same cast); fold order is left-to-right in both engines.
+
+The LSH hyperplanes are deterministic literals generated from a seeded
+NumPy RNG at import time and inlined into BOTH the Spark expressions and
+the oracle SQL — the two engines run the exact same projection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+LSH_SEED = 7
+N_PLANES = 8
+DIM = 64
+
+# Deterministic hyperplanes, rounded so the SQL literals are compact and
+# bit-exact on both engines.
+_rng = np.random.RandomState(LSH_SEED)
+HYPERPLANES: list[list[float]] = [
+    [round(float(x), 4) for x in row] for row in _rng.standard_normal((N_PLANES, DIM))
+]
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + left fold. DuckDB: ``list_dot_product``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lsh_signature(a: Column) -> Column:
+    """Random-hyperplane signature: one sign bit per plane, packed into an
+    int (bit b set ⇔ dot(a, plane_b) >= 0). Same-bucket vectors are
+    cosine-similar with high probability; used to prune ANN candidates."""
+    sig = F.lit(0)
+    for b, plane in enumerate(HYPERPLANES):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        sig = sig + F.when(dot(a, plane_col) >= 0, F.lit(2**b)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_signature_sql(vec_expr: str) -> str:
+    """The identical signature as DuckDB SQL over a double-list expression."""
+    terms = []
+    for b, plane in enumerate(HYPERPLANES):
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0 "
+            f"THEN {2**b} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"

@@ -1,0 +1,429 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline extension (the reference's only dedup surface is
+SQL DISTINCT, SURVEY §2.7). Five family members, all deterministic and
+all expressed in built-in JVM expressions (no UDFs):
+
+* exact        — hash-groupBy on raw text
+* fingerprint  — exact after normalization (see ``functions/text.py``)
+* n-gram Jaccard — word-3-gram shingle sets, equi-join on shingle,
+                 pairwise Jaccard ≥ threshold
+* MinHash+LSH  — md5-salted min-hash signatures, banded buckets,
+                 candidate join, exact-Jaccard verification
+* SimHash      — per-bit majority over token md5 nibbles, signature
+                 equality groups
+
+Hashing uses md5 (not Spark's xxhash64) so the DuckDB oracle can run the
+*same* algorithm — both engines order lowercase-hex strings identically,
+so ``min()`` over salted hashes is a valid permutation-min on both sides.
+
+Scale: every pipeline is a sequence of hash-partitioned joins/aggregations
+keyed on shingle / band-bucket — the standard distributed MinHash layout.
+Nothing is quadratic in the corpus; the only pairwise work happens inside
+LSH candidate buckets (or, for the plain n-gram op, on the shingle-join
+output, bounded by shingle document-frequency).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import text as tx
+
+JACCARD_THRESHOLD = 0.6
+N_MINHASH = 8
+BAND_SIZE = 2  # 4 bands × 2 rows
+
+
+def _shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) with distinct word n-gram shingles per doc.
+
+    Built with higher-order functions: tokens → sliding n-gram join →
+    array_distinct → explode. Runs map-side; the downstream join shuffles
+    on the shingle string."""
+    toks = tx.tokens("text")
+    # Guard: sequence(1, 0) would count DOWN in Spark; emit an empty array
+    # for docs with fewer than n tokens (DuckDB's range(1, 1) is empty).
+    ngrams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(ngrams)).alias("shingle")
+    )
+
+
+def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy): per lang, docs vs distinct raw texts.
+    md5 keys keep the shuffle narrow (32-byte keys, not document bodies)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.md5("text").alias("h"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count("*") - F.countDistinct("h")).alias("n_exact_dups"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram Jaccard ≥ 0.6.
+
+    Pipeline: shingle sets → self-equi-join on shingle (doc_a < doc_b) →
+    per-pair intersection counts → join per-doc set sizes → Jaccard.
+    The shingle join is hash-partitioned on the shingle; hot shingles (high
+    document frequency) are the skew risk at scale — AQE skew-join splits
+    them, and the MinHash variant below avoids them entirely."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_df(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h7): salted-md5 min-hash signature per document."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-Jaccard-verified.
+
+    Signatures (8 salted-md5 min-hashes) → 4 banded bucket keys → docs
+    sharing any band bucket become candidates → candidates verified with
+    true shingle Jaccard ≥ 0.6.
+
+    Scale: candidate generation touches only (doc, band, bucket) tuples —
+    shuffles are keyed on the bucket hash, never pairwise. Verification
+    joins shingles only for candidate docs (semi-join pushdown)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_df(docs).cache()
+    sig = _minhash_signatures(sh)
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)])
+            ).alias(f"band{b}")
+            for b in range(N_MINHASH // BAND_SIZE)
+        ],
+    )
+    stacked = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bucket")
+                    )
+                    for b in range(N_MINHASH // BAND_SIZE)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band_id", "e.bucket")
+    left = stacked.alias("x")
+    right = stacked.alias("y")
+    candidates = (
+        left.join(
+            right,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def keep_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy survivor selection: drop any doc that near-duplicates a
+    lower-id doc (one anti-join over the verified pair list); report
+    per-lang kept/removed counts. Deterministic and order-free — the
+    standard "keep first" dedup policy without connected components."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    removed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = docs.join(removed, "doc_id", "left_anti")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .join(
+            kept.groupBy("lang").agg(F.count("*").alias("n_kept")), "lang", "left"
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup groups: 64-bit signature as 16 hex nibbles, each
+    nibble the per-bit majority over the document's distinct tokens' md5
+    nibbles; docs sharing a signature form a group.
+
+    Pipeline: (doc, token) distinct → (doc, pos, nibble) via posexplode →
+    4 bit-majority sums per (doc, pos) → recombine nibble → per-doc ordered
+    string_agg → groupBy signature. All hash-partitioned aggregations."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tx.tokens("text"))).alias("t")
+    ).select("doc_id", F.md5("t").alias("h"))
+    pos = tok.select(
+        "doc_id",
+        F.posexplode(F.split(F.substring("h", 1, 16), "(?!^)")).alias("p", "c"),
+    ).where(
+        # Spark's split keeps the trailing empty match → a 17th "" element
+        F.col("p") < 16
+    ).select(
+        "doc_id",
+        "p",
+        F.conv(F.col("c"), 16, 10).cast("int").alias("nib"),
+    )
+    bits = pos.select(
+        "doc_id",
+        "p",
+        *[
+            (F.floor(F.col("nib") / (2**b)) % 2).alias(f"b{b}")
+            for b in range(4)
+        ],
+    )
+    maj = (
+        bits.groupBy("doc_id", "p")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(f"b{b}").alias(f"s{b}") for b in range(4)],
+        )
+        .select(
+            "doc_id",
+            "p",
+            sum(
+                (F.when(F.col(f"s{b}") * 2 >= F.col("n"), F.lit(2**b)).otherwise(0))
+                for b in range(4)
+            ).alias("maj_nib"),
+        )
+    )
+    sig = maj.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p"), F.col("maj_nib")))
+                ),
+                lambda s: F.element_at(
+                    F.array(*[F.lit(ch) for ch in "0123456789abcdef"]),
+                    (s["maj_nib"] + 1).cast("int"),
+                ),
+            ),
+        ).alias("signature")
+    )
+    return (
+        sig.groupBy("signature")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+_SHINGLES_CTE = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, UNNEST(list_distinct(list_transform(
+                   range(1, GREATEST(len(t) - 2, 0) + 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               ))) AS shingle
+        FROM toks
+    )
+"""
+
+_PAIR_SQL_TAIL = """
+    , sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT doc_a, doc_b,
+               ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    )
+"""
+
+ORACLE: dict[str, str] = {
+    "dedup_exact_stats": """
+        WITH t AS (SELECT lang, md5(text) AS h FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(DISTINCT h) AS n_unique,
+               COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups
+        FROM t GROUP BY lang
+    """,
+    "dedup_ngram_pairs": _SHINGLES_CTE
+    + _PAIR_SQL_TAIL
+    + f"SELECT * FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}",
+    "dedup_minhash_lsh_pairs": _SHINGLES_CTE
+    + """
+    , sig AS (
+        SELECT doc_id,
+               MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+               MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3,
+               MIN(md5('4:' || shingle)) AS h4, MIN(md5('5:' || shingle)) AS h5,
+               MIN(md5('6:' || shingle)) AS h6, MIN(md5('7:' || shingle)) AS h7
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id
+                   WHEN 0 THEN md5(h0 || '|' || h1)
+                   WHEN 1 THEN md5(h2 || '|' || h3)
+                   WHEN 2 THEN md5(h4 || '|' || h5)
+                   ELSE md5(h6 || '|' || h7)
+               END AS bucket
+        FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_id)
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.bucket = y.bucket
+         AND x.doc_id < y.doc_id
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT i.doc_a, i.doc_b,
+               ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    ) WHERE jaccard >= 0.6
+    """,
+    "dedup_keep_stats": _SHINGLES_CTE
+    + _PAIR_SQL_TAIL
+    + f"""
+    , removed AS (
+        SELECT DISTINCT doc_b AS doc_id FROM pairs
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+    ), kept AS (
+        SELECT d.lang, COUNT(*) AS n_kept
+        FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+        WHERE r.doc_id IS NULL GROUP BY d.lang
+    ), totals AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    )
+    SELECT t.lang, t.n_docs,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_docs - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+    FROM totals t LEFT JOIN kept k ON t.lang = k.lang
+    """,
+    "dedup_simhash_groups": r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, md5(t.t) AS h
+        FROM documents, UNNEST(list_distinct(regexp_extract_all(text, '\S+'))) AS t(t)
+    ), pos AS (
+        SELECT doc_id, p.p AS p,
+               strpos('0123456789abcdef', substr(h, p.p, 1)) - 1 AS nib
+        FROM tok CROSS JOIN (SELECT UNNEST(range(1, 17)) AS p) AS p
+    ), maj AS (
+        SELECT doc_id, p, COUNT(*) AS n,
+               SUM(nib % 2) AS s0,
+               SUM((nib // 2) % 2) AS s1,
+               SUM((nib // 4) % 2) AS s2,
+               SUM((nib // 8) % 2) AS s3
+        FROM pos GROUP BY doc_id, p
+    ), nibs AS (
+        SELECT doc_id, p,
+               (CASE WHEN s0 * 2 >= n THEN 1 ELSE 0 END)
+             + (CASE WHEN s1 * 2 >= n THEN 2 ELSE 0 END)
+             + (CASE WHEN s2 * 2 >= n THEN 4 ELSE 0 END)
+             + (CASE WHEN s3 * 2 >= n THEN 8 ELSE 0 END) AS maj_nib
+        FROM maj
+    ), sig AS (
+        SELECT doc_id,
+               string_agg(substr('0123456789abcdef', maj_nib + 1, 1), ''
+                          ORDER BY p) AS signature
+        FROM nibs GROUP BY doc_id
+    )
+    SELECT signature, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM sig GROUP BY signature HAVING COUNT(*) > 1
+    """,
+}
+
+QUERIES = {
+    "dedup_exact_stats": exact_stats,
+    "dedup_ngram_pairs": ngram_jaccard_pairs,
+    "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_keep_stats": keep_list_stats,
+    "dedup_simhash_groups": simhash_groups,
+}

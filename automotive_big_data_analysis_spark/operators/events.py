@@ -1,0 +1,255 @@
+"""Event-time operators over the ``events`` table.
+
+The reference has no streaming/event-time surface (SURVEY §2.9) — its only
+time dimensions are an INT year and date-string map keys. These operators
+extend the engine with the batch time-window family (tumbling, sliding,
+session) plus the JSON-props analogs of the reference's map-column
+operators (A1/A2: explode + per-key aggregation). The same logic is exposed
+over Structured Streaming in ``streaming/``.
+
+All outputs are deterministic: window starts come from epoch arithmetic,
+sessions are keyed by (user, session start), floats are rounded in-query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+
+SESSION_GAP_MINUTES = 30
+
+
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: count, sum, avg.
+
+    Uses Spark's native ``window()`` (struct start/end), projecting the
+    start — at scale this is a plain hash aggregation on (hour, type); no
+    sort, map-side combine applies."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide) per event type. Each
+    event lands in exactly 2 windows; Spark's ``window()`` expands them
+    natively (a generator, not a join)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min inactivity) per user, batch-side:
+    ``lag`` marks session breaks, a running sum numbers sessions — the
+    standard composition (SURVEY §2.9 extension; also the batch oracle for
+    the streaming ``session_window`` variant).
+
+    Scale: both windows partition by ``user_id`` (high cardinality) — the
+    whole operator is one shuffle on user_id, sessions never cross
+    partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order_w)
+    is_break = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = ev.withColumn("_brk", is_break).withColumn(
+        "session_seq",
+        F.sum("_brk").over(order_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native ``session_window`` (batch mode): per (user, session)
+    event counts with the session's start timestamp. Semantically equal to
+    ``sessionize`` on start/count; the window end differs (last ts + gap)
+    so only start/count are emitted for oracle comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def props_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op A1 analog (map explode + per-key aggregation) over the
+    JSON ``props`` column: parse to MAP<STRING,BIGINT>, explode, aggregate
+    per key. ``from_json`` + ``explode`` run map-side; the shuffle carries
+    |keys| × partitions partial aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "val")
+    )
+    return parsed.groupBy("key").agg(
+        F.count("*").alias("n_events"),
+        F.sum("val").cast("long").alias("total"),
+        F.round(F.avg("val"), 6).alias("avg_val"),
+    )
+
+
+def props_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op F6 analog (typed map access): extract ``props.k`` and
+    aggregate per event type. ``get_json_object`` stays JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("total_k"),
+            F.count(F.col("k")).alias("n_with_k"),
+        )
+    )
+
+
+def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ops A4+A5 analog: per-type event value and its share of
+    the total (shares sum to 1.0); window over the tiny aggregate only."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(F.sum("value").alias("v"))
+    total = Window.partitionBy()
+    return per_type.select(
+        "event_type",
+        F.round("v", 2).alias("total_value"),
+        F.round(F.col("v") / F.sum("v").over(total), 6).alias("share"),
+    )
+
+
+def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ops R2+R4 analog: 10 most active users (count desc,
+    user_id tie-break) — TakeOrdered, no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+_SESSION_CTE = f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > {SESSION_GAP_MINUTES * 60}
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, SUM(brk) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_seq
+        FROM ordered
+    )
+"""
+
+ORACLE: dict[str, str] = {
+    "events_hourly_rollup": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value,
+               ROUND(AVG(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    # each event belongs to the two 30-min-aligned windows covering it;
+    # FLOOR(EPOCH(..)) truncates fractional seconds (a bare ::BIGINT cast
+    # would round and shift boundary events into the wrong window)
+    "events_sliding_counts": """
+        WITH sec AS (
+            SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es, event_type FROM events
+        )
+        SELECT to_timestamp(es - ((es - k.k * 1800) % 3600))::TIMESTAMP
+                   AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM sec CROSS JOIN (VALUES (0), (1)) AS k(k)
+        GROUP BY 1, 2
+    """,
+    "events_sessionize": _SESSION_CTE
+    + """
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               ROUND(CAST(SUM(value) AS DOUBLE), 2) AS session_value
+        FROM numbered GROUP BY user_id, session_seq
+    """,
+    "events_session_window": _SESSION_CTE
+    + """
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, session_seq
+    """,
+    "events_props_key_rollup": """
+        SELECT k.key, COUNT(*) AS n_events,
+               CAST(SUM(CAST(props->>k.key AS BIGINT)) AS BIGINT) AS total,
+               ROUND(AVG(CAST(props->>k.key AS BIGINT)), 6) AS avg_val
+        FROM events, UNNEST(json_keys(props)) AS k(key)
+        GROUP BY k.key
+    """,
+    "events_props_value_per_type": """
+        SELECT event_type,
+               CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS total_k,
+               COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k
+        FROM events GROUP BY event_type
+    """,
+    "events_type_share": """
+        WITH per_type AS (
+            SELECT event_type, SUM(value) AS v FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               ROUND(CAST(v AS DOUBLE), 2) AS total_value,
+               ROUND(CAST(v / SUM(v) OVER () AS DOUBLE), 6) AS share
+        FROM per_type
+    """,
+    "events_top_users": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id LIMIT 10
+    """,
+}
+
+QUERIES = {
+    "events_hourly_rollup": hourly_rollup,
+    "events_sliding_counts": sliding_window_counts,
+    "events_sessionize": sessionize,
+    "events_session_window": session_window_stats,
+    "events_props_key_rollup": props_key_rollup,
+    "events_props_value_per_type": props_value_per_type,
+    "events_type_share": event_type_share,
+    "events_top_users": top_users,
+}

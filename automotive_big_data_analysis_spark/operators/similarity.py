@@ -1,0 +1,227 @@
+"""Similarity search over the ``embeddings`` table (vec_id, array<float>
+embedding, label).
+
+Training-data-pipeline extension: brute-force cosine top-k as the
+correctness baseline, a hyperplane-LSH bucketed variant as the scale path,
+plus cosine near-dup pairs and per-label centroids. All scoring runs in
+JVM higher-order functions (``functions/vectors.py``); the DuckDB oracle
+executes the same arithmetic via ``list_dot_product``.
+
+Scale shape: the query side of a top-k search is small → broadcast it; the
+corpus side streams partition-parallel with no shuffle until the final
+per-query top-k (TakeOrdered on |queries|×k rows). The LSH variant
+replaces the full scan with a bucket equi-join — at 100 TB the bucket key
+becomes the partitioning key and only bucket-local pairs are scored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import vectors as V
+
+N_QUERIES = 10  # vec_id < 10 are the demo query set
+TOP_K = 5
+# The corpus has no near-identical embeddings (max pairwise cosine ≈0.51),
+# so the pair threshold is set where the operator has observable output.
+DUP_COSINE = 0.45
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", V.as_double("embedding").alias("v"))
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for each query vector (vec_id < 10).
+
+    The query set is broadcast; each corpus partition scores locally and
+    only |q|×k candidate rows reach the final ordering."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via random-hyperplane LSH: candidates share the query's
+    8-bit signature bucket; exact cosine ranks within the bucket. Trades
+    recall for a |bucket|-bounded candidate set — the 100 TB path."""
+    emb = _emb(spark, sf_dir).withColumn("sig", V.lsh_signature(F.col("v")))
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("sig").alias("qsig"),
+    )
+    scored = emb.join(
+        F.broadcast(queries),
+        (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: exact pairwise cosine ≥ threshold.
+
+    This is the correctness baseline (quadratic in corpus size — Spark
+    executes it as a broadcast-nested-loop over partition-parallel
+    streams). The scale path is the LSH-bucketed candidate join used by
+    ``knn_lsh``: band multiple short signatures and OR the buckets, which
+    bounds the scored pairs by bucket occupancy instead of n²."""
+    emb = _emb(spark, sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(V.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= DUP_COSINE)
+    )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label per-dimension centroid (posexplode → groupBy(label, dim)).
+    640 output rows at 10 labels × 64 dims; the aggregation is partial
+    map-side like any other groupBy."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("centroid"), F.count("*").alias("n_vectors"))
+    )
+
+
+def norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm statistics (scan-only, no join)."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", V.norm(F.col("v")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_COS = (
+    "list_dot_product(q.qv, e.v) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))"
+)
+
+
+def _knn_sql(candidate_filter: str) -> str:
+    from automotive_big_data_analysis_spark.functions.vectors import lsh_signature_sql
+
+    sig = lsh_signature_sql("v")
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, {_V} AS v,
+                   {sig} AS sig
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, sig AS qsig FROM e
+            WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, e.vec_id, ROUND({_COS}, 6) AS cosine
+            FROM e CROSS JOIN q
+            WHERE e.vec_id != q.query_id AND ({candidate_filter})
+        ), ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                   ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+ORACLE: dict[str, str] = {
+    "knn_bruteforce": _knn_sql("TRUE"),
+    "knn_lsh": _knn_sql("e.sig = q.qsig"),
+    "embedding_cosine_dups": None,  # filled below
+    "embedding_label_centroids": f"""
+        WITH e AS (SELECT label, {_V} AS v FROM embeddings),
+        x AS (
+            SELECT label, d.d AS dim, v[d.d + 1] AS x
+            FROM e CROSS JOIN (SELECT UNNEST(range(0, {V.DIM})) AS d) AS d
+        )
+        SELECT label, CAST(dim AS INTEGER) AS dim,
+               ROUND(AVG(x), 6) AS centroid, COUNT(*) AS n_vectors
+        FROM x GROUP BY label, dim
+    """,
+    "embedding_norm_stats": f"""
+        WITH e AS (
+            SELECT label, sqrt(list_dot_product({_V}, {_V})) AS nrm
+            FROM embeddings
+        )
+        SELECT label, COUNT(*) AS n_vectors,
+               ROUND(AVG(nrm), 6) AS avg_norm,
+               ROUND(MIN(nrm), 6) AS min_norm,
+               ROUND(MAX(nrm), 6) AS max_norm
+        FROM e GROUP BY label
+    """,
+}
+
+
+def _dup_sql() -> str:
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, {_V} AS v FROM embeddings
+        )
+        SELECT * FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND({cos}, 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= {DUP_COSINE}
+    """
+
+
+ORACLE["embedding_cosine_dups"] = _dup_sql()
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "knn_lsh": knn_lsh,
+    "embedding_cosine_dups": cosine_dup_pairs,
+    "embedding_label_centroids": label_centroids,
+    "embedding_norm_stats": norm_stats,
+}

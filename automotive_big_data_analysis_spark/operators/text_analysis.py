@@ -1,0 +1,192 @@
+"""Text-analysis queries over the ``documents`` table.
+
+Training-data-pipeline extension (no reference analog — the reference's
+string surface stops at concat/replace, SURVEY §2.8): token statistics,
+quality scoring, language-ID, fingerprinting, and word frequency. Every
+expression here is a built-in regexp/array function (see
+``functions/text.py``); oracle SQL mirrors each expression exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import text as tx
+
+_STOP_EN_SQL = ", ".join(f"'{w}'" for w in tx.STOPWORDS_EN)
+_STOP_ES_SQL = ", ".join(f"'{w}'" for w in tx.STOPWORDS_ES)
+_STOP_ALL_SQL = ", ".join(f"'{w}'" for w in tx.STOPWORDS_EN + tx.STOPWORDS_ES)
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: document count, token totals/averages, char average.
+    One scan, map-side tokenization, |langs|-row shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = tx.token_count("text")
+    return (
+        docs.select("lang", n_tok.alias("n_tok"), F.length("text").alias("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: token count, stopword ratio, mean token length,
+    composite quality score. Row-parallel, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    n_tok = F.size(toks)
+    stop = tx.stopword_count(toks, tx.STOPWORDS_EN + tx.STOPWORDS_ES)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n_tok > 0, F.length("text") / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("mean_token_len"),
+        tx.quality_score("text").alias("quality"),
+    )
+
+
+def word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op A1 analog on text (explode + group + count): 20 most
+    frequent lowercased tokens. Partial aggregation makes the shuffle
+    |vocabulary|-sized; TakeOrdered avoids a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tx.tokens("text")).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled ``lang``: confusion-matrix
+    counts. The heuristic is a deterministic CASE chain (CJK ratio, then
+    stopword vote) — fully codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-md5 fingerprint dedup stats per source: total docs,
+    distinct fingerprints, duplicate docs (reference has no dedup; op
+    feeds the dedup family in ``operators/dedup.py``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = tx.normalized_fingerprint("text")
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            (F.count("*") - F.countDistinct("fp")).alias("n_dup_docs"),
+        )
+    )
+
+
+_TOKENS = r"regexp_extract_all(text, '\S+')"
+
+
+ORACLE: dict[str, str] = {
+    "text_token_stats": f"""
+        WITH t AS (
+            SELECT lang, len({_TOKENS}) AS n_tok, length(text) AS n_chars
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               ROUND(AVG(n_tok), 6) AS avg_tokens,
+               ROUND(AVG(n_chars), 6) AS avg_chars
+        FROM t GROUP BY lang
+    """,
+    "text_quality_scores": f"""
+        WITH t AS (
+            SELECT doc_id, lang, length(text) AS n_chars,
+                   {_TOKENS} AS toks,
+                   len({_TOKENS}) AS n_tok,
+                   len(list_filter({_TOKENS},
+                       x -> lower(x) IN ({_STOP_ALL_SQL}))) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(n_tok AS INTEGER) AS n_tokens,
+               ROUND(CASE WHEN n_tok > 0
+                          THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END, 6)
+                   AS stopword_ratio,
+               ROUND(CASE WHEN n_tok > 0
+                          THEN CAST(n_chars AS DOUBLE) / n_tok ELSE 0.0 END, 6)
+                   AS mean_token_len,
+               ROUND(
+                   (CASE WHEN n_tok >= 20 AND n_tok <= 10000 THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN n_tok > 0
+                          AND CAST(n_chars AS DOUBLE)/n_tok >= 3
+                          AND CAST(n_chars AS DOUBLE)/n_tok <= 12
+                         THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN n_tok > 0
+                          AND CAST(n_stop AS DOUBLE)/n_tok >= 0.05
+                         THEN 0.3 ELSE 0.0 END), 2) AS quality
+        FROM t
+    """,
+    "text_word_topk": f"""
+        SELECT lower(w.w) AS word, COUNT(*) AS n
+        FROM documents, UNNEST({_TOKENS}) AS w(w)
+        GROUP BY 1 ORDER BY n DESC, word LIMIT 20
+    """,
+    "text_lang_confusion": f"""
+        WITH t AS (
+            SELECT lang, length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]'))
+                       AS n_cjk,
+                   len(list_filter({_TOKENS},
+                       x -> lower(x) IN ({_STOP_ES_SQL}))) AS es_hits,
+                   len(list_filter({_TOKENS},
+                       x -> lower(x) IN ({_STOP_EN_SQL}))) AS en_hits
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN n_chars = 0 THEN 'unknown'
+                    WHEN n_cjk * 10 > n_chars * 3 THEN 'zh'
+                    WHEN es_hits > en_hits THEN 'es'
+                    ELSE 'en' END AS predicted,
+               COUNT(*) AS n_docs
+        FROM t GROUP BY 1, 2
+    """,
+    "text_fingerprint_stats": """
+        WITH t AS (
+            SELECT source,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                       AS fp
+            FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT fp) AS n_unique,
+               COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs
+        FROM t GROUP BY source
+    """,
+}
+
+QUERIES = {
+    "text_token_stats": token_stats,
+    "text_quality_scores": quality_scores,
+    "text_word_topk": word_topk,
+    "text_lang_confusion": lang_confusion,
+    "text_fingerprint_stats": fingerprint_stats,
+}
