@@ -33,8 +33,11 @@ from automotive_big_data_analysis_spark.catalog import load_table
 from automotive_big_data_analysis_spark.functions import text as tx
 
 JACCARD_THRESHOLD = 0.6
-N_MINHASH = 8
-BAND_SIZE = 2  # 4 bands × 2 rows
+# 16 hashes in 8 bands of 2: P(candidate) = 1-(1-J²)⁸ ≈ 0.997 at J = 0.6,
+# while random pairs (J ≈ 0.05) almost never collide — the classic S-curve.
+N_MINHASH = 16
+BAND_SIZE = 2
+N_BANDS = N_MINHASH // BAND_SIZE
 
 
 def _shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -138,7 +141,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(
                 F.concat_ws("|", *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)])
             ).alias(f"band{b}")
-            for b in range(N_MINHASH // BAND_SIZE)
+            for b in range(N_BANDS)
         ],
     )
     stacked = bands.select(
@@ -149,7 +152,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bucket")
                     )
-                    for b in range(N_MINHASH // BAND_SIZE)
+                    for b in range(N_BANDS)
                 ]
             )
         ).alias("e"),
@@ -328,23 +331,20 @@ ORACLE: dict[str, str] = {
     + _PAIR_SQL_TAIL
     + f"SELECT * FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}",
     "dedup_minhash_lsh_pairs": _SHINGLES_CTE
-    + """
+    + f"""
     , sig AS (
         SELECT doc_id,
-               MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
-               MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3,
-               MIN(md5('4:' || shingle)) AS h4, MIN(md5('5:' || shingle)) AS h5,
-               MIN(md5('6:' || shingle)) AS h6, MIN(md5('7:' || shingle)) AS h7
+               {", ".join(f"MIN(md5('{j}:' || shingle)) AS h{j}" for j in range(N_MINHASH))}
         FROM sh GROUP BY doc_id
     ), bands AS (
         SELECT doc_id, b.band_id,
                CASE b.band_id
-                   WHEN 0 THEN md5(h0 || '|' || h1)
-                   WHEN 1 THEN md5(h2 || '|' || h3)
-                   WHEN 2 THEN md5(h4 || '|' || h5)
-                   ELSE md5(h6 || '|' || h7)
+                   {" ".join(f"WHEN {b} THEN md5(h{2 * b} || '|' || h{2 * b + 1})" for b in range(N_BANDS - 1))}
+                   ELSE md5(h{N_MINHASH - 2} || '|' || h{N_MINHASH - 1})
                END AS bucket
-        FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_id)
+        FROM sig CROSS JOIN (
+            VALUES {", ".join(f"({b})" for b in range(N_BANDS))}
+        ) AS b(band_id)
     ), cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y

@@ -1,0 +1,79 @@
+"""Dedup-family semantics on crafted near-duplicate documents.
+
+The oracle harness checks corpus parity; these tests pin the *semantics*:
+which pairs are found, what survives the keep-list, signature stability.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.operators import dedup
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+NEAR = BASE.replace("theta", "THETA-X")  # one token changed
+FAR = "completely different words with no shared trigrams at all here now"
+
+
+@pytest.fixture(scope="module")
+def doc_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("docs"))
+    rows = [
+        (0, BASE, "en", "srcA", len(BASE)),
+        (1, NEAR, "en", "srcA", len(NEAR)),
+        (2, FAR, "en", "srcB", len(FAR)),
+        (3, BASE, "en", "srcB", len(BASE)),  # exact duplicate of 0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_exact_stats(spark, doc_dir):
+    row = dedup.exact_stats(spark, doc_dir).first()
+    assert row.n_docs == 4
+    assert row.n_unique == 3
+    assert row.n_exact_dups == 1
+
+
+def test_ngram_pairs_find_planted(spark, doc_dir):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, doc_dir).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.6 <= pairs[(0, 1)] < 1.0  # near dup
+    assert (1, 3) in pairs
+    assert not any(2 in p for p in pairs)  # FAR is not a dup of anything
+
+
+def test_minhash_matches_exhaustive(spark, doc_dir):
+    exhaustive = set(
+        (r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(spark, doc_dir).collect()
+    )
+    lsh = set(
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(spark, doc_dir).collect()
+    )
+    # LSH candidates are a subset; for near-identical docs recall is full
+    assert lsh == exhaustive
+
+
+def test_keep_stats_greedy(spark, doc_dir):
+    got = {r.lang: r for r in dedup.keep_list_stats(spark, doc_dir).collect()}
+    # docs 1 and 3 both near-dup doc 0 → removed; 0 and 2 kept
+    assert got["en"].n_docs == 4
+    assert got["en"].n_kept == 2
+    assert got["en"].n_removed == 2
+
+
+def test_simhash_groups_exact_dups(spark, doc_dir):
+    groups = dedup.simhash_groups(spark, doc_dir).collect()
+    # identical token sets (docs 0 and 3) must share a signature
+    assert any(g.min_doc == 0 and g.max_doc >= 3 for g in groups)

@@ -1,0 +1,122 @@
+"""Semantics tests for event-time and similarity operators on crafted data."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.functions import vectors as V
+from automotive_big_data_analysis_spark.operators import events as ev
+from automotive_big_data_analysis_spark.operators import similarity as sim
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events"))
+    rows = [
+        # user 1: two sessions separated by a 45-minute gap
+        (1, T0, 1, "click", 1.0, '{"k": 5}'),
+        (2, T0 + timedelta(minutes=10), 1, "click", 2.0, '{"k": 7}'),
+        (3, T0 + timedelta(minutes=55), 1, "view", 3.0, '{"k": 1}'),
+        # user 2: one event exactly on an hour boundary
+        (4, T0 + timedelta(hours=1), 2, "view", 4.0, '{"k": 2}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    return path
+
+
+def test_hourly_rollup(spark, event_dir):
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in ev.hourly_rollup(spark, event_dir).collect()
+    }
+    assert got[(T0, "click")] == 2
+    assert got[(T0, "view")] == 1
+    assert got[(T0 + timedelta(hours=1), "view")] == 1
+
+
+def test_sliding_counts_two_windows_each(spark, event_dir):
+    rows = ev.sliding_window_counts(spark, event_dir).collect()
+    # 4 events × 2 windows each = 8 total window memberships
+    assert sum(r.n_events for r in rows) == 8
+    # the event at 00:10 is in windows starting 23:40? no — 00:00 and 23:30
+    starts = {r.window_start for r in rows}
+    assert T0 in starts and T0 - timedelta(minutes=30) in starts
+
+
+def test_sessionize_gap(spark, event_dir):
+    sessions = sorted(
+        ev.sessionize(spark, event_dir).collect(),
+        key=lambda r: (r.user_id, r.session_start),
+    )
+    u1 = [s for s in sessions if s.user_id == 1]
+    assert len(u1) == 2  # 45-min gap splits
+    assert u1[0].n_events == 2 and u1[1].n_events == 1
+    assert u1[0].session_start == T0
+    assert u1[0].session_end == T0 + timedelta(minutes=10)
+
+
+def test_session_window_agrees_with_manual(spark, event_dir):
+    manual = {
+        (r.user_id, r.session_start): r.n_events
+        for r in ev.sessionize(spark, event_dir).collect()
+    }
+    native = {
+        (r.user_id, r.session_start): r.n_events
+        for r in ev.session_window_stats(spark, event_dir).collect()
+    }
+    assert manual == native
+
+
+@pytest.fixture(scope="module")
+def emb_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("emb"))
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(64)
+    rows = []
+    # vec 0 = query; vec 1 = nearly identical; vec 2 = opposite; others random
+    rows.append((0, [float(x) for x in base], 0))
+    rows.append((1, [float(x) for x in base + 0.01 * rng.standard_normal(64)], 0))
+    rows.append((2, [float(-x) for x in base], 1))
+    for i in range(3, 20):
+        rows.append((i, [float(x) for x in rng.standard_normal(64)], i % 3))
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    return path
+
+
+def test_knn_bruteforce_finds_planted_neighbor(spark, emb_dir):
+    rows = sim.knn_bruteforce(spark, emb_dir).collect()
+    top_for_0 = [r for r in rows if r.query_id == 0 and r.rank == 1][0]
+    assert top_for_0.vec_id == 1
+    assert top_for_0.cosine > 0.99
+
+
+def test_knn_lsh_subset_of_bruteforce(spark, emb_dir):
+    brute = {(r.query_id, r.vec_id) for r in sim.knn_bruteforce(spark, emb_dir).collect()}
+    lsh_rows = sim.knn_lsh(spark, emb_dir).collect()
+    # every LSH hit must be a true candidate with identical cosine ranking rules
+    for r in lsh_rows:
+        assert r.cosine <= 1.0
+    # the planted near-identical pair shares every hyperplane sign
+    assert (0, 1) in {(r.query_id, r.vec_id) for r in lsh_rows}
+
+
+def test_cosine_math(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], "a array<double>, b array<double>")
+    got = df.select(
+        V.dot(F.col("a"), F.col("b")).alias("d"),
+        V.cosine(F.col("a"), F.col("a")).alias("self"),
+    ).first()
+    assert got.d == 0.0
+    assert got.self == pytest.approx(1.0)

@@ -1,0 +1,72 @@
+"""Unit tests for text expressions on crafted multilingual inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.functions import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "el coche rojo es de la ciudad y es un coche"),
+        (3, "这是一辆红色的汽车 非常快"),
+        (4, ""),
+        (5, "  spaced    out   tokens  "),
+        (6, "The Quick  Brown FOX!"),
+        (7, "the quick brown fox!"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_token_count(docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", tx.token_count("text").alias("n")).collect()}
+    assert got[1] == 9
+    assert got[4] == 0
+    assert got[5] == 3
+
+
+def test_lang_id(docs):
+    got = {r.doc_id: r.lang for r in docs.select("doc_id", tx.lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "zh"
+    assert got[4] == "unknown"
+
+
+def test_fingerprint_collapses_formatting(docs):
+    got = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", tx.normalized_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    # case/punct/extra-space variants collapse to the same fingerprint
+    assert got[6] == got[7]
+    assert got[1] != got[7]
+
+
+def test_wordpieces(spark):
+    df = spark.createDataFrame([("ab12 cd,ef",)], "text string")
+    got = df.select(tx.wordpieces("text").alias("w")).first().w
+    assert got == ["ab", "12", "cd", ",", "ef"]
+
+
+def test_quality_score_bands(spark):
+    long_good = " ".join(["the word list goes on and on"] * 5)  # 35 tokens
+    short = "tiny doc"
+    df = spark.createDataFrame([(1, long_good), (2, short)], "id int, text string")
+    got = {r.id: r.q for r in df.select("id", tx.quality_score("text").alias("q")).collect()}
+    assert got[1] == 1.0  # length ok, mean token len ok, stopwords present
+    assert got[2] < 0.5
+
+
+def test_stopword_count_case_insensitive(spark):
+    df = spark.createDataFrame([("The THE the",)], "text string")
+    got = df.select(
+        tx.stopword_count(tx.tokens("text"), tx.STOPWORDS_EN).alias("n")
+    ).first().n
+    assert got == 3
