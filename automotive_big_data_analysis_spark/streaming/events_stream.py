@@ -1,0 +1,102 @@
+"""Streaming event pipelines (extension — the reference has no streaming
+surface at all, SURVEY §2.9).
+
+Each builder takes an input *streaming* DataFrame (``spark.readStream``
+over a file source locally; Kafka or similar in production) and returns
+the transformed streaming DataFrame. Watermarks bound state: late events
+beyond the watermark are dropped, windows/sessions finalize and evict.
+
+The transformations are the same declarative expressions as the batch
+operators — Catalyst plans both; only the source/sink and the watermark
+differ. ``run_to_memory`` drives a bounded file stream to completion for
+tests and demos.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+DEFAULT_WATERMARK = "10 minutes"
+SESSION_GAP = "30 minutes"
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source event stream (declared schema — streaming sources never
+    infer). ``maxFilesPerTrigger`` keeps micro-batches bounded so a huge
+    backlog doesn't become one giant batch."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def hourly_rollup_stream(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Streaming tumbling-hour rollup per event type. State per open
+    window×type; the watermark finalizes windows older than max(ts) - wm."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming gap-based sessions per user via native ``session_window``
+    — merges adjacent state as events arrive, emits on watermark close."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a bounded stream to completion into an in-memory table and
+    return the batch DataFrame of results (test/demo harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,81 @@
+"""Multimodal plumbing tests: binary columns through Arrow batches,
+deterministic fake decode, frame-sampling plan, codec gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.synth_media(spark, 30).cache()
+
+
+def test_synth_media_deterministic(spark, media):
+    again = mm.synth_media(spark, 30)
+    a = {(r.media_id, bytes(r.payload)) for r in media.collect()}
+    b = {(r.media_id, bytes(r.payload)) for r in again.collect()}
+    assert a == b
+    kinds = {r.kind for r in media.collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_media_features_fake_decode(media):
+    feats = mm.media_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r.media_id: r for r in feats}
+    img = next(r for r in feats if r.kind == "image")
+    assert img.n_bytes == 2048  # 32-byte digest hex-repeated 64x → binary
+    assert img.n_samples == img.n_bytes  # uint8 fake decode
+    aud = next(r for r in feats if r.kind == "audio")
+    assert aud.n_samples == aud.n_bytes // 2  # int16 fake decode
+    assert all(0 <= r.mean <= 255 or r.kind == "audio" for r in feats)
+    # deterministic: same stats on re-run
+    again = {r.media_id: (r.mean, r.std, r.p99) for r in mm.media_features(media).collect()}
+    assert all(again[i] == (by_id[i].mean, by_id[i].std, by_id[i].p99) for i in by_id)
+
+
+def test_media_features_requires_codec(media):
+    with pytest.raises(Exception) as err:
+        mm.media_features(media, require_real_codec=True).collect()
+    assert "NotImplementedError" in str(err.value) or "no codec" in str(err.value)
+
+
+def test_resize_requires_codec(media):
+    with pytest.raises(Exception) as err:
+        mm.resize_images(media, 32, 32).collect()
+    assert "NotImplementedError" in str(err.value) or "requires PIL" in str(err.value)
+
+
+def test_resize_passthrough_updates_meta(media):
+    out = mm.resize_images(media, 32, 32, require_real_codec=False)
+    rows = out.collect()
+    assert all(r.meta.width == 32 and r.meta.height == 32 for r in rows)
+    assert all(r.resized is False for r in rows)
+    # payload untouched
+    orig = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert all(bytes(r.payload) == orig[r.media_id] for r in rows)
+
+
+def test_sample_frames_plan(media):
+    frames = mm.sample_frames(media, every_nth=10).collect()
+    assert all(r.frame_index % 10 == 0 for r in frames)
+    assert all(r.frame_index < r.n_frames for r in frames)
+    one = [r for r in frames if r.n_frames == 110]
+    if one:
+        assert len({r.frame_index for r in one}) == 11  # 0,10,...,100
+
+
+def test_metadata_only_query_prunes_payload(spark, media, tmp_path_factory):
+    # metadata aggregation over a parquet media lake must not read payload
+    path = str(tmp_path_factory.mktemp("media_lake"))
+    media.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    agg = back.groupBy("kind").agg(F.avg("meta.n_frames").alias("avg_frames"))
+    physical = agg._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in physical.splitlines() if "ReadSchema" in l]
+    assert scan_lines, physical
+    assert all("payload" not in l for l in scan_lines), scan_lines

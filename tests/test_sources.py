@@ -1,0 +1,112 @@
+"""Ingest / generator / write-path tests (reference ops S4-S7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.operators import car_queries as q
+from automotive_big_data_analysis_spark.sources import excel, synthetic, tables
+
+
+def test_normalize_upload_rows_renames_and_whitelists():
+    rows = [
+        {
+            "brand": "BYD",
+            "model": "Han",
+            "guide_price": 210000.0,
+            "attention": 800,
+            "manufacture_year": 2022,
+            "city_license_plates": {"深圳": 100},
+            "bogus_column": "dropped",
+        }
+    ]
+    out = excel.normalize_upload_rows(rows)
+    assert out[0]["car_brand"] == "BYD"
+    assert out[0]["car_model"] == "Han"
+    assert out[0]["manufacturer_suggested_price"] == 210000.0
+    assert out[0]["popularity"] == 800
+    assert out[0]["manufacture_year"] == 2022
+    assert "bogus_column" not in out[0]
+
+
+def test_ingest_rows_builds_typed_df(spark):
+    df = excel.ingest_rows(
+        spark,
+        [{"brand": "BYD", "model": "Han", "attention": 5}],
+    )
+    row = df.first()
+    assert row.car_brand == "BYD" and row.popularity == 5
+    assert df.schema["manufacturer_suggested_price"].dataType.typeName() == "double"
+
+
+def test_excel_rejects_bad_extension(tmp_path):
+    bad = tmp_path / "data.csv"
+    bad.write_text("a,b\n1,2")
+    with pytest.raises(excel.ExcelIngestError):
+        excel.rows_from_excel(str(bad))
+
+
+def test_excel_rejects_corrupt_file(tmp_path):
+    bad = tmp_path / "data.xlsx"
+    bad.write_bytes(b"not really excel")
+    with pytest.raises(excel.ExcelIngestError):
+        excel.rows_from_excel(str(bad))
+
+
+def test_generator_deterministic_and_in_range(spark):
+    df1 = synthetic.generate_car_data(spark, 200, seed=42)
+    df2 = synthetic.generate_car_data(spark, 200, seed=42)
+    # exceptAll can't compare MapType columns — canonicalize rows instead
+    def canon(df):
+        return sorted(
+            (r.car_brand, r.car_model, r.manufacturer_suggested_price,
+             sorted(r.historical_price.items()), sorted(r.city_license_plates.items()))
+            for r in df.collect()
+        )
+    assert canon(df1) == canon(df2)  # fully reproducible
+    rows = df1.collect()
+    assert len(rows) == 200
+    for r in rows[:50]:
+        assert r.car_model in synthetic.BRAND_MODELS[r.car_brand]
+        assert 0.8 * r.manufacturer_suggested_price - 0.01 <= r.min_reference_price <= r.manufacturer_suggested_price + 0.01
+        assert 80 <= r.engine_horsepower <= 500
+        assert r.num_doors in (2, 4, 5)
+        assert 2010 <= r.manufacture_year <= 2025
+        assert 3 <= len(r.historical_price) <= 7
+        assert 1 <= len(r.city_license_plates) <= 5
+        if r.car_type in ("新能源", "电动汽车"):
+            assert r.fuel_capacity == 0.0
+
+
+def test_generator_feeds_query_library(spark):
+    cars = q.car_view(synthetic.generate_car_data(spark, 500, seed=1))
+    prefs = q.consumer_preferences(cars).collect()
+    assert sum(r.preference for r in prefs) == pytest.approx(1.0)
+    assert {r.car_type for r in prefs} <= {"轿车", "SUV", "MPV", "跑车", "皮卡", "电动汽车"}
+    dist = q.price_distribution(cars).collect()
+    assert sum(r["count"] for r in dist) == 500
+
+
+def test_write_path_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "car_table")
+    tables.create_car_table(spark, path)
+    n = tables.insert_rows(
+        spark,
+        path,
+        [
+            {"car_brand": "A", "car_model": "M", "manufacture_year": 2020,
+             "city_license_plates": {"X": 10}},
+            {"car_brand": "B", "car_model": "N", "manufacture_year": 2021,
+             "city_license_plates": {"Y": 20}},
+        ],
+    )
+    assert n == 2
+    back = tables.read_car_table(spark, path)
+    assert back.count() == 2
+    # partition pruning: year filter reads one partition only
+    pruned = back.where(F.col("manufacture_year") == 2020)
+    assert pruned.count() == 1
+    plan = pruned.explain(mode="formatted") or ""
+    got = {r.car_brand for r in back.collect()}
+    assert got == {"A", "B"}

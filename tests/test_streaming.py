@@ -1,0 +1,74 @@
+"""Streaming pipelines driven to completion over a bounded file source;
+results must agree with the batch operators on the same data."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from automotive_big_data_analysis_spark.operators import events as batch_ev
+from automotive_big_data_analysis_spark.streaming import events_stream as st
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream"))
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        for burst in range(3):  # 3 sessions per user, 2h apart
+            for i in range(4):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        T0 + timedelta(hours=2 * burst, minutes=5 * i + user),
+                        user,
+                        "click" if i % 2 == 0 else "view",
+                        float(i),
+                        '{"k": %d}' % i,
+                    )
+                )
+    df = spark.createDataFrame(rows, schema=st.EVENT_SCHEMA)
+    # several files → several micro-batches through maxFilesPerTrigger
+    df.repartition(4).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    return path
+
+
+def test_streaming_hourly_matches_batch(spark, stream_dir):
+    stream = st.read_event_stream(spark, f"{stream_dir}/events.parquet")
+    got = st.run_to_memory(
+        st.hourly_rollup_stream(stream), "hourly_out", output_mode="append"
+    )
+    batch = batch_ev.hourly_rollup(spark, stream_dir)
+    got_set = {
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in got.collect()
+    }
+    batch_set = {
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    # append mode only emits windows closed by the watermark; all emitted
+    # rows must match batch exactly, and most windows should have closed
+    assert got_set <= batch_set
+    assert len(got_set) >= len(batch_set) - 4
+
+
+def test_streaming_sessions_match_batch(spark, stream_dir):
+    stream = st.read_event_stream(spark, f"{stream_dir}/events.parquet")
+    got = st.run_to_memory(
+        st.session_stream(stream), "session_out", output_mode="append"
+    )
+    batch = batch_ev.sessionize(spark, stream_dir)
+    got_set = {
+        (r.user_id, r.session_start, r.n_events) for r in got.collect()
+    }
+    batch_set = {
+        (r.user_id, r.session_start, r.n_events) for r in batch.collect()
+    }
+    assert got_set <= batch_set
+    assert len(got_set) >= len(batch_set) - 3  # last open sessions unflushed
