@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from automotive_big_data_analysis_spark.operators import dedup, events, relational, similarity, text_analysis
+from automotive_big_data_analysis_spark.operators import asof, dedup, events, relational, similarity, text_analysis
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(text_analysis.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
+    out.update(asof.QUERIES)
     return out
 
 
@@ -39,4 +40,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(text_analysis.ORACLE)
     out.update(dedup.ORACLE)
     out.update(similarity.ORACLE)
+    out.update(asof.ORACLE)
     return out
