@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from automotive_big_data_analysis_spark.operators import asof, dedup, events, relational, similarity, text_analysis
+from automotive_big_data_analysis_spark.operators import asof, dedup, events, relational, relational_ext, similarity, text_analysis
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -25,6 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(relational_ext.QUERIES)
     out.update(events.QUERIES)
     out.update(text_analysis.QUERIES)
     out.update(dedup.QUERIES)
@@ -36,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
+    out.update(relational_ext.ORACLE)
     out.update(events.ORACLE)
     out.update(text_analysis.ORACLE)
     out.update(dedup.ORACLE)

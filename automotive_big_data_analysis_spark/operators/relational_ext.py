@@ -1,0 +1,231 @@
+"""Advanced relational operators: correlated-subquery shapes, set
+operations, pivot, exact percentiles, and a bucketized range self-join.
+
+Extends ``relational.py`` with the operator classes a full OLAP surface
+needs beyond the reference's inventory (SURVEY §2.7 notes the reference
+has only DISTINCT; §2.4 has no percentiles/grouping sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery): revenue from line
+    items whose quantity is below 50% of their part's average quantity.
+
+    Decorrelated the way Catalyst would: aggregate per part once, then
+    join — the per-part average relation is orders of magnitude smaller
+    than lineitem, so it broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part_avg), li.l_partkey == part_avg.pk)
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def priority_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two filtered order sets — urgent orders and
+    half-million-plus orders — counted per status. Set-union dedups on all
+    columns; the aggregation after is an ordinary groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    big = orders.where(F.col("o_totalprice") >= 400_000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return (
+        urgent.union(big)
+        .distinct()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def idle_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): customer keys minus the keys that placed a
+    1995 order — the set-op formulation of the anti-join in
+    ``relational.py`` (complements its INTERSECT)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    active_1995 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return (
+        cust.select(F.col("c_custkey").alias("custkey"))
+        .distinct()
+        .exceptAll(active_1995.distinct())
+    )
+
+
+PIVOT_STATUSES = ["F", "O", "P"]
+
+
+def priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority (rows) × status (fixed columns).
+    Explicit pivot values keep the plan static (no discovery pass) — at
+    scale an un-valued pivot scans twice."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"status_{s}")
+            for s in PIVOT_STATUSES
+        ],
+    )
+
+
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90 / p99) of quantity per return flag.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both linearly
+    interpolate, so results agree bit-for-bit after rounding. At 100 TB
+    you'd switch to ``percentile_approx`` (t-digest) and trade exactness —
+    kept exact here because the oracle compares values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_quantity, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+RANGE_WINDOW_SECONDS = 60
+
+
+def error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range self-join: pairs of error events from the same
+    user within 60 s of each other.
+
+    A naive |errors|² time-range join explodes; instead each event joins
+    only its own and the next 60 s bucket (union of two shifted equi-joins)
+    and the exact range predicate filters inside the bucket — the standard
+    scale pattern for range joins on a time axis."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts",
+        (F.col("ts").cast("double") / RANGE_WINDOW_SECONDS).cast("long").alias("bucket"),
+    )
+    a = errors.alias("a")
+    joined = []
+    for shift in (0, 1):
+        b = errors.select(
+            F.col("event_id").alias("b_event_id"),
+            F.col("user_id").alias("b_user_id"),
+            F.col("ts").alias("b_ts"),
+            (F.col("bucket") + shift).alias("b_bucket"),
+        ).alias(f"b{shift}")
+        joined.append(
+            a.join(
+                b,
+                (F.col("a.user_id") == F.col("b_user_id"))
+                & (F.col("a.bucket") == F.col("b_bucket")),
+            )
+        )
+    pairs = joined[0].unionByName(joined[1])
+    # normalize with least/greatest: in the shifted join the LATER event is
+    # on the `a` side, so filtering a.id < b.id would drop cross-bucket
+    # pairs; distinct() collapses the same-bucket double counting
+    return (
+        pairs.where(
+            (F.col("a.event_id") != F.col("b_event_id"))
+            & (
+                F.abs(F.col("a.ts").cast("double") - F.col("b_ts").cast("double"))
+                <= RANGE_WINDOW_SECONDS
+            )
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.least(F.col("a.event_id"), F.col("b_event_id")).alias("event_a"),
+            F.greatest(F.col("a.event_id"), F.col("b_event_id")).alias("event_b"),
+            F.round(
+                F.abs(F.col("a.ts").cast("double") - F.col("b_ts").cast("double")), 6
+            ).alias("gap_seconds"),
+        )
+        .distinct()
+    )
+
+
+ORACLE: dict[str, str] = {
+    "small_quantity_revenue": """
+        WITH part_avg AS (
+            SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2)
+                   AS small_qty_revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part_avg ON l_partkey = pk
+        WHERE l_quantity < 0.5 * avg_qty
+    """,
+    "priority_union": """
+        WITH u AS (
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            UNION
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_totalprice >= 400000
+        )
+        SELECT o_orderstatus, COUNT(*) AS n_orders FROM u GROUP BY 1
+    """,
+    "idle_customers_except": """
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    "priority_status_pivot": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS status_F,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS status_O,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS status_P
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "quantity_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+               ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+               ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "events_error_bursts": f"""
+        WITH e AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+        )
+        SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+               ROUND(ABS(EPOCH(a.ts) - EPOCH(b.ts)), 6) AS gap_seconds
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND ABS(EPOCH(a.ts) - EPOCH(b.ts)) <= {RANGE_WINDOW_SECONDS}
+    """,
+}
+
+QUERIES = {
+    "small_quantity_revenue": small_quantity_revenue,
+    "priority_union": priority_union,
+    "idle_customers_except": idle_customers_except,
+    "priority_status_pivot": priority_status_pivot,
+    "quantity_percentiles": quantity_percentiles,
+    "events_error_bursts": error_bursts,
+}
