@@ -164,6 +164,49 @@ def error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (skew path): per event type, the sum
+    of the integer ``props.k`` payload and the event count — identical
+    results to a direct groupBy (integer sums are order-independent), but
+    the plan spreads any hot key across 16 reducers first. See
+    ``functions/skew.py``."""
+    from automotive_big_data_analysis_spark.functions.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    out = salted_sum_count(
+        ev.select("event_type", k.alias("k")), "event_type", "k", salt_on="k"
+    )
+    return out.select(
+        "event_type", F.col("total").cast("long").alias("total_k"), F.col("n")
+    )
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): every subtotal combination
+    including both marginals and the grand total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def approx_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct + t-digest quantiles) per
+    return flag — the 100 TB substitutes for exact countDistinct /
+    percentile. No oracle entry: approx sketches are engine-specific, so
+    the driver records the weaker rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.5, 1000), 2
+        ).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )
+
+
 ORACLE: dict[str, str] = {
     "small_quantity_revenue": """
         WITH part_avg AS (
@@ -221,8 +264,25 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["salted_type_totals"] = """
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS total_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+"""
+ORACLE["cube_order_stats"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
 QUERIES = {
     "small_quantity_revenue": small_quantity_revenue,
+    "salted_type_totals": salted_type_totals,
+    "cube_order_stats": cube_order_stats,
+    "approx_part_stats": approx_part_stats,
     "priority_union": priority_union,
     "idle_customers_except": idle_customers_except,
     "priority_status_pivot": priority_status_pivot,
