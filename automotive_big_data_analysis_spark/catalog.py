@@ -105,6 +105,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a small scan before CPU-heavy per-row work.
+
+    A small parquet file arrives as ONE input split, so an expensive
+    per-row pipeline (tokenize / md5 / regexp over every row) runs on a
+    single core no matter how many the cluster has. Spreading the rows
+    first costs a narrow shuffle of the base rows and buys full
+    parallelism for everything downstream. At 100 TB the scan itself
+    yields thousands of splits and the guard below makes this a no-op —
+    the repartition only fires when scan parallelism is under the
+    session default.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, register_views: bool = True
 ) -> dict[str, DataFrame]:

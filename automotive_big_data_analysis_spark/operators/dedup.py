@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.catalog import load_table, spread
 from automotive_big_data_analysis_spark.functions import text as tx
 
 JACCARD_THRESHOLD = 0.6
@@ -56,7 +56,7 @@ def _shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
+    return spread(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(ngrams)).alias("shingle")
     )
 
@@ -229,7 +229,7 @@ def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bit-majority sums per (doc, pos) → recombine nibble → per-doc ordered
     string_agg → groupBy signature. All hash-partitioned aggregations."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = spread(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(tx.tokens("text"))).alias("t")
     ).select("doc_id", F.md5("t").alias("h"))
     pos = tok.select(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.catalog import load_table, spread
 from automotive_big_data_analysis_spark.functions import vectors as V
 
 N_QUERIES = 10  # vec_id < 10 are the demo query set
@@ -31,7 +31,8 @@ DUP_COSINE = 0.45
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return e.select("vec_id", "label", V.as_double("embedding").alias("v"))
+    # single-file scan + interpreted higher-order scoring → spread first
+    return spread(e).select("vec_id", "label", V.as_double("embedding").alias("v"))
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,35 +92,53 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: exact pairwise cosine ≥ threshold.
 
-    This is the correctness baseline (quadratic in corpus size — Spark
-    executes it as a broadcast-nested-loop over partition-parallel
-    streams). The scale path is the LSH-bucketed candidate join used by
-    ``knn_lsh``: band multiple short signatures and OR the buckets, which
-    bounds the scored pairs by bucket occupancy instead of n².
+    Execution is a blocked matrix product, not a per-pair expression: one
+    side of the pair space is gathered into an L2-normalized numpy block
+    and broadcast; the other side streams through ``mapInPandas``, where
+    each Arrow batch computes ``B @ M.T`` with BLAS and emits only the
+    entries above threshold. Per-pair SQL scoring (even codegen'd unrolled
+    dots) pays interpreter/codegen overhead per multiply; a GEMM over the
+    same pairs is ~50× faster and is how every production similarity
+    engine scores candidates.
 
-    Per-pair cost discipline: vectors are L2-normalized ONCE up front, so
-    each pair pays a single codegen'd unrolled dot product instead of
-    three interpreted lambda folds (dot + two norms) — ~10× on the
-    pairwise loop."""
+    Scale shape: at 100 TB the broadcast side becomes a *tile* — partition
+    both sides into blocks, cross-join block pairs, GEMM per tile — or an
+    LSH bucket (``knn_lsh``) so only bucket-local tiles are scored at all.
+    The Arrow-batch GEMM kernel is identical in every variant."""
+    import numpy as np
+    import pandas as pd
+
     emb = _emb(spark, sf_dir)
-    normed = emb.withColumn("nrm", V.norm(F.col("v"))).select(
-        "vec_id",
-        F.transform("v", lambda x: x / F.col("nrm")).alias("vn"),
-    )
-    # the corpus parquet is one small file → one partition → ONE task
-    # doing all n² pairs; spread the stream side across the cluster so the
-    # nested-loop join parallelizes (the other side is broadcast anyway)
-    n_parts = spark.sparkContext.defaultParallelism
-    a = normed.repartition(n_parts, "vec_id").alias("a")
-    b = normed.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(V.dot_unrolled(F.col("a.vn"), F.col("b.vn")), 6).alias("cosine"),
-        )
-        .where(F.col("cosine") >= DUP_COSINE)
+    corpus = emb.select("vec_id", "v").toPandas()
+    ids_all = corpus["vec_id"].to_numpy()
+    mat = np.vstack(corpus["v"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids_all, mat))
+
+    def score(batches):
+        ids_b, block = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf["vec_id"].to_numpy()
+            bmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
+            sims = np.round(bmat @ block.T, 6)
+            ii, jj = np.nonzero(
+                (bids[:, None] < ids_b[None, :]) & (sims >= DUP_COSINE)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": bids[ii],
+                    "vec_b": ids_b[jj],
+                    "cosine": sims[ii, jj],
+                }
+            )
+
+    # _emb already spread the scan across the cluster; each task GEMMs its
+    # Arrow batches against the broadcast block
+    return emb.select("vec_id", "v").mapInPandas(
+        score, "vec_a long, vec_b long, cosine double"
     )
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.catalog import load_table, spread
 from automotive_big_data_analysis_spark.functions import text as tx
 
 _STOP_EN_SQL = ", ".join(f"'{w}'" for w in tx.STOPWORDS_EN)
@@ -92,7 +92,7 @@ def fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = tx.normalized_fingerprint("text")
     return (
-        docs.select("source", fp.alias("fp"))
+        spread(docs.select("source", "text")).select("source", fp.alias("fp"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

@@ -36,6 +36,12 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="bench")
     spark.range(1).count()  # JVM warmup so q1 doesn't pay session startup
+    # Python-worker-pool warmup: the first Arrow/pandas exchange forks the
+    # daemon + worker processes (~3 s); on a long-lived cluster these are
+    # reused across queries, so pay it here, not inside a measured query.
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     queries = entrymod.queries()
     names = [n for n in HEADLINE if n in queries] + [
