@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from automotive_big_data_analysis_spark.operators import asof, dedup, events, relational, relational_ext, similarity, text_analysis
+from automotive_big_data_analysis_spark.operators import asof, dedup, events, multimodal, relational, relational_ext, similarity, text_analysis
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(asof.QUERIES)
+    out.update(multimodal.QUERIES)
     return out
 
 
@@ -43,4 +44,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLE)
     out.update(similarity.ORACLE)
     out.update(asof.ORACLE)
+    out.update(multimodal.ORACLE)
     return out

@@ -163,6 +163,71 @@ def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
     )
 
 
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapter: the ``documents`` corpus viewed as a media lake.
+
+    Payload = the document's UTF-8 bytes; kind round-robins by doc_id;
+    frame count derives from ``n_chars``. Deterministic on both engines,
+    so the metadata-math queries below are oracle-checkable while the
+    payload pipeline exercises the real binary/mapInPandas plumbing."""
+    from automotive_big_data_analysis_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    meta = F.struct(
+        F.lit(64).alias("width"),
+        F.lit(32).alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.pmod(F.col("n_chars"), F.lit(50)) * 10 + 10).cast("int").alias("n_frames"),
+        F.lit("fake").alias("format"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: video frame-sampling plan over the document-backed
+    media corpus — pure metadata math (the binary column is pruned away by
+    Catalyst; at 100 TB this query never touches payload bytes)."""
+    return sample_frames(media_from_documents(spark, sf_dir), every_nth=10)
+
+
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: per-item decoded-sample features via the Arrow
+    mapInPandas stage (deterministic fake decode — no codec here). Not
+    SQL-expressible byte-for-byte in DuckDB → rows-only check."""
+    from automotive_big_data_analysis_spark.catalog import spread
+
+    return media_features(spread(media_from_documents(spark, sf_dir)))
+
+
+ORACLE: dict[str, str] = {
+    "multimodal_frame_plan": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CAST((n_chars % 50) * 10 + 10 AS INTEGER) AS n_frames
+            FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT media_id, CAST(f.f AS INTEGER) AS frame_index, n_frames
+        FROM m, UNNEST(range(0, CAST(n_frames AS BIGINT), 10)) AS f(f)
+    """,
+    # multimodal_media_features intentionally has no oracle entry: the
+    # fake-decode byte statistics are not expressible in DuckDB SQL.
+}
+
+QUERIES = {
+    "multimodal_frame_plan": frame_plan,
+    "multimodal_media_features": media_feature_stats,
+}
+
+
 def synth_media(spark: SparkSession, n: int, seed: int = 7) -> DataFrame:
     """Deterministic synthetic media corpus: payload bytes derived from
     sha2 of the id (expression-only, distributed — same pattern as the

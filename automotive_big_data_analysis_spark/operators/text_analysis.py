@@ -85,6 +85,28 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wordpiece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token accounting per language: whitespace tokens vs
+    wordpieces (letter runs / digit runs / single punctuation — the
+    pre-tokenization split BPE vocabularies train over). The piece/token
+    ratio approximates tokenizer fan-out per language; CJK text fans out
+    per character, exactly as a byte-level BPE would."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_ws = tx.token_count("text")
+    n_wp = F.size(tx.wordpieces("text"))
+    ratio = F.when(n_ws > 0, n_wp / n_ws).otherwise(F.lit(0.0))
+    return (
+        docs.select("lang", n_ws.alias("n_ws"), n_wp.alias("n_wp"), ratio.alias("r"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_wp").cast("long").alias("total_wordpieces"),
+            F.round(F.avg("n_wp"), 6).alias("avg_wordpieces"),
+            F.round(F.avg("r"), 6).alias("avg_fanout"),
+        )
+    )
+
+
 def fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-md5 fingerprint dedup stats per source: total docs,
     distinct fingerprints, duplicate docs (reference has no dedup; op
@@ -169,6 +191,22 @@ ORACLE: dict[str, str] = {
                COUNT(*) AS n_docs
         FROM t GROUP BY 1, 2
     """,
+    "text_wordpiece_stats": rf"""
+        WITH t AS (
+            SELECT lang,
+                   len({_TOKENS}) AS n_ws,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_wp
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_wp) AS BIGINT) AS total_wordpieces,
+               ROUND(AVG(n_wp), 6) AS avg_wordpieces,
+               ROUND(AVG(CASE WHEN n_ws > 0
+                              THEN CAST(n_wp AS DOUBLE) / n_ws
+                              ELSE 0.0 END), 6) AS avg_fanout
+        FROM t GROUP BY lang
+    """,
     "text_fingerprint_stats": """
         WITH t AS (
             SELECT source,
@@ -188,5 +226,6 @@ QUERIES = {
     "text_quality_scores": quality_scores,
     "text_word_topk": word_topk,
     "text_lang_confusion": lang_confusion,
+    "text_wordpiece_stats": wordpiece_stats,
     "text_fingerprint_stats": fingerprint_stats,
 }

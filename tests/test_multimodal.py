@@ -79,3 +79,18 @@ def test_metadata_only_query_prunes_payload(spark, media, tmp_path_factory):
     scan_lines = [l for l in physical.splitlines() if "ReadSchema" in l]
     assert scan_lines, physical
     assert all("payload" not in l for l in scan_lines), scan_lines
+
+
+def test_media_from_documents_gate_queries(spark):
+    """Driver-gate variants over the real documents parquet."""
+    from tests.conftest import SF_SMOKE
+
+    plan = mm.frame_plan(spark, SF_SMOKE)
+    rows = plan.collect()
+    assert rows, "every video has >= 1 sampled frame"
+    for r in rows[:50]:
+        assert r.frame_index % 10 == 0
+        assert 0 <= r.frame_index < r.n_frames
+    feats = mm.media_feature_stats(spark, SF_SMOKE)
+    got = feats.limit(20).collect()
+    assert got and all(r.n_bytes >= r.n_samples for r in got)

@@ -70,3 +70,17 @@ def test_stopword_count_case_insensitive(spark):
         tx.stopword_count(tx.tokens("text"), tx.STOPWORDS_EN).alias("n")
     ).first().n
     assert got == 3
+
+
+def test_wordpieces_bpe_ish(docs):
+    out = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(tx.wordpieces("text")).alias("n")
+        ).collect()
+    }
+    # "The Quick  Brown FOX!" -> The/Quick/Brown/FOX/! = 5 pieces
+    assert out[6] == 5
+    # CJK: one piece per ideograph (byte-level-BPE-style fanout)
+    assert out[3] > len("这是一辆红色的汽车".replace(" ", "")) - 1
+    assert out[4] == 0
