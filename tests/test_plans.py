@@ -62,3 +62,44 @@ def test_segment_share_single_fact_shuffle(spark):
     # remaining exchanges: agg by segment + the scalar-total window
     assert px.broadcast_join_count(df) >= 1
     assert px.shuffle_count(df) <= 3
+
+
+def test_asof_join_is_not_cartesian(spark):
+    from automotive_big_data_analysis_spark.operators import asof
+
+    df = asof.purchase_attribution(spark, SF)
+    plan = px.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_lsh_is_not_cartesian(spark):
+    from automotive_big_data_analysis_spark.operators import dedup
+
+    df = dedup.minhash_lsh_pairs(spark, SF)
+    plan = px.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_price_histogram_partial_aggregation(spark):
+    df = relational.price_histogram(spark, SF)
+    assert px.has_partial_aggregation(df)
+
+
+def test_events_hourly_rollup_partial_aggregation(spark):
+    from automotive_big_data_analysis_spark.operators import events
+
+    df = events.hourly_rollup(spark, SF)
+    assert px.has_partial_aggregation(df)
+
+
+def test_frame_plan_never_reads_text_payload(spark):
+    """The metadata-only media query must not scan document bodies — at
+    100 TB this is the difference between reading kilobytes and terabytes."""
+    from automotive_big_data_analysis_spark.operators import multimodal as mm
+
+    df = mm.frame_plan(spark, SF)
+    schemas = " ".join(px.read_schemas(df))
+    assert "text" not in schemas
+    assert "n_chars" in schemas
