@@ -84,6 +84,45 @@ def session_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Dat
     )
 
 
+def user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count and value total, one snapshot row emitted per
+    user per micro-batch (update semantics).
+
+    This is the escape hatch for stateful logic ``session_window`` /
+    windowed aggs can't express (custom eviction, cross-event rules,
+    model state). State lives in the state store keyed by user_id —
+    partition-parallel, fault-tolerant, bounded by distinct keys, never
+    driver-side. With ``GroupStateTimeout.EventTimeTimeout`` + a
+    watermark the same operator finalizes and evicts idle users; the
+    running-totals profile keeps ``NoTimeout`` so results are exactly
+    reproducible under any micro-batch split."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, total_value double",
+        "n long, total double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

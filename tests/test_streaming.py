@@ -72,3 +72,25 @@ def test_streaming_sessions_match_batch(spark, stream_dir):
     }
     assert got_set <= batch_set
     assert len(got_set) >= len(batch_set) - 3  # last open sessions unflushed
+
+
+def test_stateful_user_totals_match_batch(spark, stream_dir):
+    """applyInPandasWithState running totals: the last emitted snapshot
+    per user equals the batch aggregate, under any micro-batch split."""
+    from pyspark.sql import functions as F
+
+    stream = st.read_event_stream(spark, f"{stream_dir}/events.parquet")
+    got = st.run_to_memory(
+        st.user_totals_stream(stream), "user_totals_out", output_mode="update"
+    )
+    final = {}
+    for r in got.collect():  # later snapshots have strictly larger n_events
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    batch = (
+        spark.read.parquet(f"{stream_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+    )
+    expected = {r.user_id: (r.n, r.tv) for r in batch.collect()}
+    assert final == expected
