@@ -1,0 +1,156 @@
+"""Deterministic sampling operators.
+
+A 100 TB pipeline samples constantly — eval splits, quality audits,
+debugging subsets — and `rand()`-based sampling is useless there: not
+reproducible across retries, engines, or partitionings. These operators
+key every inclusion decision on a content hash (md5 of the row's stable
+key), so the same row is always in or out regardless of cluster layout,
+and the DuckDB oracle reproduces the sample bit-for-bit.
+
+The reference has no sampling surface at all (its generator caps at 10k
+rows, reference ``backend/app.py:262-263``); this family is part of the
+training-data-pipeline extension set.
+
+Scale shape: a hash sample is a stateless per-row filter — no shuffle, no
+coordination, pushes through any scan, and composes with partition
+pruning. Stratified rates are a broadcast map lookup on the stratum key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+
+SAMPLE_BUCKETS = 1000
+
+# per-lang sampling rates in permille — the kind of language-rebalancing
+# map an LLM-data pipeline applies before training
+STRATA_RATES = {"en": 600, "zh": 400, "de": 300, "fr": 200}
+DEFAULT_RATE = 100
+
+
+def hash_bucket(key: Column, buckets: int = SAMPLE_BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) from the md5 of a stable row key.
+
+    The first 8 hex chars give 32 uniform bits — plenty for a permille
+    decision; ``conv`` runs JVM-side inside codegen."""
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
+    )
+
+
+def _bucket_sql(key_sql: str, buckets: int = SAMPLE_BUCKETS) -> str:
+    return f"(('0x' || substr(md5({key_sql}), 1, 8))::BIGINT % {buckets})"
+
+
+def lineitem_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag aggregates over a deterministic 5% lineitem sample,
+    with exact-population counts alongside so the sampling error is
+    visible. One scan, no shuffle before the groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
+    in_sample = (hash_bucket(key) < 50).cast("int")
+    return (
+        li.select("l_returnflag", "l_quantity", "l_extendedprice", in_sample.alias("s"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("s").cast("long").alias("n_sampled"),
+            F.count("*").alias("n_total"),
+            F.round(F.sum(F.col("s") * F.col("l_quantity")), 2).alias("sample_qty"),
+            F.round(F.sum(F.col("s") * F.col("l_extendedprice")), 2).alias(
+                "sample_revenue"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def stratified_document_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified document sample at per-stratum rates (a
+    `sampleBy` with deterministic, content-keyed inclusion). Returns the
+    per-lang sample size and mean length — the audit view a rebalancing
+    step reports."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_RATE)
+    for lang, permille in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(permille)).otherwise(rate)
+    sampled = docs.where(hash_bucket(F.col("doc_id").cast("string")) < rate)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def orders_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by key hash): the
+    standard eval-split operator. Emits per-split counts and revenue so
+    the oracle verifies both membership and disjointness (counts sum to
+    the table total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = hash_bucket(F.col("o_orderkey").cast("string"))
+    split = (
+        F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
+    )
+    return (
+        orders.select(split.alias("split"), "o_totalprice")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("split")
+    )
+
+
+_LI_KEY = "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+
+ORACLE: dict[str, str] = {
+    "sample_lineitem_stats": f"""
+        SELECT l_returnflag,
+               CAST(SUM(s) AS BIGINT) AS n_sampled,
+               COUNT(*) AS n_total,
+               ROUND(SUM(s * l_quantity), 2) AS sample_qty,
+               ROUND(SUM(s * l_extendedprice), 2) AS sample_revenue
+        FROM (
+            SELECT l_returnflag, l_quantity, l_extendedprice,
+                   CASE WHEN {_bucket_sql(_LI_KEY)} < 50 THEN 1 ELSE 0 END AS s
+            FROM lineitem
+        ) GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "sample_stratified_documents": f"""
+        SELECT lang, COUNT(*) AS n_sampled,
+               ROUND(AVG(n_chars), 6) AS avg_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM documents
+        WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)")} <
+              CASE {" ".join(f"WHEN lang = '{lang}' THEN {r}" for lang, r in STRATA_RATES.items())}
+                   ELSE {DEFAULT_RATE} END
+        GROUP BY lang ORDER BY lang
+    """,
+    "sample_orders_split": f"""
+        SELECT CASE WHEN b < 800 THEN 'train'
+                    WHEN b < 900 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue
+        FROM (
+            SELECT o_totalprice,
+                   {_bucket_sql("CAST(o_orderkey AS VARCHAR)")} AS b
+            FROM orders
+        ) GROUP BY 1 ORDER BY 1
+    """,
+}
+
+QUERIES = {
+    "sample_lineitem_stats": lineitem_sample_stats,
+    "sample_stratified_documents": stratified_document_sample,
+    "sample_orders_split": orders_sample_split,
+}
