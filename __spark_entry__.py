@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from automotive_big_data_analysis_spark.operators import asof, dedup, events, multimodal, relational, relational_ext, relational_tpch, sampling, similarity, text_analysis
+from automotive_big_data_analysis_spark.operators import asof, dedup, events, multimodal, relational, relational_ext, relational_tpch, relational_tpch2, sampling, similarity, text_analysis
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -27,6 +27,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(relational_ext.QUERIES)
     out.update(relational_tpch.QUERIES)
+    out.update(relational_tpch2.QUERIES)
     out.update(sampling.QUERIES)
     out.update(events.QUERIES)
     out.update(text_analysis.QUERIES)
@@ -42,6 +43,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE)
     out.update(relational_ext.ORACLE)
     out.update(relational_tpch.ORACLE)
+    out.update(relational_tpch2.ORACLE)
     out.update(sampling.ORACLE)
     out.update(events.ORACLE)
     out.update(text_analysis.ORACLE)

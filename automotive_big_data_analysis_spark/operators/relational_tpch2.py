@@ -1,0 +1,321 @@
+"""Second TPC-H-shaped suite, adapted to the corpus schema (no partsupp,
+no l_shipmode/commitdate): regional 5-way star join (Q5), value-share
+HAVING against a global scalar (Q11), customer order-count distribution
+over an outer join (Q13), conditional promo-revenue ratio (Q14), argmax
+against a scalar subquery (Q15), and disjunctive multi-branch predicates
+(Q19).
+
+The reference implements no joins at all (SURVEY §2.3); this suite exists
+so a user migrating off a SQL warehouse finds every standard analytical
+join/aggregate shape covered, each hash-checked against a DuckDB oracle.
+
+Scale theme: dimensions broadcast; facts shuffle at most once, always
+after pre-aggregation or filtering; global scalars travel as broadcast
+one-row joins, never as driver-side collect()-then-literal round trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+
+VOLUME_REGION = "ASIA"  # Q5-style region filter
+VOLUME_YEAR = 1996
+SHARE_THRESHOLD = 0.0005  # Q11-style fraction of global revenue
+TOP_SUPPLIER_QUARTER_START = "1996-01-01"  # Q15-style 3-month window
+TOP_SUPPLIER_QUARTER_END = "1996-04-01"
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the supplier and the
+    ordering customer share that nation, within one region and year.
+
+    customer/supplier/nation/region are dimension-sized → all broadcast;
+    the only shuffle is orders⋈lineitem plus the final groupBy, and the
+    c_nationkey = s_nationkey equality rides the join, never a filter
+    after a wider join (no row ever materializes that would fail it)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == VOLUME_REGION)
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == VOLUME_YEAR
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    local_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(local_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose lineitem revenue exceeds a fixed
+    fraction of GLOBAL revenue. The global total is a one-row aggregate
+    cross-joined (broadcast) into the per-part aggregate — the facts are
+    scanned once and shuffled once on l_partkey; no driver round trip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = li.groupBy("l_partkey").agg(rev.alias("part_revenue"))
+    total = li.agg(rev.alias("total_revenue"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("part_revenue") > F.col("total_revenue") * SHARE_THRESHOLD)
+        .select(
+            "l_partkey",
+            F.round("part_revenue", 2).alias("part_revenue"),
+            F.round(F.col("part_revenue") / F.col("total_revenue"), 8).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy(F.col("part_revenue").desc(), "l_partkey")
+        .limit(50)
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, … orders.
+
+    Left outer join keeps order-less customers (count = 0); the second
+    aggregation is over |customers| rows keyed by a small-cardinality
+    count, so the heavy shuffle happens once on c_custkey and the
+    histogram step is nearly free. Skew note: key 0 concentrates all
+    order-less customers — fine here because the second groupBy input is
+    already one row per customer, not per order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_customer = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_customer.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: per order-month, percentage of revenue from PROMO
+    parts. Conditional sum over sum inside ONE aggregation (no self-join);
+    part is dimension-sized and broadcasts into the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_pct"),
+            F.round(F.sum(vol), 2).alias("total_revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum revenue over one quarter.
+
+    Per-supplier revenue aggregates once; the max is a one-row broadcast
+    joined back on equality — the classic 'WHERE total = (SELECT MAX …)'
+    decorrelated to two passes over the SMALL aggregate, one over facts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(TOP_SUPPLIER_QUARTER_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(TOP_SUPPLIER_QUARTER_END).cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(
+            F.broadcast(max_rev), revenue.total_revenue == F.col("max_revenue")
+        )
+        .join(F.broadcast(supp), revenue.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under OR-ed multi-column branch predicates
+    (brand × size-range × quantity-range). The whole disjunction is one
+    join condition on a broadcast dimension — Catalyst evaluates it inside
+    the join, and the partkey equality still drives the hash lookup, so
+    this stays a broadcast hash join, not a cartesian."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            (li.l_partkey == F.col("p_partkey")) & (branch1 | branch2 | branch3),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "local_supplier_volume": f"""
+        SELECT n_name,
+               ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{VOLUME_REGION}'
+          AND YEAR(o_orderdate) = {VOLUME_YEAR}
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "important_parts_share": f"""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   SUM(l_extendedprice * (1 - l_discount)) AS part_revenue
+            FROM lineitem GROUP BY l_partkey
+        ), total AS (
+            SELECT SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+        )
+        SELECT l_partkey,
+               ROUND(CAST(part_revenue AS DOUBLE), 2) AS part_revenue,
+               ROUND(CAST(part_revenue / total_revenue AS DOUBLE), 8)
+                   AS revenue_share
+        FROM per_part, total
+        WHERE part_revenue > total_revenue * {SHARE_THRESHOLD}
+        ORDER BY part_revenue DESC, l_partkey
+        LIMIT 50
+    """,
+    "customer_order_distribution": """
+        WITH per_customer AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_customer
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "promo_revenue_ratio": """
+        SELECT STRFTIME(o_orderdate, '%Y-%m') AS order_month,
+               ROUND(100.0
+                   * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                   / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+               ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+                   AS total_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY order_month
+        ORDER BY order_month
+    """,
+    "top_revenue_suppliers": f"""
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_QUARTER_START} 00:00:00'
+              AND l_shipdate < TIMESTAMP '{TOP_SUPPLIER_QUARTER_END} 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "disjunctive_part_revenue": """
+        SELECT p_brand,
+               ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+                   AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+               AND l_quantity BETWEEN 20 AND 30)
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+}
+
+QUERIES = {
+    "local_supplier_volume": local_supplier_volume,
+    "important_parts_share": important_parts_share,
+    "customer_order_distribution": customer_order_distribution,
+    "promo_revenue_ratio": promo_revenue_ratio,
+    "top_revenue_suppliers": top_revenue_suppliers,
+    "disjunctive_part_revenue": disjunctive_part_revenue,
+}
