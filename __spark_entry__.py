@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from automotive_big_data_analysis_spark.operators import asof, dedup, events, multimodal, relational, relational_ext, relational_tpch, relational_tpch2, sampling, similarity, text_analysis
+from automotive_big_data_analysis_spark.sources import bucketed
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -35,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(asof.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(bucketed.QUERIES)
     return out
 
 
@@ -51,4 +53,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLE)
     out.update(asof.ORACLE)
     out.update(multimodal.ORACLE)
+    out.update(bucketed.ORACLE)
     return out

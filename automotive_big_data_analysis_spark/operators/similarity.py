@@ -89,6 +89,66 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_SEED_MOD = 97  # vec_id % 97 == 0 → deterministic coarse centroids
+NPROBE = 2  # cells probed per query
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via an IVF-style coarse quantizer: deterministic seed
+    vectors (vec_id % 97 == 0) define cells; every vector is assigned to
+    its nearest seed by cosine; each query scores only vectors in its
+    NPROBE nearest cells.
+
+    Scale shape: assignment is |corpus| × |cells| against a broadcast
+    seed set (cells ≈ √N keeps that linear-ish); search is bucket-local
+    like the LSH variant, but cells follow the data distribution instead
+    of random hyperplanes, so recall degrades more gracefully on
+    clustered corpora. At 100 TB the cell id becomes the partition key
+    and per-cell postings lists are co-located — the classic IVF layout.
+    Assignment ties and near-ties round to 6 decimals with a cell-id
+    tiebreak so the cell structure is bit-identical on every engine."""
+    emb = _emb(spark, sf_dir)
+    seeds = emb.where(F.col("vec_id") % IVF_SEED_MOD == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    scored_cells = emb.join(F.broadcast(seeds)).select(
+        "vec_id",
+        "v",
+        "cell_id",
+        F.round(V.cosine(F.col("v"), F.col("cv")), 6).alias("cell_cos"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell_id")
+    )
+    ranked_cells = scored_cells.withColumn("r", F.row_number().over(w_cell))
+    assign = ranked_cells.where(F.col("r") == 1).select("vec_id", "v", "cell_id")
+    probes = (
+        ranked_cells.where((F.col("vec_id") < N_QUERIES) & (F.col("r") <= NPROBE))
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: exact pairwise cosine ≥ threshold.
 
@@ -203,9 +263,53 @@ def _knn_sql(candidate_filter: str) -> str:
     """
 
 
+_IVF_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, {_V} AS v FROM embeddings
+    ), seeds AS (
+        SELECT vec_id AS cell_id, v AS cv FROM e
+        WHERE vec_id % {IVF_SEED_MOD} = 0
+    ), scored_cells AS (
+        SELECT e.vec_id, e.v, s.cell_id,
+               ROUND(list_dot_product(e.v, s.cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(s.cv, s.cv))), 6) AS cell_cos
+        FROM e CROSS JOIN seeds s
+    ), ranked_cells AS (
+        SELECT vec_id, v, cell_id, cell_cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id
+               ) AS r
+        FROM scored_cells
+    ), assign AS (
+        SELECT vec_id, v, cell_id FROM ranked_cells WHERE r = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, cell_id FROM ranked_cells
+        WHERE vec_id < {N_QUERIES} AND r <= {NPROBE}
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT p.query_id, a.vec_id,
+               ROUND(list_dot_product(q.qv, a.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+        FROM probes p
+        JOIN assign a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
+        JOIN q ON q.query_id = p.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
 ORACLE: dict[str, str] = {
     "knn_bruteforce": _knn_sql("TRUE"),
     "knn_lsh": _knn_sql("e.sig = q.qsig"),
+    "knn_ivf": _IVF_SQL,
     "embedding_cosine_dups": None,  # filled below
     "embedding_label_centroids": f"""
         WITH e AS (SELECT label, {_V} AS v FROM embeddings),
@@ -255,6 +359,7 @@ ORACLE["embedding_cosine_dups"] = _dup_sql()
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
     "embedding_cosine_dups": cosine_dup_pairs,
     "embedding_label_centroids": label_centroids,
     "embedding_norm_stats": norm_stats,

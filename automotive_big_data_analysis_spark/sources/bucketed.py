@@ -1,0 +1,107 @@
+"""Bucketed-table layout: shuffle-free fact-fact joins.
+
+At 100 TB the single most expensive operation is the orders⋈lineitem
+shuffle — both sides hash-exchange on the order key for every query that
+joins them. Bucketing pays that shuffle ONCE at write time: both tables
+are written with ``bucketBy(N, orderkey).sortBy(orderkey)``, and every
+subsequent sort-merge join reads bucket i of one table against bucket i
+of the other with NO Exchange and (with matching sortBy) no re-sort.
+This is Spark's answer to the co-located join; the reference has no
+analogous capability (its one table lives unpartitioned in a TEXTFILE,
+reference ``backend/utils.py:40-48``).
+
+Bucket metadata lives in the session catalog, so writes go through
+``saveAsTable`` into an explicitly-located database, never into a bare
+path. Bucket count is a layout constant — at real scale pick
+``total_size / target_partition_size`` (e.g. 100 TB / 512 MB ≈ 200k
+buckets is too many files; bucket on the cluster's parallelism instead
+and let each bucket hold many row groups).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+
+N_BUCKETS = 8
+DEFAULT_DB = "bucketed"
+DEFAULT_LOCATION = "/tmp/abda_bucketed_warehouse"
+
+
+def write_bucketed_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    database: str = DEFAULT_DB,
+    location: str = DEFAULT_LOCATION,
+    overwrite: bool = False,
+) -> None:
+    """Write orders and lineitem bucketed+sorted by order key.
+
+    Idempotent per (database, sf_dir): the one-time shuffle is the point,
+    so an existing layout is reused unless ``overwrite`` — mirroring a
+    production table that is bucketed once at ingest, not per query."""
+    loc = f"{location}/{os.path.basename(sf_dir.rstrip('/'))}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{loc}'")
+    existing = {t.name for t in spark.catalog.listTables(database)}
+    if not overwrite and {"orders_b", "lineitem_b"} <= existing:
+        return
+    load_table(spark, sf_dir, "orders").write.bucketBy(
+        N_BUCKETS, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(f"{database}.orders_b")
+    load_table(spark, sf_dir, "lineitem").write.bucketBy(
+        N_BUCKETS, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable(f"{database}.lineitem_b")
+
+
+def bucketed_join_revenue(
+    spark: SparkSession, database: str = DEFAULT_DB
+) -> DataFrame:
+    """Revenue per order priority over the bucketed join.
+
+    The ``merge`` hint pins sort-merge (a broadcast would hide the point
+    at test scale); with both sides bucketed on the join key the plan has
+    NO Exchange under the join — asserted in ``tests/test_plans.py``."""
+    o = spark.table(f"{database}.orders_b")
+    li = spark.table(f"{database}.lineitem_b")
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def bucketed_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate wrapper: ensure the bucketed layout exists for this
+    sf_dir, then run the co-located join. Results are layout-independent
+    (same rows as joining the raw parquet), which is exactly what the
+    DuckDB oracle checks."""
+    db = f"{DEFAULT_DB}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    write_bucketed_tables(spark, sf_dir, database=db)
+    return bucketed_join_revenue(spark, database=db)
+
+
+ORACLE: dict[str, str] = {
+    "bucketed_join_revenue": """
+        SELECT o_orderpriority,
+               ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+                   AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+}
+
+QUERIES = {
+    "bucketed_join_revenue": bucketed_revenue_query,
+}

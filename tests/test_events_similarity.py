@@ -112,6 +112,36 @@ def test_knn_lsh_subset_of_bruteforce(spark, emb_dir):
     assert (0, 1) in {(r.query_id, r.vec_id) for r in lsh_rows}
 
 
+def test_knn_ivf_structure_and_planted_pair(spark, emb_dir):
+    rows = sim.knn_ivf(spark, emb_dir).collect()
+    # fixture: vec 0 is the only id % 97 == 0 → one cell holds everything,
+    # so IVF degenerates to brute force minus nothing — the planted
+    # near-identical pair must surface at rank 1
+    top_for_0 = [r for r in rows if r.query_id == 0 and r.rank == 1][0]
+    assert top_for_0.vec_id == 1
+    assert top_for_0.cosine > 0.99
+    # per-query ranks are 1..k with strictly non-increasing cosine
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_knn_ivf_recall_on_corpus(spark):
+    """On the real sf0.001 corpus, IVF@nprobe=2 must recover a sane
+    fraction of brute-force top-5 (ANN trades recall for candidates)."""
+    sf = "/root/testdata/sf0.001"
+    brute = {(r.query_id, r.vec_id) for r in sim.knn_bruteforce(spark, sf).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in sim.knn_ivf(spark, sf).collect()}
+    assert len(ivf) > 0
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} below floor"
+
+
 def test_cosine_math(spark):
     df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], "a array<double>, b array<double>")
     got = df.select(

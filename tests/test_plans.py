@@ -103,3 +103,21 @@ def test_frame_plan_never_reads_text_payload(spark):
     schemas = " ".join(px.read_schemas(df))
     assert "text" not in schemas
     assert "n_chars" in schemas
+
+
+def test_bucketed_join_has_no_exchange_under_join(spark, tmp_path):
+    from automotive_big_data_analysis_spark.sources import bucketed as bk
+
+    bk.write_bucketed_tables(
+        spark, SF, database="bk_test", location=str(tmp_path / "wh")
+    )
+    df = bk.bucketed_join_revenue(spark, database="bk_test")
+    plan = px.physical_plan(df)
+    assert "SortMergeJoin" in plan
+    # the join keys never shuffle: bucket i joins bucket i in place; the
+    # only Exchange allowed is the post-aggregation one on o_orderpriority
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    # correctness unchanged by layout
+    got = {r.o_orderpriority: r.n_lines for r in df.collect()}
+    assert sum(got.values()) == 6000
