@@ -38,3 +38,32 @@ def salted_sum_count(
     return partial.groupBy(key).agg(
         F.sum("_ps").alias("total"), F.sum("_pc").cast("long").alias("n")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the big side.
+
+    The big side gets a salt in [0, n_salts); the small side is replicated
+    once per salt value (an explode over a literal range — n_salts×|small|
+    rows, still dimension-sized); the join runs on (key, salt), spreading
+    every hot key over n_salts reducers. The result set is identical to
+    ``big.join(small, key, how)`` — salting changes only the partition
+    layout, never the matches.
+
+    Use when AQE's skew-join split can't help: e.g. the skew is in a
+    downstream aggregation keyed by the join key, or the join is
+    sort-merge over a pre-bucketed layout AQE won't re-plan. The salt is
+    derived from partition id — per-row arbitrary but match-irrelevant."""
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.spark_partition_id()), F.lit(n_salts))
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return salted_big.join(salted_small, [key, "_salt"], how).drop("_salt")

@@ -32,6 +32,23 @@ DEFAULT_DB = "bucketed"
 DEFAULT_LOCATION = "/tmp/abda_bucketed_warehouse"
 
 
+def _register_existing(
+    spark: SparkSession, database: str, table: str, path: str, df, key: str
+) -> None:
+    """Attach already-written bucket files as an external bucketed table.
+
+    The session catalog is in-memory, so a new session forgets the table
+    even though the files (and their bucket-id filenames) persist. The
+    CLUSTERED BY DDL re-declares the layout over the existing LOCATION —
+    no data movement, and scans regain the no-shuffle bucket guarantee."""
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {database}.{table} ({cols}) USING PARQUET"
+        f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS"
+        f" LOCATION '{path}'"
+    )
+
+
 def write_bucketed_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -43,18 +60,28 @@ def write_bucketed_tables(
 
     Idempotent per (database, sf_dir): the one-time shuffle is the point,
     so an existing layout is reused unless ``overwrite`` — mirroring a
-    production table that is bucketed once at ingest, not per query."""
+    production table that is bucketed once at ingest, not per query. If
+    the files exist but the (in-memory) catalog doesn't know them, they
+    are re-registered via DDL instead of rewritten."""
     loc = f"{location}/{os.path.basename(sf_dir.rstrip('/'))}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{loc}'")
     existing = {t.name for t in spark.catalog.listTables(database)}
-    if not overwrite and {"orders_b", "lineitem_b"} <= existing:
-        return
-    load_table(spark, sf_dir, "orders").write.bucketBy(
-        N_BUCKETS, "o_orderkey"
-    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(f"{database}.orders_b")
-    load_table(spark, sf_dir, "lineitem").write.bucketBy(
-        N_BUCKETS, "l_orderkey"
-    ).sortBy("l_orderkey").mode("overwrite").saveAsTable(f"{database}.lineitem_b")
+    specs = [
+        ("orders_b", "orders", "o_orderkey"),
+        ("lineitem_b", "lineitem", "l_orderkey"),
+    ]
+    for table, source, key in specs:
+        if not overwrite and table in existing:
+            continue
+        df = load_table(spark, sf_dir, source)
+        path = f"{loc}/{table}"
+        if not overwrite and os.path.exists(f"{path}/_SUCCESS"):
+            _register_existing(spark, database, table, path, df, key)
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {database}.{table}")
+        df.write.bucketBy(N_BUCKETS, key).sortBy(key).option(
+            "path", path
+        ).mode("overwrite").saveAsTable(f"{database}.{table}")
 
 
 def bucketed_join_revenue(

@@ -123,6 +123,23 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each streaming event with a static
+    dimension row (event_type → attributes). The static side is planned
+    per micro-batch — Catalyst broadcasts it when small, so enrichment
+    adds no shuffle to the stream. This is the standard pattern for
+    joining a stream against reference data that changes rarely (reload
+    the dim and restart, or swap in a Delta/JDBC source, in production)."""
+    return events.join(F.broadcast(dim), "event_type").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        (F.col("value") * F.col("weight")).alias("weighted_value"),
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -121,3 +121,15 @@ def test_bucketed_join_has_no_exchange_under_join(spark, tmp_path):
     # correctness unchanged by layout
     got = {r.o_orderpriority: r.n_lines for r in df.collect()}
     assert sum(got.values()) == 6000
+    # simulate a fresh session: catalog forgets the tables, files remain;
+    # re-registration must be DDL-only and keep the exchange-free plan
+    spark.sql("DROP TABLE bk_test.orders_b")
+    spark.sql("DROP TABLE bk_test.lineitem_b")
+    bk.write_bucketed_tables(
+        spark, SF, database="bk_test", location=str(tmp_path / "wh")
+    )
+    df2 = bk.bucketed_join_revenue(spark, database="bk_test")
+    plan2 = px.physical_plan(df2)
+    assert "Exchange hashpartitioning(l_orderkey" not in plan2
+    assert "Exchange hashpartitioning(o_orderkey" not in plan2
+    assert {r.o_orderpriority: r.n_lines for r in df2.collect()} == got

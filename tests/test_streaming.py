@@ -94,3 +94,18 @@ def test_stateful_user_totals_match_batch(spark, stream_dir):
     )
     expected = {r.user_id: (r.n, r.tv) for r in batch.collect()}
     assert final == expected
+
+
+def test_stream_static_join_matches_batch(spark, stream_dir):
+    dim = spark.createDataFrame(
+        [("click", 2.0), ("view", 0.5)], "event_type string, weight double"
+    )
+    stream = st.read_event_stream(spark, f"{stream_dir}/events.parquet")
+    got = st.run_to_memory(
+        st.enriched_stream(stream, dim), "enriched_out", output_mode="append"
+    )
+    rows = got.collect()
+    assert len(rows) == 36  # every event enriched, none dropped
+    for r in rows:
+        expected = r.value * (2.0 if r.event_type == "click" else 0.5)
+        assert r.weighted_value == expected

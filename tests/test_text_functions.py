@@ -84,3 +84,20 @@ def test_wordpieces_bpe_ish(docs):
     # CJK: one piece per ideograph (byte-level-BPE-style fanout)
     assert out[3] > len("这是一辆红色的汽车".replace(" ", "")) - 1
     assert out[4] == 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from automotive_big_data_analysis_spark.functions.skew import salted_join
+
+    # hot key: 90% of big rows share key "a"
+    big = spark.createDataFrame(
+        [("a", i) for i in range(90)] + [("b", i) for i in range(10)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "k string, w double"
+    )
+    plain = {(r.k, r.v, r.w) for r in big.join(small, "k").collect()}
+    salted = [ (r.k, r.v, r.w) for r in salted_join(big, small, "k", n_salts=4).collect() ]
+    assert set(salted) == plain
+    assert len(salted) == len(plain)  # no duplicate matches from replication
