@@ -220,6 +220,74 @@ def keep_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_MAX_ITERS = 12  # propagation radius 2^12 ≫ any real dup-cluster diameter
+
+
+def duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: each
+    cluster of transitively-linked near-dups gets one component id (the
+    minimum doc_id in the cluster); output is per-component size and
+    span. This is the clustering step real dedup pipelines run between
+    pair generation and survivor selection — "keep first" (cf.
+    ``keep_list_stats``) under-merges chains A~B~C where A≁C.
+
+    Algorithm: iterative min-label propagation. Every involved doc starts
+    labeled with its own id; each round joins labels across edges and
+    takes the neighborhood min; stop when a round changes nothing. The
+    driver loop only orchestrates — each iteration is a distributed
+    join+groupBy on the (small) pair graph, and the loop count is
+    O(log diameter) with doubling. At 100 TB scale the same loop runs on
+    a billion-edge graph (this is the standard large-scale CC layout);
+    ``localCheckpoint`` truncates the growing lineage each round."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
 def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup groups: 64-bit signature as 16 hex nibbles, each
     nibble the per-bit majority over the document's distinct tokens' md5
@@ -386,6 +454,27 @@ ORACLE: dict[str, str] = {
            CAST(t.n_docs - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
     FROM totals t LEFT JOIN kept k ON t.lang = k.lang
     """,
+    "dedup_components": _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _PAIR_SQL_TAIL
+    + f"""
+    , fpairs AS (
+        SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM fpairs
+        UNION
+        SELECT doc_b, doc_a FROM fpairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    )
+    SELECT component, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM comp GROUP BY component HAVING COUNT(*) > 1
+    """,
     "dedup_simhash_groups": r"""
     WITH tok AS (
         SELECT DISTINCT doc_id, md5(t.t) AS h
@@ -425,5 +514,6 @@ QUERIES = {
     "dedup_ngram_pairs": ngram_jaccard_pairs,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_keep_stats": keep_list_stats,
+    "dedup_components": duplicate_components,
     "dedup_simhash_groups": simhash_groups,
 }

@@ -36,12 +36,27 @@ SESSION_GAP = "30 minutes"
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source event stream (declared schema — streaming sources never
     infer). ``maxFilesPerTrigger`` keeps micro-batches bounded so a huge
-    backlog doesn't become one giant batch."""
-    return (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
-        .parquet(path)
-    )
+    backlog doesn't become one giant batch.
+
+    Handles both layouts the corpus uses: a parquet *directory* (normal
+    streaming source) and a single parquet *file* (FileStreamSource wants
+    a directory, so stream the parent with a ``pathGlobFilter``). Files
+    storing ``ts`` as INT64 TIMESTAMP(NANOS) arrive as longs (see
+    ``session.py`` nanosAsLong) and are normalized to µs timestamps with
+    the same integer division the batch catalog applies."""
+    import os
+
+    reader = spark.readStream.option("maxFilesPerTrigger", 8)
+    src = path
+    if os.path.isfile(path):
+        src = os.path.dirname(path)
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+    # probe the physical schema batch-side: streaming needs it declared
+    physical = spark.read.parquet(path).schema
+    stream = reader.schema(physical).parquet(src)
+    if isinstance(physical["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.select([f.name for f in EVENT_SCHEMA.fields])
 
 
 def hourly_rollup_stream(
@@ -138,6 +153,47 @@ def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
         "value",
         (F.col("value") * F.col("weight")).alias("weighted_value"),
     )
+
+
+CONVERSION_HORIZON = "1 hour"
+
+
+def conversion_stream(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Stream-stream join: attribute each purchase to the same user's
+    clicks in the preceding hour. Both sides carry watermarks and the
+    join condition bounds event-time distance, so the state store can
+    evict clicks older than watermark + horizon — without the time bound
+    a stream-stream join would buffer both streams forever."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {CONVERSION_HORIZON}")
+        ),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "value")
 
 
 def run_to_memory(

@@ -77,3 +77,27 @@ def test_simhash_groups_exact_dups(spark, doc_dir):
     groups = dedup.simhash_groups(spark, doc_dir).collect()
     # identical token sets (docs 0 and 3) must share a signature
     assert any(g.min_doc == 0 and g.max_doc >= 3 for g in groups)
+
+
+def test_components_merge_chains(spark, tmp_path_factory):
+    """A~B and B~C but A≁C: connected components must still put all three
+    in ONE cluster (transitive closure), sized 3."""
+    from automotive_big_data_analysis_spark.operators import dedup as dd
+
+    path = str(tmp_path_factory.mktemp("chain"))
+    mk = lambda lo, hi: " ".join(f"t{i}" for i in range(lo, hi))
+    rows = [
+        (1, mk(1, 21), "en", "s", 0),   # tokens t1..t20
+        (2, mk(5, 25), "en", "s", 0),   # overlap 16 with d1 → J=14/22≈0.64
+        (3, mk(9, 29), "en", "s", 0),   # J(2,3)≈0.64, J(1,3)≈0.38 < 0.6
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    # sanity: the pair graph is exactly the chain
+    pairs = {(r.doc_a, r.doc_b) for r in dd.ngram_jaccard_pairs(spark, path).collect()}
+    assert pairs == {(1, 2), (2, 3)}
+    comps = dd.duplicate_components(spark, path).collect()
+    assert [(r.component, r.n_docs, r.min_doc, r.max_doc) for r in comps] == [
+        (1, 3, 1, 3)
+    ]

@@ -6,6 +6,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 import pytest
+from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.operators import events as batch_ev
 from automotive_big_data_analysis_spark.streaming import events_stream as st
@@ -109,3 +110,47 @@ def test_stream_static_join_matches_batch(spark, stream_dir):
     for r in rows:
         expected = r.value * (2.0 if r.event_type == "click" else 0.5)
         assert r.weighted_value == expected
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path_factory):
+    """Watermarked stream-stream conversion join must emit exactly the
+    pairs the equivalent batch join produces on the same bounded data."""
+    path = str(tmp_path_factory.mktemp("conv"))
+    rows = []
+    # user 1: click at t+0, purchases at t+30m (in) and t+90m (out of horizon)
+    rows.append((1, T0, 1, "click", 0.0, "{}"))
+    rows.append((2, T0 + timedelta(minutes=30), 1, "purchase", 10.0, "{}"))
+    rows.append((3, T0 + timedelta(minutes=90), 1, "purchase", 20.0, "{}"))
+    # user 2: purchase BEFORE any click → unattributed
+    rows.append((4, T0, 2, "purchase", 5.0, "{}"))
+    rows.append((5, T0 + timedelta(minutes=10), 2, "click", 0.0, "{}"))
+    # late padding so the watermark passes all real events
+    rows.append((6, T0 + timedelta(hours=6), 3, "view", 0.0, "{}"))
+    df = spark.createDataFrame(rows, schema=st.EVENT_SCHEMA)
+    df.repartition(3).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    stream = st.read_event_stream(spark, f"{path}/events.parquet")
+    got = st.run_to_memory(
+        st.conversion_stream(stream), "conv_out", output_mode="append"
+    )
+    got_pairs = {(r.click_id, r.purchase_id) for r in got.collect()}
+    assert got_pairs == {(1, 2)}
+
+    # batch equivalence: identical expressions over the static frame
+    static = spark.read.schema(st.EVENT_SCHEMA).parquet(f"{path}/events.parquet")
+    clicks = static.where("event_type = 'click'").selectExpr(
+        "user_id", "ts AS click_ts", "event_id AS click_id"
+    )
+    purchases = static.where("event_type = 'purchase'").selectExpr(
+        "user_id AS p_user_id", "ts AS purchase_ts", "event_id AS purchase_id"
+    )
+    batch_pairs = {
+        (r.click_id, r.purchase_id)
+        for r in clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user_id)
+            & (purchases.purchase_ts >= clicks.click_ts)
+            & (purchases.purchase_ts <= clicks.click_ts + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got_pairs == batch_pairs
