@@ -201,22 +201,25 @@ def keep_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard "keep first" dedup policy without connected components."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(spark, sf_dir)
-    removed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    kept = docs.join(removed, "doc_id", "left_anti")
-    return (
-        docs.groupBy("lang")
-        .agg(F.count("*").alias("n_docs"))
-        .join(
-            kept.groupBy("lang").agg(F.count("*").alias("n_kept")), "lang", "left"
-        )
-        .select(
-            "lang",
-            "n_docs",
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
-                "n_removed"
-            ),
-        )
+    removed = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_removed", F.lit(1))
+    )
+    # the removed set is tiny relative to the corpus → broadcast-mark each
+    # doc and aggregate kept/removed in ONE scan of documents (the naive
+    # form scans docs for totals, again for kept, and shuffles an anti-join)
+    marked = docs.select("doc_id", "lang").join(
+        F.broadcast(removed), "doc_id", "left"
+    )
+    return marked.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("_removed").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("_removed").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
     )
 
 
