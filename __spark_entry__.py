@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from automotive_big_data_analysis_spark.operators import asof, dedup, events, multimodal, relational, relational_ext, relational_tpch, relational_tpch2, sampling, similarity, text_analysis
+from automotive_big_data_analysis_spark.operators import asof, dedup, events, multimodal, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis
 from automotive_big_data_analysis_spark.sources import bucketed
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational_ext.QUERIES)
     out.update(relational_tpch.QUERIES)
     out.update(relational_tpch2.QUERIES)
+    out.update(relational_tpch3.QUERIES)
     out.update(sampling.QUERIES)
     out.update(events.QUERIES)
     out.update(text_analysis.QUERIES)
@@ -46,6 +47,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational_ext.ORACLE)
     out.update(relational_tpch.ORACLE)
     out.update(relational_tpch2.ORACLE)
+    out.update(relational_tpch3.ORACLE)
     out.update(sampling.ORACLE)
     out.update(events.ORACLE)
     out.update(text_analysis.ORACLE)
