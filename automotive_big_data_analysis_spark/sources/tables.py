@@ -16,7 +16,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from automotive_big_data_analysis_spark.catalog import CAR_DATA_SCHEMA, car_data_from_rows
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import (
+    CAR_DATA_SCHEMA,
+    car_data_from_rows,
+    load_table,
+)
 
 
 def create_car_table(
@@ -57,3 +63,24 @@ def insert_df(
 
 def read_car_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(CAR_DATA_SCHEMA).parquet(path)
+
+
+def write_year_partitioned_orders(
+    spark: SparkSession, sf_dir: str, path: str
+) -> None:
+    """Re-layout orders partitioned by order year (hive-style dirs).
+
+    At 100 TB this is the difference between scanning everything and
+    scanning one year: a filter on the partition column prunes whole
+    directories BEFORE any I/O (PartitionFilters in the scan node —
+    asserted in ``tests/test_plans.py``). Low-cardinality time buckets
+    (year/month) are the standard choice; high-cardinality partition keys
+    make millions of tiny files and kill the driver's listing phase."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(path)
+
+
+def read_partitioned_orders(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

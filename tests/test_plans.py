@@ -133,3 +133,20 @@ def test_bucketed_join_has_no_exchange_under_join(spark, tmp_path):
     assert "Exchange hashpartitioning(l_orderkey" not in plan2
     assert "Exchange hashpartitioning(o_orderkey" not in plan2
     assert {r.o_orderpriority: r.n_lines for r in df2.collect()} == got
+
+
+def test_year_partitioned_orders_prune(spark, tmp_path):
+    from automotive_big_data_analysis_spark.sources import tables as tb
+
+    path = str(tmp_path / "orders_by_year")
+    tb.write_year_partitioned_orders(spark, SF, path)
+    df = tb.read_partitioned_orders(spark, path).where("o_year = 1996")
+    plan = px.physical_plan(df)
+    assert "PartitionFilters" in plan and "o_year" in plan
+    # pruned scan must touch only the 1996 directory
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "1996" in m.group(1)
+    got = df.count()
+    full = tb.read_partitioned_orders(spark, path).count()
+    assert 0 < got < full
