@@ -61,6 +61,24 @@ def _shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+# Shared materialized intermediates, keyed by (application, corpus dir).
+# The shingle table and the verified pair list feed FOUR downstream
+# operators (pair listing, MinHash verification, keep-first, connected
+# components); in a production pipeline they are staged tables written
+# once per corpus snapshot, not recomputed per consumer. The memo gives
+# the same sharing within one SparkSession — tests with per-fixture dirs
+# get distinct keys, and a new session (new applicationId) starts clean.
+_SHARED: dict[tuple, DataFrame] = {}
+
+
+def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "shingles")
+    if key not in _SHARED:
+        docs = load_table(spark, sf_dir, "documents")
+        _SHARED[key] = _shingle_df(docs).cache()
+    return _SHARED[key]
+
+
 def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (hash-groupBy): per lang, docs vs distinct raw texts.
     md5 keys keep the shuffle narrow (32-byte keys, not document bodies)."""
@@ -83,9 +101,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair intersection counts → join per-doc set sizes → Jaccard.
     The shingle join is hash-partitioned on the shingle; hot shingles (high
     document frequency) are the skew risk at scale — AQE skew-join splits
-    them, and the MinHash variant below avoids them entirely."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_df(docs).cache()
+    them, and the MinHash variant below avoids them entirely.
+
+    The verified pair list is memoized (tiny, reused by keep-first and
+    connected components) so downstream consumers don't re-run the
+    shingle self-join."""
+    key = (spark.sparkContext.applicationId, sf_dir, "ngram_pairs")
+    if key in _SHARED:
+        return _SHARED[key]
+    sh = _shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -99,7 +123,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
+    pairs = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -110,7 +134,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .cache()
     )
+    _SHARED[key] = pairs
+    return pairs
 
 
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
@@ -132,8 +159,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate generation touches only (doc, band, bucket) tuples —
     shuffles are keyed on the bucket hash, never pairwise. Verification
     joins shingles only for candidate docs (semi-join pushdown)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_df(docs).cache()
+    sh = _shingles_cached(spark, sf_dir)
     sig = _minhash_signatures(sh)
     bands = sig.select(
         "doc_id",
