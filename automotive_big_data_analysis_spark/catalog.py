@@ -95,8 +95,24 @@ _NANOS_TS_COLUMNS = {"events": ["ts"]}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table. Parquet scan → column pruning and predicate
-    pushdown are free once downstream operators project/filter."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    pushdown are free once downstream operators project/filter.
+
+    Works on ANY session, not just ones built by :func:`get_spark`: the
+    events parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which Spark's
+    reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is on.
+    The conf is runtime-settable, so flip it here (proactively for tables
+    known to carry nanos columns, reactively for anything else) instead of
+    relying on session build-time configuration."""
+    path = f"{sf_dir}/{name}.parquet"
+    if name in _NANOS_TS_COLUMNS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:  # AnalysisException: PARQUET_TYPE_ILLEGAL
+        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     for col in _NANOS_TS_COLUMNS.get(name, []):
         if isinstance(df.schema[col].dataType, T.LongType):
             # `div` = integer division; float division would lose precision

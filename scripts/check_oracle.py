@@ -45,10 +45,20 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from automotive_big_data_analysis_spark import get_spark
     from automotive_big_data_analysis_spark.catalog import TESTDATA_TABLES
 
-    spark = get_spark(app_name="check_oracle")
+    # Deliberately a PLAIN session (no get_spark) to replicate the driver's
+    # correctness harness: every query must work without any build-time conf.
+    import os
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
+        .appName("check_oracle")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
