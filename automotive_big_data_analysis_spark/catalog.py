@@ -86,10 +86,13 @@ TESTDATA_TABLES = [
 ]
 
 
-# Columns stored as INT64 TIMESTAMP(NANOS) in parquet. Spark's reader maps
-# them to LongType (``spark.sql.legacy.parquet.nanosAsLong``); normalize to
-# TimestampType by integer-dividing to µs — the same truncation DuckDB
-# applies, so oracle comparisons agree.
+# Columns stored as INT64 TIMESTAMP(NANOS) in parquet. How Spark reads them
+# differs by version: 3.x rejects them unless
+# ``spark.sql.legacy.parquet.nanosAsLong`` is on (then: LongType epoch-ns);
+# 4.1+ reads them natively as TimestampNTZType and the legacy conf is a
+# no-op. Both shapes are normalized to TimestampType (µs precision — the
+# same truncation DuckDB applies) so downstream epoch casts
+# (``cast('long')`` / ``cast('double')``) work uniformly.
 _NANOS_TS_COLUMNS = {"events": ["ts"]}
 
 
@@ -97,15 +100,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table. Parquet scan → column pruning and predicate
     pushdown are free once downstream operators project/filter.
 
-    Works on ANY session, not just ones built by :func:`get_spark`: the
-    events parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which Spark's
-    reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is on.
-    The conf is runtime-settable, so flip it here (proactively for tables
-    known to carry nanos columns, reactively for anything else) instead of
-    relying on session build-time configuration."""
+    Works on ANY session, not just ones built by :func:`get_spark`: every
+    conf touched here is runtime-settable, so no build-time configuration
+    is required. For nanos timestamp columns (see ``_NANOS_TS_COLUMNS``)
+    the session time zone is pinned to UTC before the NTZ→timestamp
+    normalization so absolute-epoch arithmetic (``cast(ts as long)``)
+    agrees with DuckDB's ``EPOCH()`` regardless of host time zone."""
     path = f"{sf_dir}/{name}.parquet"
     if name in _NANOS_TS_COLUMNS:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            # Spark 3.x needs this to read INT64 TIMESTAMP(NANOS) at all;
+            # harmless no-op on 4.1+ (kept for version portability).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     try:
         df = spark.read.parquet(path)
     except Exception as exc:  # AnalysisException: PARQUET_TYPE_ILLEGAL
@@ -114,10 +122,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     for col in _NANOS_TS_COLUMNS.get(name, []):
-        if isinstance(df.schema[col].dataType, T.LongType):
-            # `div` = integer division; float division would lose precision
-            # (ns-epoch values exceed double's 2^53 exact-integer range).
+        dt = df.schema[col].dataType
+        if isinstance(dt, T.LongType):
+            # Spark 3.x + nanosAsLong: epoch-ns longs. `div` = integer
+            # division; float division would lose precision (ns-epoch
+            # values exceed double's 2^53 exact-integer range).
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif isinstance(dt, T.TimestampNTZType):
+            # Spark 4.1+: native NTZ read. NTZ→timestamp interprets the
+            # wall-clock in the session zone — pin UTC first so the
+            # resulting epoch values are zone-independent and match the
+            # oracle's naive-as-UTC reading.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -149,56 +149,87 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BLOCKS = 8  # tile grid; at scale pick so a block (N/N_BLOCKS vectors)
+# fits an executor's memory — tiles grow as N_BLOCKS², work stays O(N²).
+
+
 def cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: exact pairwise cosine ≥ threshold.
 
-    Execution is a blocked matrix product, not a per-pair expression: one
-    side of the pair space is gathered into an L2-normalized numpy block
-    and broadcast; the other side streams through ``mapInPandas``, where
-    each Arrow batch computes ``B @ M.T`` with BLAS and emits only the
-    entries above threshold. Per-pair SQL scoring (even codegen'd unrolled
-    dots) pays interpreter/codegen overhead per multiply; a GEMM over the
-    same pairs is ~50× faster and is how every production similarity
-    engine scores candidates.
+    Fully distributed blocked matrix product — nothing is collected or
+    broadcast. Vectors are hashed into ``N_BLOCKS`` blocks by id; the pair
+    space becomes the upper triangle of the block grid, and each vector is
+    exploded to every *tile* (block pair) where its block participates —
+    a-side for tiles in its block row, b-side for tiles in its block
+    column. One shuffle groups each tile's rows, and ``applyInPandas``
+    runs an L2-normalized float64 GEMM per tile, emitting only entries
+    above threshold. Per-pair SQL scoring (even codegen'd unrolled dots)
+    pays interpreter overhead per multiply; BLAS over the same pairs is
+    ~50× faster and is how production similarity engines score.
 
-    Scale shape: at 100 TB the broadcast side becomes a *tile* — partition
-    both sides into blocks, cross-join block pairs, GEMM per tile — or an
-    LSH bucket (``knn_lsh``) so only bucket-local tiles are scored at all.
-    The Arrow-batch GEMM kernel is identical in every variant."""
+    Scale shape: replication factor is N_BLOCKS+1 (each vector appears in
+    one block row + one block column) and tile count N_BLOCKS(N_BLOCKS+1)/2
+    bounds task granularity — both tunable so tiles fit executor memory at
+    any corpus size. The exact all-pairs triangle is inherent to the
+    operator's semantics; for candidate *pruning* at extreme scale compose
+    with the LSH buckets of :func:`knn_lsh` and score only bucket-local
+    tiles with this same kernel."""
     import numpy as np
     import pandas as pd
 
-    emb = _emb(spark, sf_dir)
-    corpus = emb.select("vec_id", "v").toPandas()
-    ids_all = corpus["vec_id"].to_numpy()
-    mat = np.vstack(corpus["v"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids_all, mat))
+    nb = N_BLOCKS
+    tagged = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "v")
+        .withColumn("b", F.pmod(F.col("vec_id"), F.lit(nb)))
+    )
+    # tile id t = i*nb + j encodes block pair (i, j), i <= j
+    a_side = tagged.select(
+        "vec_id",
+        "v",
+        F.lit("a").alias("role"),
+        F.explode(
+            F.sequence(F.col("b") * nb + F.col("b"), F.col("b") * nb + (nb - 1))
+        ).alias("tile"),
+    )
+    b_side = tagged.select(
+        "vec_id",
+        "v",
+        F.lit("b").alias("role"),
+        F.explode(
+            F.sequence(F.col("b"), F.col("b") * nb + F.col("b"), F.lit(nb))
+        ).alias("tile"),
+    )
 
-    def score(batches):
-        ids_b, block = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            bids = pdf["vec_id"].to_numpy()
-            bmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
-            sims = np.round(bmat @ block.T, 6)
-            ii, jj = np.nonzero(
-                (bids[:, None] < ids_b[None, :]) & (sims >= DUP_COSINE)
+    def score(key, pdf):
+        tile = int(key[0])
+        diagonal = (tile // nb) == (tile % nb)
+        a = pdf[pdf["role"] == "a"]
+        b = pdf[pdf["role"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
             )
-            yield pd.DataFrame(
-                {
-                    "vec_a": bids[ii],
-                    "vec_b": ids_b[jj],
-                    "cosine": sims[ii, jj],
-                }
-            )
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        ma = np.vstack(a["v"].to_numpy()).astype(np.float64)
+        mb = np.vstack(b["v"].to_numpy()).astype(np.float64)
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = np.round(ma @ mb.T, 6)
+        hot = sims >= DUP_COSINE
+        if diagonal:
+            # same block on both sides: keep the strict upper triangle
+            hot &= ids_a[:, None] < ids_b[None, :]
+        ii, jj = np.nonzero(hot)
+        lo = np.minimum(ids_a[ii], ids_b[jj])
+        hi = np.maximum(ids_a[ii], ids_b[jj])
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": sims[ii, jj]})
 
-    # _emb already spread the scan across the cluster; each task GEMMs its
-    # Arrow batches against the broadcast block
-    return emb.select("vec_id", "v").mapInPandas(
-        score, "vec_a long, vec_b long, cosine double"
+    return (
+        a_side.unionByName(b_side)
+        .groupBy("tile")
+        .applyInPandas(score, "vec_a long, vec_b long, cosine double")
     )
 
 
