@@ -151,8 +151,17 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     session default.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
+    # inputFiles() probes the file index without converting the plan to an
+    # RDD (df.rdd compiles a second physical plan per call). File count
+    # under-counts splits for multi-split files, so the guard may
+    # repartition a few-files-but-large scan unnecessarily — a narrow,
+    # cheap round-robin — while the hot path (many-split big scans)
+    # correctly skips it.
+    try:
+        if len(df.inputFiles()) >= n:
+            return df
+    except Exception:
+        pass
     return df.repartition(n)
 
 

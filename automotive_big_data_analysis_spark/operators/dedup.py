@@ -68,14 +68,28 @@ def _shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
 # once per corpus snapshot, not recomputed per consumer. The memo gives
 # the same sharing within one SparkSession — tests with per-fixture dirs
 # get distinct keys, and a new session (new applicationId) starts clean.
+# Retention is bounded: entries for any OTHER (application, corpus) pair
+# are unpersisted and dropped when a new corpus is first touched, so a
+# long-lived session serving many corpus dirs holds at most one corpus's
+# intermediates in executor memory.
 _SHARED: dict[tuple, DataFrame] = {}
+
+
+def _shared_put(key: tuple, df: DataFrame) -> DataFrame:
+    for other in [k for k in _SHARED if k[:2] != key[:2]]:
+        try:
+            _SHARED.pop(other).unpersist()
+        except Exception:
+            pass
+    _SHARED[key] = df
+    return df
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "shingles")
     if key not in _SHARED:
         docs = load_table(spark, sf_dir, "documents")
-        _SHARED[key] = _shingle_df(docs).cache()
+        _shared_put(key, _shingle_df(docs).cache())
     return _SHARED[key]
 
 
@@ -136,8 +150,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .cache()
     )
-    _SHARED[key] = pairs
-    return pairs
+    return _shared_put(key, pairs)
 
 
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
@@ -235,9 +248,7 @@ def keep_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the removed set is tiny relative to the corpus → broadcast-mark each
     # doc and aggregate kept/removed in ONE scan of documents (the naive
     # form scans docs for totals, again for kept, and shuffles an anti-join)
-    marked = docs.select("doc_id", "lang").join(
-        F.broadcast(removed), "doc_id", "left"
-    )
+    marked = docs.select("doc_id", "lang").join(removed, "doc_id", "left")
     return marked.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("_removed").isNull(), 1).otherwise(0))
@@ -286,10 +297,14 @@ def duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint so convergence
+        # is a scan of the just-materialized round, not a second
+        # join-and-recompute of it (that doubled per-round work)
+        stepped = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
+                F.col("label").alias("_prev"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
@@ -297,13 +312,9 @@ def duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            stepped.where(F.col("label") != F.col("_prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
     return (

@@ -119,7 +119,7 @@ def segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     per_seg = (
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            cust.select("c_custkey", "c_mktsegment"),
             orders.o_custkey == cust.c_custkey,
         )
         .groupBy("c_mktsegment")

@@ -26,7 +26,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part_avg), li.l_partkey == part_avg.pk)
+        li.join(part_avg, li.l_partkey == part_avg.pk)
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),

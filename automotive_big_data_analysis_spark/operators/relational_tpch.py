@@ -38,12 +38,14 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
+    # customer and the filtered orders both scale with SF — no hints;
+    # AQE broadcasts them while they fit and falls back to SMJ beyond
     building_orders = orders.join(
-        F.broadcast(cust.select("c_custkey")),
+        cust.select("c_custkey"),
         orders.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
-        li.join(F.broadcast(building_orders), li.l_orderkey == F.col("o_orderkey"))
+        li.join(building_orders, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -70,7 +72,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = SHARE_NATION
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        li.join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
         .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
         .select(
             F.year("o_orderdate").alias("order_year"),
@@ -99,13 +101,16 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     bad_suppliers = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    # no broadcast hint on `part` minus one brand — that side is ~99% of
+    # the part table and grows with SF; AQE's size-based choice picks the
+    # right strategy at any scale
     return (
         li.join(
-            F.broadcast(part.where(F.col("p_brand") != "Brand#1")),
+            part.where(F.col("p_brand") != "Brand#1"),
             li.l_partkey == part.p_partkey,
         )
         .join(
-            F.broadcast(bad_suppliers),
+            bad_suppliers,
             li.l_suppkey == bad_suppliers.s_suppkey,
             "left_anti",
         )
@@ -139,7 +144,8 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(F.broadcast(big_orders), orders.o_orderkey == big_orders.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is a full fact-scale table — no hint; AQE decides
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",

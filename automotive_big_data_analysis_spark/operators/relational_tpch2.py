@@ -53,11 +53,11 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
-            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            supp.select("s_suppkey", "s_nationkey"),
             (li.l_suppkey == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -129,7 +129,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_type")),
+            part.select("p_partkey", "p_type"),
             li.l_partkey == F.col("p_partkey"),
         )
         .join(
@@ -174,7 +174,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.join(
             F.broadcast(max_rev), revenue.total_revenue == F.col("max_revenue")
         )
-        .join(F.broadcast(supp), revenue.l_suppkey == supp.s_suppkey)
+        .join(supp, revenue.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -205,7 +205,7 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            part.select("p_partkey", "p_brand", "p_size"),
             (li.l_partkey == F.col("p_partkey")) & (branch1 | branch2 | branch3),
         )
         .groupBy("p_brand")

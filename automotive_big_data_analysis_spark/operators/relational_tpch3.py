@@ -50,12 +50,12 @@ def cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("cust_nation") == TRADE_NATION_A)
     )
     return (
-        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        li.join(supp_n, li.l_suppkey == supp_n.s_suppkey)
         .join(
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust_n), F.col("o_custkey") == cust_n.c_custkey)
+        .join(cust_n, F.col("o_custkey") == cust_n.c_custkey)
         .where(pair)
         .groupBy(
             "supp_nation",
@@ -99,7 +99,7 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        per_cust.join(F.broadcast(cust_n), per_cust.o_custkey == cust_n.c_custkey)
+        per_cust.join(cust_n, per_cust.o_custkey == cust_n.c_custkey)
         .select("c_custkey", "c_name", "nation", "c_acctbal", "revenue")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(TOP_RETURNED_CUSTOMERS)
@@ -128,7 +128,7 @@ def sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sole.groupBy("any_suppkey")
         .agg(F.count("*").alias("n_sole_orders"))
-        .join(F.broadcast(supp), F.col("any_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("any_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "n_sole_orders")
         .orderBy(F.col("n_sole_orders").desc(), "s_suppkey")
         .limit(20)

@@ -75,3 +75,47 @@ def ingest_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
 
 def ingest_excel(spark: SparkSession, path: str) -> DataFrame:
     return ingest_rows(spark, rows_from_excel(path))
+
+
+def save_upload(content: bytes, original_filename: str, upload_dir: str) -> str:
+    """Persist an uploaded file under a UUID name (reference
+    ``backend/app.py:189-193``): collision-proof, keeps the original
+    extension so the parser can dispatch on it. Extension is validated
+    BEFORE anything touches disk, same as the reference."""
+    import uuid
+
+    if not original_filename or not original_filename.lower().endswith(
+        ALLOWED_EXTENSIONS
+    ):
+        raise ExcelIngestError(
+            f"unsupported file extension: {os.path.basename(original_filename or '')}"
+        )
+    os.makedirs(upload_dir, exist_ok=True)
+    ext = os.path.splitext(original_filename)[1]
+    path = os.path.join(upload_dir, uuid.uuid4().hex + ext)
+    with open(path, "wb") as fh:
+        fh.write(content)
+    return path
+
+
+def ingest_upload(
+    spark: SparkSession,
+    content: bytes,
+    original_filename: str,
+    upload_dir: str,
+    parser=rows_from_excel,
+) -> DataFrame:
+    """Full upload lifecycle (reference ``backend/app.py:174-249``):
+    save under a UUID name → parse → rename/whitelist → typed DataFrame;
+    the saved file is removed in ``finally`` (reference ``:243-246``)
+    whether the parse succeeds or raises.
+
+    ``parser`` is injectable because this container has no Excel engine —
+    production uses the default ``rows_from_excel``; tests (and callers
+    ingesting pre-parsed payloads) pass a ``path -> list[dict]``."""
+    path = save_upload(content, original_filename, upload_dir)
+    try:
+        return ingest_rows(spark, parser(path))
+    finally:
+        if os.path.exists(path):
+            os.remove(path)

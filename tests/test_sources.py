@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -52,6 +54,46 @@ def test_excel_rejects_corrupt_file(tmp_path):
     bad.write_bytes(b"not really excel")
     with pytest.raises(excel.ExcelIngestError):
         excel.rows_from_excel(str(bad))
+
+
+def test_upload_lifecycle_save_parse_append_cleanup(spark, tmp_path):
+    """Reference backend/app.py:189-193,243-246: the upload is saved under
+    a UUID name, parsed, appended, and the saved file is removed whether
+    the parse succeeds or fails."""
+    updir = tmp_path / "uploads"
+    seen_paths = []
+
+    def fake_parser(path):
+        seen_paths.append(path)
+        assert os.path.exists(path)
+        return [{"brand": "BYD", "model": "Han", "attention": 5}]
+
+    df = excel.ingest_upload(
+        spark, b"payload-bytes", "cars.xlsx", str(updir), parser=fake_parser
+    )
+    assert df.first().car_brand == "BYD"
+    # saved under a fresh UUID name with the original extension...
+    assert len(seen_paths) == 1
+    name = os.path.basename(seen_paths[0])
+    assert name.endswith(".xlsx") and name != "cars.xlsx"
+    # ...and cleaned up afterwards
+    assert os.listdir(updir) == []
+
+
+def test_upload_lifecycle_cleans_up_on_parse_failure(spark, tmp_path):
+    updir = tmp_path / "uploads"
+    with pytest.raises(excel.ExcelIngestError):
+        excel.ingest_upload(
+            spark, b"not really excel", "bad.xlsx", str(updir)
+        )
+    assert os.listdir(updir) == []
+
+
+def test_upload_rejects_bad_extension_before_saving(spark, tmp_path):
+    updir = tmp_path / "uploads"
+    with pytest.raises(excel.ExcelIngestError):
+        excel.ingest_upload(spark, b"x", "data.csv", str(updir))
+    assert not updir.exists()
 
 
 def test_generator_deterministic_and_in_range(spark):
