@@ -76,3 +76,18 @@ def test_preferences_endpoint(cars):
     other = api.get_consumer_preferences(cars, "horsepower")["data"]
     assert other[0]["range"] == "100-200马力"
     assert sum(d["percentage"] for d in other) == 100.0
+
+
+def test_generate_random_bounds_and_payload(spark):
+    """Reference backend/app.py:252-279: bounds 1-10,000 enforced; the
+    payload is an appendable DataFrame in the tested envelope."""
+    with pytest.raises(api.ApiError):
+        api.generate_random(spark, 0)
+    with pytest.raises(api.ApiError):
+        api.generate_random(spark, -5)
+    with pytest.raises(api.ApiError):
+        api.generate_random(spark, 10_001)
+    out = api.generate_random(spark, 25)
+    assert out["status"] == "success"
+    assert "25" in out["message"]
+    assert out["data"].count() == 25
