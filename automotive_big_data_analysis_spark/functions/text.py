@@ -80,6 +80,57 @@ def normalized_fingerprint(col: str | Column = "text") -> Column:
     return F.md5(normalized)
 
 
+def strip_html(col: str | Column = "text") -> Column:
+    """Remove HTML/XML tags and decode the five predefined entities —
+    the first cleaning stage of every web-corpus pipeline. Pure regexp /
+    replace chain (codegen-friendly). DuckDB equivalent: the same
+    ``regexp_replace(…, '<[^>]*>', ' ', 'g')`` + chained ``replace``."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_tags = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+    ]:
+        no_tags = F.replace(no_tags, F.lit(ent), F.lit(ch))
+    return no_tags
+
+
+def normalize_whitespace(col: str | Column = "text") -> Column:
+    """Collapse all whitespace runs to single spaces and trim. DuckDB:
+    ``trim(regexp_replace(text, '\\s+', ' ', 'g'))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# PII patterns: deliberately simple, high-precision shapes (emails, E.164-ish
+# phone numbers, bare IPv4) — the redaction *plumbing* is the point; a
+# production pipeline swaps in its compliance-approved pattern set.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: str | Column = "text") -> Column:
+    """Replace email/phone/IP shapes with typed placeholders. Chained
+    ``regexp_replace`` — one codegen'd projection, no Python in the row
+    path. DuckDB: same chain with ``regexp_replace(…, 'g')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def clean_text(col: str | Column = "text") -> Column:
+    """Standard cleaning composition: strip markup → redact PII →
+    normalize whitespace."""
+    return normalize_whitespace(redact_pii(strip_html(col)))
+
+
 def quality_score(col: str | Column = "text") -> Column:
     """Composite [0,1] quality heuristic: length band + stopword presence
     + mean token length band (the reference has no quality scoring; this
