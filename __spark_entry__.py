@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from automotive_big_data_analysis_spark.operators import asof, dedup, events, multimodal, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis
+from automotive_big_data_analysis_spark.operators import asof, dedup, events, multimodal, pipeline, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis
 from automotive_big_data_analysis_spark.sources import bucketed
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -24,69 +24,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness sweep checks the FIRST 50 registered queries
-# (dict order) per round — rounds 1 and 2 both produced exactly 50 rows
-# ending at the same position. With 76 registered queries, ordering is
-# therefore a verification-coverage decision. The list below front-loads
-# (a) every query family that had no correctness row through round 2
-# (text/dedup/knn/embedding/asof/multimodal/bucketed/events_props_*),
-# (b) the two events queries fixed this round (TIMESTAMP_NTZ casts), and
-# (c) one designated gate query per SURVEY §2 operator family. Queries
-# past position 50 all hash-matched in BOTH rounds 1 and 2
-# (CORRECTNESS_r01/r02.json) and stay covered by tests/; see COVERAGE.md.
+# (dict order) per round, so ordering is a verification-coverage decision.
+# Round-4 policy (per round-3 ADVICE): the window holds (a) the 26 queries
+# whose only driver-side rows are r1+r2 — they rotated out of the round-3
+# window — and (b) every query whose Spark code or oracle changed THIS
+# round (the DECIMAL(25,10) exact-sum migration in functions/exact.py, the
+# events projections/from_json rewrite, the top_revenue_suppliers bounded
+# broadcast, and the newly registered pipeline_curation_report). Queries
+# left past position 50 are all (i) green in CORRECTNESS_r03 and
+# (ii) untouched this round; see COVERAGE.md §sweep-rotation.
 _SWEEP_PRIORITY = [
-    # never-swept families (first correctness rows needed)
-    "events_props_key_rollup",   # §2 A1 gate (map explode + per-key sum)
-    "events_props_value_per_type",  # §2 A2/F6 gate
-    "events_type_share",         # §2 A4+A5 gate analog
-    "events_top_users",          # §2 R1/R2 gate analog
-    "text_token_stats",
-    "text_quality_scores",
-    "text_word_topk",
-    "text_lang_confusion",
-    "text_wordpiece_stats",
-    "text_fingerprint_stats",
-    "dedup_exact_stats",
-    "dedup_ngram_pairs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_keep_stats",
-    "dedup_components",
-    "dedup_simhash_groups",
-    "knn_bruteforce",
-    "knn_lsh",
-    "knn_ivf",
-    "embedding_cosine_dups",
-    "embedding_label_centroids",
-    "embedding_norm_stats",
-    "asof_purchase_attribution",
-    "multimodal_frame_plan",
-    "multimodal_media_features",
-    "bucketed_join_revenue",
-    # fixed this round (TIMESTAMP_NTZ → timestamp normalization)
-    "events_sessionize",
-    "events_error_bursts",
-    # §2 gate queries (oracle-designated per COVERAGE.md)
-    "pricing_summary",           # A3 multi-agg (flagship)
-    "year_trend",                # P8 falsy guards + A3 + R3
-    "price_histogram",           # A10 fixed-range buckets w/ empties
-    "segment_share",             # A4 grand total + A5 ratio-of-total
-    "rollup_order_counts",       # A8 group-count
-    "filtered_scan",             # S1 scan + P1 pushed filter
-    "distinct_priorities",       # S3 DISTINCT scan + A6
-    "point_lookup",              # P7 first-match
-    "top_orders",                # R2 filtered sort
-    "top_customer_per_nation",   # A9 argmax
-    "salted_type_totals",        # skew-salted aggregation
-    "events_hourly_rollup",      # tumbling window
-    "events_sliding_counts",     # sliding window
-    "events_session_window",     # native session_window
-    "sample_lineitem_stats",     # deterministic hash sampling
-    "sample_stratified_documents",
+    # (a) rotated out of the r3 window — need a current-round row
+    "order_priority_check",
+    "supplier_customer_balance",     # also: exact-sum migration
+    "top_parts_per_brand",
+    "order_price_delta",
+    "customer_supplier_nations",
+    "small_quantity_revenue",        # also: exact-sum migration
+    "cube_order_stats",              # also: exact-sum migration
+    "approx_part_stats",             # rows-only by design (sketches)
+    "priority_status_pivot",
+    "quantity_percentiles",
+    "shipping_priority",             # also: exact-sum migration
+    "nation_market_share",           # also: exact ratio migration
+    "parts_supplier_counts",
+    "large_volume_customers",
+    "daily_revenue_moving_avg",      # also: exact frame-avg migration
+    "order_value_deciles",           # also: exact-avg migration
+    "local_supplier_volume",         # also: exact-sum migration
+    "important_parts_share",         # also: exact-sum threshold migration
+    "customer_order_distribution",
+    "promo_revenue_ratio",           # also: exact ratio migration
+    "top_revenue_suppliers",         # also: bounded-broadcast rework
+    "disjunctive_part_revenue",      # also: exact-sum migration
+    "cross_nation_volume",           # also: exact-sum migration
+    "returned_item_revenue",         # also: exact-sum migration
+    "sole_supplier_orders",
+    "idle_rich_customers",           # also: exact-avg threshold migration
+    # (b) modified this round, green in r3 — keep in-window anyway
+    "pipeline_curation_report",      # NEW: end-to-end curation pipeline
+    "pricing_summary",               # flagship; exact sums/avgs
+    "year_trend",
+    "price_histogram",
+    "segment_share",
+    "rollup_order_counts",
+    "revenue_by_nation",
+    "customer_running_balance",      # exact windowed running sum
+    "events_hourly_rollup",
+    "events_sessionize",             # r3's one hash-FAIL (flaky) — fixed
+    "events_session_window",         # minimal-projection rework
+    "events_type_share",
+    "events_top_users",
+    "events_props_value_per_type",   # from_json rewrite
+    "sample_lineitem_stats",
     "sample_orders_split",
-    "customer_running_balance",  # §2.5 running-sum window
-    "revenue_by_nation",         # §2.3 multi-join (TPC-H Q5 shape)
-    "customers_without_orders",  # anti join
-    "priority_union",            # §2.7 set ops
-    "idle_customers_except",
+    "bucketed_join_revenue",
+    "embedding_label_centroids",     # exact-avg migration
+    "embedding_norm_stats",
+    "text_wordpiece_stats",          # exact fanout-avg migration
+    # (c) filler to 50: dependencies/siblings of the above
+    "dedup_ngram_pairs",             # pipeline_curation_report reuses it
+    "events_sliding_counts",
+    "sample_stratified_documents",
 ]
 
 
@@ -105,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(asof.QUERIES)
     merged.update(multimodal.QUERIES)
     merged.update(bucketed.QUERIES)
+    merged.update(pipeline.QUERIES)
     out = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     out.update(merged)
     return out
@@ -125,4 +125,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(asof.ORACLE)
     out.update(multimodal.ORACLE)
     out.update(bucketed.ORACLE)
+    out.update(pipeline.ORACLE)
     return out

@@ -119,24 +119,33 @@ def get_consumer_preferences(cars: DataFrame, dimension: str = "type") -> dict:
 MAX_GENERATE_ROWS = 10_000  # reference backend/app.py:260-263
 
 
-def generate_random(spark, num_records: int = 100, seed: int | None = None) -> dict:
+def generate_random(
+    spark,
+    num_records: int = 100,
+    seed: int | None = None,
+    table_path: str | None = None,
+) -> dict:
     """POST /api/v1/generate/random (reference backend/app.py:252-279,
-    commented out there but bounds-checked 1-10,000). Returns the
-    generated rows as a DataFrame inside the tested envelope so callers
-    append it with ``sources.tables.insert_df``; the bound applies to
-    this facade only — the underlying distributed generator
-    (``sources/synthetic.py``) scales to any row count."""
+    commented out there but bounds-checked 1-10,000; its handler calls
+    ``insert_data`` after generating). With ``table_path`` the generated
+    rows are appended there (the reference contract — message says
+    generated AND inserted); without it the rows are only returned and
+    the message says so, leaving the append to the caller via
+    ``sources.tables.insert_df``. The bound applies to this facade only —
+    the underlying distributed generator (``sources/synthetic.py``)
+    scales to any row count."""
     if num_records <= 0:
         raise ApiError("Number of records must be positive")
     if num_records > MAX_GENERATE_ROWS:
         raise ApiError(f"Number of records cannot exceed {MAX_GENERATE_ROWS}")
-    from automotive_big_data_analysis_spark.sources import synthetic
+    from automotive_big_data_analysis_spark.sources import synthetic, tables
 
     df = synthetic.generate_car_data(
         spark, num_records, seed=seed if seed is not None else 42
     )
-    return {
-        "status": "success",
-        "message": f"成功生成并插入 {num_records} 条随机数据",
-        "data": df,
-    }
+    if table_path is not None:
+        tables.insert_df(df, table_path)
+        message = f"成功生成并插入 {num_records} 条随机数据"
+    else:
+        message = f"成功生成 {num_records} 条随机数据"
+    return {"status": "success", "message": message, "data": df}

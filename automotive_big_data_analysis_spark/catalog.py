@@ -130,11 +130,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
         elif isinstance(dt, T.TimestampNTZType):
             # Spark 4.1+: native NTZ read. NTZ→timestamp interprets the
-            # wall-clock in the session zone — pin UTC first so the
-            # resulting epoch values are zone-independent and match the
-            # oracle's naive-as-UTC reading.
+            # wall-clock in the session zone — pin UTC around the cast so
+            # the resulting epoch values are zone-independent and match
+            # the oracle's naive-as-UTC reading. The zone is captured at
+            # ANALYSIS time (withColumn resolves eagerly; verified by
+            # executing under a different session zone), so restoring the
+            # prior value keeps unrelated queries' timestamp semantics —
+            # year()/date extraction over instant columns — untouched.
+            prior_tz = spark.conf.get("spark.sql.session.timeZone")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
+            try:
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
+            finally:
+                spark.conf.set("spark.sql.session.timeZone", prior_tz)
     return df
 
 
@@ -151,14 +159,16 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     session default.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    # inputFiles() probes the file index without converting the plan to an
-    # RDD (df.rdd compiles a second physical plan per call). File count
-    # under-counts splits for multi-split files, so the guard may
-    # repartition a few-files-but-large scan unnecessarily — a narrow,
-    # cheap round-robin — while the hot path (many-split big scans)
-    # correctly skips it.
+    # Two-stage guard. inputFiles() probes the file index without
+    # compiling a physical plan (cheap) — fewer files than cores always
+    # means under-parallelism, so repartition straight away. When the
+    # file count LOOKS sufficient, confirm with the scan's actual
+    # partition count (df.rdd compiles a plan — paid only on this rare
+    # branch): maxPartitionBytes packing can coalesce many small files
+    # into few splits, which is exactly the small-file CPU-heavy case
+    # this helper exists for.
     try:
-        if len(df.inputFiles()) >= n:
+        if len(df.inputFiles()) >= n and df.rdd.getNumPartitions() >= n:
             return df
     except Exception:
         pass

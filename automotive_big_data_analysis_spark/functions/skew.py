@@ -8,8 +8,11 @@ to the direct groupBy for any algebraic aggregate; only the plan differs.
 
 AQE's skew-join splitting covers *joins*; this covers *aggregations* whose
 partial/final split Catalyst can't widen by itself when one key dominates
-a partition. The salt is deterministic (hash of a tie-break column) so
-runs are reproducible.
+a partition. Salt choice: with ``salt_on`` set to a content column the
+per-row salt is deterministic across retries/repartitionings; the default
+(``spark_partition_id()``) is NOT — partition ids change under retries —
+but the *results* are identical either way, because the salt only routes
+rows between reducers and algebraic aggregates reassociate freely.
 """
 
 from __future__ import annotations

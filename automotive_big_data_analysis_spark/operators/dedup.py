@@ -85,6 +85,26 @@ def _shared_put(key: tuple, df: DataFrame) -> DataFrame:
     return df
 
 
+def release(sf_dir: str | None = None) -> int:
+    """Unpersist the family's staged intermediates (all corpora, or one).
+
+    The shingle table and verified pair list stay resident only while the
+    dedup family is actively consuming them; callers that interleave other
+    workloads in the same session (bench harness, a long-lived service)
+    call this once the family's last consumer finishes, so cached blocks
+    don't occupy executor storage — and tax every later query with
+    eviction/GC pressure — for session lifetime. Returns the number of
+    entries dropped; safe to call at any time (consumers lazily rebuild)."""
+    dropped = 0
+    for key in [k for k in _SHARED if sf_dir is None or k[1] == sf_dir]:
+        try:
+            _SHARED.pop(key).unpersist()
+            dropped += 1
+        except Exception:
+            pass
+    return dropped
+
+
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "shingles")
     if key not in _SHARED:
@@ -245,9 +265,10 @@ def keep_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_removed", F.lit(1))
     )
-    # the removed set is tiny relative to the corpus → broadcast-mark each
-    # doc and aggregate kept/removed in ONE scan of documents (the naive
-    # form scans docs for totals, again for kept, and shuffles an anti-join)
+    # the removed set is small relative to the corpus (AQE broadcasts it
+    # when it fits); the left join marks each doc so kept/removed aggregate
+    # in ONE scan of documents (the naive form scans docs for totals, again
+    # for kept, and shuffles an anti-join)
     marked = docs.select("doc_id", "lang").join(removed, "doc_id", "left")
     return marked.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -317,6 +338,9 @@ def duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
+    # labels are materialized checkpoints — the edge cache is no longer an
+    # input of the returned plan, so don't leave it resident
+    edges.unpersist()
     return (
         labels.groupBy(F.col("label").alias("component"))
         .agg(

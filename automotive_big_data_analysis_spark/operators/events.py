@@ -8,7 +8,12 @@ operators (A1/A2: explode + per-key aggregation). The same logic is exposed
 over Structured Streaming in ``streaming/``.
 
 All outputs are deterministic: window starts come from epoch arithmetic,
-sessions are keyed by (user, session start), floats are rounded in-query.
+sessions are keyed by (user, session start), floats are rounded in-query,
+and every multi-row SUM/AVG over the double ``value`` column accumulates
+in DECIMAL(25,10) (``functions/exact.py``) so results are independent of
+partition merge order — the round-3 gate caught ``events_sessionize``
+flipping a ``.xx5`` rounding boundary between runs under plain double
+summation.
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import exact as ex
 
 SESSION_GAP_MINUTES = 30
 
@@ -32,8 +38,8 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            ex.dsum("value").alias("total_value"),
+            ex.davg("value").alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -66,7 +72,12 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both windows partition by ``user_id`` (high cardinality) — the
     whole operator is one shuffle on user_id, sessions never cross
     partitions."""
-    ev = load_table(spark, sf_dir, "events")
+    # project before windowing: the per-user sort shuffles and sorts every
+    # column it carries — (user, id, ts, value) is all this operator needs,
+    # never the props JSON payload
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order_w)
     is_break = F.when(
@@ -82,7 +93,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            ex.dsum("value").alias("session_value"),
         )
     )
 
@@ -94,7 +105,10 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     so only start/count are emitted for oracle comparison."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(
+        # project before windowing: session_window sorts each user's rows,
+        # so the sort should carry (ts, user_id) only — never full events
+        ev.select("ts", "user_id")
+        .groupBy(
             F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"),
             "user_id",
         )
@@ -125,9 +139,11 @@ def props_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def props_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference op F6 analog (typed map access): extract ``props.k`` and
-    aggregate per event type. ``get_json_object`` stays JVM-side."""
+    aggregate per event type. ``from_json`` to a typed map + ``element_at``
+    parses each row once JVM-side; ``get_json_object`` (used through round
+    3) walked the JSON text per extraction and benched ~10× slower."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.element_at(F.from_json("props", "map<string,bigint>"), "k")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -142,12 +158,14 @@ def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference ops A4+A5 analog: per-type event value and its share of
     the total (shares sum to 1.0); window over the tiny aggregate only."""
     ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(F.sum("value").alias("v"))
+    per_type = ev.groupBy("event_type").agg(F.sum(ex.dec("value")).alias("v"))
     total = Window.partitionBy()
     return per_type.select(
         "event_type",
-        F.round("v", 2).alias("total_value"),
-        F.round(F.col("v") / F.sum("v").over(total), 6).alias("share"),
+        F.round(F.col("v").cast("double"), 2).alias("total_value"),
+        F.round(
+            F.col("v").cast("double") / F.sum("v").over(total).cast("double"), 6
+        ).alias("share"),
     )
 
 
@@ -157,7 +175,7 @@ def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), ex.dsum("value").alias("total_value"))
         .orderBy(F.col("n_events").desc(), F.col("user_id"))
         .limit(10)
     )
@@ -181,11 +199,11 @@ _SESSION_CTE = f"""
 """
 
 ORACLE: dict[str, str] = {
-    "events_hourly_rollup": """
+    "events_hourly_rollup": f"""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,
-               ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value,
-               ROUND(AVG(value), 6) AS avg_value
+               {ex.dsum_sql("value")} AS total_value,
+               {ex.davg_sql("value")} AS avg_value
         FROM events GROUP BY 1, 2
     """,
     # each event belongs to the two 30-min-aligned windows covering it;
@@ -202,10 +220,10 @@ ORACLE: dict[str, str] = {
         GROUP BY 1, 2
     """,
     "events_sessionize": _SESSION_CTE
-    + """
+    + f"""
         SELECT user_id, session_seq, COUNT(*) AS n_events,
                MIN(ts) AS session_start, MAX(ts) AS session_end,
-               ROUND(CAST(SUM(value) AS DOUBLE), 2) AS session_value
+               {ex.dsum_sql("value")} AS session_value
         FROM numbered GROUP BY user_id, session_seq
     """,
     "events_session_window": _SESSION_CTE
@@ -226,18 +244,20 @@ ORACLE: dict[str, str] = {
                COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k
         FROM events GROUP BY event_type
     """,
-    "events_type_share": """
+    "events_type_share": f"""
         WITH per_type AS (
-            SELECT event_type, SUM(value) AS v FROM events GROUP BY event_type
+            SELECT event_type, SUM(CAST(value AS {ex.SQL_DEC})) AS v
+            FROM events GROUP BY event_type
         )
         SELECT event_type,
                ROUND(CAST(v AS DOUBLE), 2) AS total_value,
-               ROUND(CAST(v / SUM(v) OVER () AS DOUBLE), 6) AS share
+               ROUND(CAST(v AS DOUBLE) / CAST(SUM(v) OVER () AS DOUBLE), 6)
+                   AS share
         FROM per_type
     """,
-    "events_top_users": """
+    "events_top_users": f"""
         SELECT user_id, COUNT(*) AS n_events,
-               ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+               {ex.dsum_sql("value")} AS total_value
         FROM events GROUP BY user_id
         ORDER BY n_events DESC, user_id LIMIT 10
     """,

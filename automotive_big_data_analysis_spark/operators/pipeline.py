@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 from automotive_big_data_analysis_spark.catalog import load_table, spread
 from automotive_big_data_analysis_spark.functions import text as tx
 from automotive_big_data_analysis_spark.operators import dedup
-from automotive_big_data_analysis_spark.operators.sampling import hash_bucket
+from automotive_big_data_analysis_spark.operators.sampling import (
+    SAMPLE_BUCKETS,
+    _bucket_sql,
+    hash_bucket,
+)
 
 QUALITY_MIN = 0.4
 SAMPLE_PERMILLE = 1000  # keep everything by default; tests dial it down
@@ -125,3 +129,100 @@ def curation_report(
             ],
         )
     )
+
+
+# DuckDB mirror of the full pipeline, stage by stage, in the same order as
+# mark_documents: strip tags → decode entities → redact PII → collapse
+# whitespace → quality → exact-dup rank among quality survivors →
+# near-dup removed set (raw-text n-gram pairs, dedup.py oracle CTEs) →
+# content-hash sample → first-match stage label. Regex patterns are
+# Java/RE2-compatible subsets so both engines match identical spans.
+_CLEAN_SQL = (
+    r"trim(regexp_replace("
+    r"regexp_replace("
+    r"regexp_replace("
+    r"regexp_replace("
+    r"replace(replace(replace(replace(replace("
+    r"regexp_replace(text, '<[^>]*>', ' ', 'g'),"
+    r" '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''),"
+    r" '&amp;', '&'),"
+    r" '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    r" '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),"
+    r" '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+_STOP_ALL_SQL = ", ".join(
+    f"'{w}'" for w in tx.STOPWORDS_EN + tx.STOPWORDS_ES
+)
+
+_REPORT_SQL = (
+    dedup._SHINGLES_CTE
+    + dedup._PAIR_SQL_TAIL
+    + rf"""
+    , removed AS (
+        SELECT DISTINCT doc_b AS doc_id FROM pairs
+        WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+    ), cleaned AS (
+        SELECT doc_id, lang, {_CLEAN_SQL} AS clean_text
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang, clean_text,
+               len(regexp_extract_all(clean_text, '\S+')) AS n_tok,
+               length(clean_text) AS n_chars,
+               len(list_filter(regexp_extract_all(clean_text, '\S+'),
+                   x -> lower(x) IN ({_STOP_ALL_SQL}))) AS n_stop
+        FROM cleaned
+    ), quality AS (
+        SELECT doc_id, lang, clean_text,
+               ROUND(
+                   (CASE WHEN n_tok >= 20 AND n_tok <= 10000
+                         THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN n_tok > 0
+                         AND CAST(n_chars AS DOUBLE)/n_tok >= 3
+                         AND CAST(n_chars AS DOUBLE)/n_tok <= 12
+                        THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN n_tok > 0
+                         AND CAST(n_stop AS DOUBLE)/n_tok >= 0.05
+                        THEN 0.3 ELSE 0.0 END), 2) AS quality
+        FROM scored
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY CASE WHEN quality < __QMIN__
+                              THEN 'lowq:' || CAST(doc_id AS VARCHAR)
+                              ELSE md5(clean_text) END
+            ORDER BY doc_id
+        ) AS rn
+        FROM quality
+    ), staged AS (
+        SELECT q.lang,
+               CASE WHEN q.quality < __QMIN__ THEN 'lowq'
+                    WHEN q.rn > 1 THEN 'exact_dup'
+                    WHEN r.doc_id IS NOT NULL THEN 'near_dup'
+                    WHEN {_bucket_sql("q.clean_text")} >= __PERMILLE__
+                         THEN 'sampled_out'
+                    ELSE 'kept' END AS stage
+        FROM ranked q LEFT JOIN removed r ON q.doc_id = r.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) FILTER (stage = 'kept') AS BIGINT) AS kept,
+           CAST(COUNT(*) FILTER (stage = 'lowq') AS BIGINT) AS lowq,
+           CAST(COUNT(*) FILTER (stage = 'exact_dup') AS BIGINT) AS exact_dup,
+           CAST(COUNT(*) FILTER (stage = 'near_dup') AS BIGINT) AS near_dup,
+           CAST(COUNT(*) FILTER (stage = 'sampled_out') AS BIGINT)
+               AS sampled_out
+    FROM staged GROUP BY lang
+    """
+)
+
+ORACLE: dict[str, str] = {
+    # plain token replacement — .format() would choke on the regex
+    # quantifier braces ({2,}, {1,3}) inside the cleaning patterns
+    "pipeline_curation_report": _REPORT_SQL.replace(
+        "__QMIN__", str(QUALITY_MIN)
+    ).replace("__PERMILLE__", str(SAMPLE_PERMILLE)),
+}
+
+QUERIES = {
+    "pipeline_curation_report": curation_report,
+}

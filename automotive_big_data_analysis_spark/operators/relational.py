@@ -7,7 +7,11 @@ equivalent DuckDB SQL for the driver's hash-comparison gate.
 
 Determinism rules (the gate hashes values order-insensitively but exactly):
 
-* every floating aggregate is rounded in-query, identically on both sides;
+* every floating aggregate is rounded in-query, identically on both sides,
+  and every multi-row SUM/AVG over doubles accumulates in DECIMAL(25,10)
+  (``functions/exact.py``) so the result is independent of partition
+  merge order — ``ROUND(SUM(double))`` is a coin-flip near ``.xx5``
+  boundaries otherwise;
 * every LIMIT/top-k has a total ordering (unique tie-break key);
 * count-like outputs are cast to bigint on both sides (DuckDB SUM(int)
   returns HUGEINT, Spark returns long).
@@ -23,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import exact as ex
 
 
 # --- aggregation core -------------------------------------------------------
@@ -42,13 +47,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            ex.dsum("l_quantity").alias("sum_qty"),
+            ex.dsum("l_extendedprice").alias("sum_base_price"),
+            ex.dsum(disc_price).alias("sum_disc_price"),
+            ex.dsum(charge).alias("sum_charge"),
+            ex.davg("l_quantity").alias("avg_qty"),
+            ex.davg("l_extendedprice").alias("avg_price"),
+            ex.davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -63,8 +68,8 @@ def year_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            ex.dsum("o_totalprice").alias("total_price"),
+            ex.davg("o_totalprice").alias("avg_price"),
         )
     )
 
@@ -98,7 +103,7 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_id")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            ex.davg("o_totalprice").alias("avg_price"),
         )
     )
     return dim.join(F.broadcast(per_bucket), "bucket_id", "left").select(
@@ -123,13 +128,17 @@ def segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.o_custkey == cust.c_custkey,
         )
         .groupBy("c_mktsegment")
-        .agg(F.sum("o_totalprice").alias("revenue"))
+        .agg(F.sum(ex.dec("o_totalprice")).alias("revenue"))
     )
     total = Window.partitionBy()
     return per_seg.select(
         "c_mktsegment",
-        F.round("revenue", 2).alias("revenue"),
-        F.round(F.col("revenue") / F.sum("revenue").over(total), 6).alias("share"),
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(total).cast("double"),
+            6,
+        ).alias("share"),
     )
 
 
@@ -141,7 +150,7 @@ def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            ex.dsum("o_totalprice").alias("total_price"),
         )
     )
 
@@ -211,7 +220,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .where(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(ex.dsum(revenue).alias("revenue"), F.count("*").alias("n_items"))
     )
 
 
@@ -260,10 +269,10 @@ def supplier_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     c = cust.groupBy("c_nationkey").agg(
-        F.round(F.sum("c_acctbal"), 2).alias("customer_balance")
+        ex.dsum("c_acctbal").alias("customer_balance")
     )
     s = supp.groupBy("s_nationkey").agg(
-        F.round(F.sum("s_acctbal"), 2).alias("supplier_balance")
+        ex.dsum("s_acctbal").alias("supplier_balance")
     )
     return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
         F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
@@ -307,7 +316,9 @@ def customer_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_nationkey",
         "c_custkey",
-        F.round(F.sum("c_acctbal").over(w), 2).alias("running_balance"),
+        F.round(F.sum(ex.dec("c_acctbal")).over(w).cast("double"), 2).alias(
+            "running_balance"
+        ),
     )
 
 
@@ -359,28 +370,30 @@ def customer_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
-    "pricing_summary": """
+    # every multi-row SUM/AVG over doubles mirrors functions/exact.py:
+    # DECIMAL(25,10) accumulation, cast back to double, then ROUND.
+    "pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               ROUND(AVG(l_quantity), 6) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 6) AS avg_price,
-               ROUND(AVG(l_discount), 6) AS avg_disc,
+               {ex.dsum_sql("l_quantity")} AS sum_qty,
+               {ex.dsum_sql("l_extendedprice")} AS sum_base_price,
+               {ex.dsum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+               {ex.dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+               {ex.davg_sql("l_quantity")} AS avg_qty,
+               {ex.davg_sql("l_extendedprice")} AS avg_price,
+               {ex.davg_sql("l_discount")} AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "year_trend": """
+    "year_trend": f"""
         SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
                COUNT(*) AS n_orders,
-               ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price,
-               ROUND(AVG(o_totalprice), 6) AS avg_price
+               {ex.dsum_sql("o_totalprice")} AS total_price,
+               {ex.davg_sql("o_totalprice")} AS avg_price
         FROM orders GROUP BY 1
     """,
-    "price_histogram": """
+    "price_histogram": f"""
         WITH dim(bucket_id, price_range) AS (
             VALUES (0, '0-50k'), (1, '50k-150k'), (2, '150k-300k'),
                    (3, '300k-450k'), (4, '450k+')
@@ -396,7 +409,7 @@ ORACLE: dict[str, str] = {
             FROM orders
         ), agg AS (
             SELECT bucket_id, COUNT(*) AS n_orders,
-                   ROUND(AVG(o_totalprice), 6) AS avg_price
+                   {ex.davg_sql("o_totalprice")} AS avg_price
             FROM facts GROUP BY bucket_id
         )
         SELECT dim.bucket_id, dim.price_range,
@@ -404,21 +417,23 @@ ORACLE: dict[str, str] = {
                COALESCE(agg.avg_price, 0.0) AS avg_price
         FROM dim LEFT JOIN agg ON dim.bucket_id = agg.bucket_id
     """,
-    "segment_share": """
+    "segment_share": f"""
         WITH per_seg AS (
-            SELECT c_mktsegment, SUM(o_totalprice) AS revenue
+            SELECT c_mktsegment,
+                   SUM(CAST(o_totalprice AS {ex.SQL_DEC})) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         )
         SELECT c_mktsegment,
                ROUND(CAST(revenue AS DOUBLE), 2) AS revenue,
-               ROUND(CAST(revenue / SUM(revenue) OVER () AS DOUBLE), 6) AS share
+               ROUND(CAST(revenue AS DOUBLE)
+                     / CAST(SUM(revenue) OVER () AS DOUBLE), 6) AS share
         FROM per_seg
     """,
-    "rollup_order_counts": """
+    "rollup_order_counts": f"""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price
+               {ex.dsum_sql("o_totalprice")} AS total_price
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -437,9 +452,9 @@ ORACLE: dict[str, str] = {
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """,
-    "revenue_by_nation": """
+    "revenue_by_nation": f"""
         SELECT n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               {ex.dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
                COUNT(*) AS n_items
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -468,13 +483,13 @@ ORACLE: dict[str, str] = {
         )
         GROUP BY c_nationkey
     """,
-    "supplier_customer_balance": """
+    "supplier_customer_balance": f"""
         WITH c AS (
-            SELECT c_nationkey, ROUND(CAST(SUM(c_acctbal) AS DOUBLE), 2)
+            SELECT c_nationkey, {ex.dsum_sql("c_acctbal")}
                    AS customer_balance
             FROM customer GROUP BY c_nationkey
         ), s AS (
-            SELECT s_nationkey, ROUND(CAST(SUM(s_acctbal) AS DOUBLE), 2)
+            SELECT s_nationkey, {ex.dsum_sql("s_acctbal")}
                    AS supplier_balance
             FROM supplier GROUP BY s_nationkey
         )
@@ -495,9 +510,9 @@ ORACLE: dict[str, str] = {
             FROM part
         ) WHERE brand_rank <= 3
     """,
-    "customer_running_balance": """
+    "customer_running_balance": f"""
         SELECT c_nationkey, c_custkey,
-               ROUND(CAST(SUM(c_acctbal) OVER (
+               ROUND(CAST(SUM(CAST(c_acctbal AS {ex.SQL_DEC})) OVER (
                    PARTITION BY c_nationkey ORDER BY c_custkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS DOUBLE), 2) AS running_balance

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import exact as ex
 
 
 def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,7 +30,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part_avg, li.l_partkey == part_avg.pk)
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            ex.dsum("l_extendedprice").alias("small_qty_revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -188,7 +189,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ex.dsum("o_totalprice").alias("total_price"),
     )
 
 
@@ -208,12 +209,12 @@ def approx_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
-    "small_quantity_revenue": """
+    "small_quantity_revenue": f"""
         WITH part_avg AS (
             SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
             FROM lineitem GROUP BY l_partkey
         )
-        SELECT ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2)
+        SELECT {ex.dsum_sql("l_extendedprice")}
                    AS small_qty_revenue,
                COUNT(*) AS n_items
         FROM lineitem JOIN part_avg ON l_partkey = pk
@@ -270,10 +271,10 @@ ORACLE["salted_type_totals"] = """
            COUNT(*) AS n
     FROM events GROUP BY event_type
 """
-ORACLE["cube_order_stats"] = """
+ORACLE["cube_order_stats"] = f"""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price
+           {ex.dsum_sql("o_totalprice")} AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """

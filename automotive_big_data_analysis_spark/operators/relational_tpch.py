@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import exact as ex
 
 LARGE_ORDER_QTY = 150  # Q18-style HAVING threshold
 SHARE_NATION = "NATION_7"  # Q8-style market-share subject nation
@@ -48,9 +49,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(building_orders, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            ex.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
@@ -82,11 +83,17 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("order_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == target, F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(
+                    ex.dec(
+                        F.when(
+                            F.col("supp_nation") == target, F.col("volume")
+                        ).otherwise(0.0)
+                    )
+                ).cast("double")
+                / F.sum(ex.dec("volume")).cast("double"),
                 6,
             ).alias("mkt_share"),
-            F.round(F.sum("volume"), 2).alias("total_volume"),
+            ex.dsum("volume").alias("total_volume"),
         )
         .orderBy("order_year")
     )
@@ -172,13 +179,19 @@ def daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(ex.dsum("o_totalprice").alias("revenue"))
     w = Window.orderBy("day").rowsBetween(-MOVING_AVG_DAYS, 0)
     w_lag = Window.orderBy("day")
     return daily.select(
         F.col("day").cast("string").alias("day"),
         "revenue",
-        F.round(F.avg("revenue").over(w), 2).alias("ma7"),
+        # frame AVG via exact SUM / COUNT: engines associate frame
+        # summation differently (incremental vs segment tree)
+        F.round(
+            F.sum(ex.dec("revenue")).over(w).cast("double")
+            / F.count("revenue").over(w),
+            2,
+        ).alias("ma7"),
         F.round(
             F.col("revenue") - F.lag("revenue", 1).over(w_lag), 2
         ).alias("dod_delta"),
@@ -203,16 +216,16 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            ex.davg("o_totalprice", 2).alias("avg_price"),
         )
         .orderBy("decile")
     )
 
 
 ORACLE: dict[str, str] = {
-    "shipping_priority": """
+    "shipping_priority": f"""
         SELECT l_orderkey AS o_orderkey, o_orderdate, o_orderpriority,
-               ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+               {ex.dsum_sql("l_extendedprice * (1 - l_discount)")}
                    AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -231,11 +244,12 @@ ORACLE: dict[str, str] = {
         )
         SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
                ROUND(
-                   SUM(CASE WHEN supp_nation = '{SHARE_NATION}'
+                   CAST(SUM(CAST(CASE WHEN supp_nation = '{SHARE_NATION}'
                             THEN l_extendedprice * (1 - l_discount)
-                            ELSE 0.0 END)
-                   / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
-               ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+                            ELSE 0.0 END AS {ex.SQL_DEC})) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS {ex.SQL_DEC})) AS DOUBLE), 6) AS mkt_share,
+               {ex.dsum_sql("l_extendedprice * (1 - l_discount)")}
                    AS total_volume
         FROM lineitem
         JOIN sn ON l_suppkey = s_suppkey
@@ -272,11 +286,14 @@ ORACLE: dict[str, str] = {
     "daily_revenue_moving_avg": f"""
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,
-                   ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue
+                   {ex.dsum_sql("o_totalprice")} AS revenue
             FROM orders GROUP BY 1
         )
         SELECT CAST(day AS VARCHAR) AS day, revenue,
-               ROUND(AVG(revenue) OVER (
+               ROUND(CAST(SUM(CAST(revenue AS {ex.SQL_DEC})) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN {MOVING_AVG_DAYS} PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / COUNT(revenue) OVER (
                    ORDER BY day
                    ROWS BETWEEN {MOVING_AVG_DAYS} PRECEDING AND CURRENT ROW
                ), 2) AS ma7,
@@ -284,7 +301,7 @@ ORACLE: dict[str, str] = {
                    AS dod_delta
         FROM daily ORDER BY day
     """,
-    "order_value_deciles": """
+    "order_value_deciles": f"""
         WITH d AS (
             SELECT o_totalprice,
                    NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
@@ -293,7 +310,7 @@ ORACLE: dict[str, str] = {
         SELECT decile, COUNT(*) AS n_orders,
                ROUND(MIN(o_totalprice), 2) AS min_price,
                ROUND(MAX(o_totalprice), 2) AS max_price,
-               ROUND(AVG(o_totalprice), 2) AS avg_price
+               {ex.davg_sql("o_totalprice", 2)} AS avg_price
         FROM d GROUP BY decile ORDER BY decile
     """,
 }

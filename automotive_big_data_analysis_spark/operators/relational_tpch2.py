@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import exact as ex
 
 VOLUME_REGION = "ASIA"  # Q5-style region filter
 VOLUME_YEAR = 1996
@@ -64,9 +65,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(local_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            ex.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
@@ -78,7 +79,11 @@ def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-joined (broadcast) into the per-part aggregate — the facts are
     scanned once and shuffled once on l_partkey; no driver round trip."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # exact decimal sums: the share filter compares two float aggregates,
+    # so both must be order-independent or row membership itself flips
+    rev = F.sum(ex.dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast(
+        "double"
+    )
     per_part = li.groupBy("l_partkey").agg(rev.alias("part_revenue"))
     total = li.agg(rev.alias("total_revenue"))
     return (
@@ -140,11 +145,13 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-                / F.sum(vol),
+                * F.sum(
+                    ex.dec(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                ).cast("double")
+                / F.sum(ex.dec(vol)).cast("double"),
                 6,
             ).alias("promo_pct"),
-            F.round(F.sum(vol), 2).alias("total_revenue"),
+            ex.dsum(vol).alias("total_revenue"),
         )
         .orderBy("order_month")
     )
@@ -155,26 +162,26 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-supplier revenue aggregates once; the max is a one-row broadcast
     joined back on equality — the classic 'WHERE total = (SELECT MAX …)'
-    decorrelated to two passes over the SMALL aggregate, one over facts."""
+    decorrelated to two passes over the SMALL aggregate, one over facts.
+    The max-filtered rows (bounded by the tie count — a handful at ANY
+    scale) then broadcast into supplier, so the supplier table never
+    shuffles; broadcasting supplier itself would be a fact-scale hint."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit(TOP_SUPPLIER_QUARTER_START).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(TOP_SUPPLIER_QUARTER_END).cast("timestamp"))
     )
     supp = load_table(spark, sf_dir, "supplier")
-    revenue = (
-        li.groupBy("l_suppkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
+    revenue = li.groupBy("l_suppkey").agg(
+        ex.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
         )
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    top = revenue.join(
+        F.broadcast(max_rev), revenue.total_revenue == F.col("max_revenue")
+    ).select("l_suppkey", "total_revenue")
     return (
-        revenue.join(
-            F.broadcast(max_rev), revenue.total_revenue == F.col("max_revenue")
-        )
-        .join(supp, revenue.l_suppkey == supp.s_suppkey)
+        supp.join(F.broadcast(top), supp.s_suppkey == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -210,9 +217,9 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p_brand")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            ex.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
             F.count("*").alias("n_lines"),
         )
         .orderBy("p_brand")
@@ -222,7 +229,7 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE: dict[str, str] = {
     "local_supplier_volume": f"""
         SELECT n_name,
-               ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+               {ex.dsum_sql("l_extendedprice * (1 - l_discount)")}
                    AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -238,15 +245,17 @@ ORACLE: dict[str, str] = {
     "important_parts_share": f"""
         WITH per_part AS (
             SELECT l_partkey,
-                   SUM(l_extendedprice * (1 - l_discount)) AS part_revenue
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS {ex.SQL_DEC})) AS DOUBLE) AS part_revenue
             FROM lineitem GROUP BY l_partkey
         ), total AS (
-            SELECT SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+            SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS {ex.SQL_DEC})) AS DOUBLE) AS total_revenue
             FROM lineitem
         )
         SELECT l_partkey,
-               ROUND(CAST(part_revenue AS DOUBLE), 2) AS part_revenue,
-               ROUND(CAST(part_revenue / total_revenue AS DOUBLE), 8)
+               ROUND(part_revenue, 2) AS part_revenue,
+               ROUND(part_revenue / total_revenue, 8)
                    AS revenue_share
         FROM per_part, total
         WHERE part_revenue > total_revenue * {SHARE_THRESHOLD}
@@ -264,14 +273,15 @@ ORACLE: dict[str, str] = {
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC
     """,
-    "promo_revenue_ratio": """
+    "promo_revenue_ratio": f"""
         SELECT STRFTIME(o_orderdate, '%Y-%m') AS order_month,
                ROUND(100.0
-                   * SUM(CASE WHEN p_type = 'PROMO'
+                   * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-                   / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
-               ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+                              ELSE 0.0 END AS {ex.SQL_DEC})) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS {ex.SQL_DEC})) AS DOUBLE), 6) AS promo_pct,
+               {ex.dsum_sql("l_extendedprice * (1 - l_discount)")}
                    AS total_revenue
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -282,7 +292,7 @@ ORACLE: dict[str, str] = {
     "top_revenue_suppliers": f"""
         WITH revenue AS (
             SELECT l_suppkey,
-                   ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+                   {ex.dsum_sql("l_extendedprice * (1 - l_discount)")}
                        AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_QUARTER_START} 00:00:00'
@@ -294,9 +304,9 @@ ORACLE: dict[str, str] = {
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         ORDER BY s_suppkey
     """,
-    "disjunctive_part_revenue": """
+    "disjunctive_part_revenue": f"""
         SELECT p_brand,
-               ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+               {ex.dsum_sql("l_extendedprice * (1 - l_discount)")}
                    AS revenue,
                COUNT(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import exact as ex
 
 TRADE_NATION_A = "NATION_3"  # Q7-style nation pair
 TRADE_NATION_B = "NATION_8"
@@ -63,9 +64,9 @@ def cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("ship_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("volume")
+            ex.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            )
         )
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
@@ -93,9 +94,9 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_custkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            ex.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
     )
     return (
@@ -147,8 +148,12 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     and partition-prunable at scale)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # exact average: the result gates a > comparison on every customer,
+    # so an order-dependent double sum could flip boundary memberships
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (F.sum(ex.dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias(
+            "avg_bal"
+        )
     )
     with_orders = (
         orders.where(F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp"))
@@ -164,7 +169,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            ex.dsum("c_acctbal").alias("total_balance"),
         )
         .orderBy("c_mktsegment")
     )
@@ -174,7 +179,7 @@ ORACLE: dict[str, str] = {
     "cross_nation_volume": f"""
         SELECT sn.supp_nation, cn.cust_nation,
                CAST(YEAR(o_orderdate) AS INTEGER) AS ship_year,
-               ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+               {ex.dsum_sql("l_extendedprice * (1 - l_discount)")}
                    AS volume
         FROM lineitem
         JOIN (SELECT s_suppkey, n_name AS supp_nation
@@ -192,7 +197,7 @@ ORACLE: dict[str, str] = {
     "returned_item_revenue": f"""
         WITH per_cust AS (
             SELECT o_custkey,
-                   ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+                   {ex.dsum_sql("l_extendedprice * (1 - l_discount)")}
                        AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -224,10 +229,11 @@ ORACLE: dict[str, str] = {
     """,
     "idle_rich_customers": f"""
         SELECT c_mktsegment, COUNT(*) AS n_customers,
-               ROUND(CAST(SUM(c_acctbal) AS DOUBLE), 2) AS total_balance
+               {ex.dsum_sql("c_acctbal")} AS total_balance
         FROM customer
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
-                           WHERE c_acctbal > 0)
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS {ex.SQL_DEC}))
+                                       AS DOUBLE) / COUNT(c_acctbal)
+                           FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                           AND o_orderdate >= TIMESTAMP '{IDLE_CUTOFF} 00:00:00')
         GROUP BY c_mktsegment

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import exact as ex
 
 SAMPLE_BUCKETS = 1000
 
@@ -58,10 +59,10 @@ def lineitem_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("s").cast("long").alias("n_sampled"),
             F.count("*").alias("n_total"),
+            # quantities are integral doubles (exact under 2^53) — plain
+            # sum; prices are fractional — exact decimal accumulation
             F.round(F.sum(F.col("s") * F.col("l_quantity")), 2).alias("sample_qty"),
-            F.round(F.sum(F.col("s") * F.col("l_extendedprice")), 2).alias(
-                "sample_revenue"
-            ),
+            ex.dsum(F.col("s") * F.col("l_extendedprice")).alias("sample_revenue"),
         )
         .orderBy("l_returnflag")
     )
@@ -104,7 +105,7 @@ def orders_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            ex.dsum("o_totalprice").alias("revenue"),
         )
         .orderBy("split")
     )
@@ -118,7 +119,7 @@ ORACLE: dict[str, str] = {
                CAST(SUM(s) AS BIGINT) AS n_sampled,
                COUNT(*) AS n_total,
                ROUND(SUM(s * l_quantity), 2) AS sample_qty,
-               ROUND(SUM(s * l_extendedprice), 2) AS sample_revenue
+               {ex.dsum_sql("s * l_extendedprice")} AS sample_revenue
         FROM (
             SELECT l_returnflag, l_quantity, l_extendedprice,
                    CASE WHEN {_bucket_sql(_LI_KEY)} < 50 THEN 1 ELSE 0 END AS s
@@ -140,7 +141,7 @@ ORACLE: dict[str, str] = {
                     WHEN b < 900 THEN 'val'
                     ELSE 'test' END AS split,
                COUNT(*) AS n_orders,
-               ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue
+               {ex.dsum_sql("o_totalprice")} AS revenue
         FROM (
             SELECT o_totalprice,
                    {_bucket_sql("CAST(o_orderkey AS VARCHAR)")} AS b

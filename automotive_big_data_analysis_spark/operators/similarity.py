@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table, spread
+from automotive_big_data_analysis_spark.functions import exact as ex
 from automotive_big_data_analysis_spark.functions import vectors as V
 
 N_QUERIES = 10  # vec_id < 10 are the demo query set
@@ -241,7 +242,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", F.posexplode("v").alias("dim", "x"))
         .groupBy("label", "dim")
-        .agg(F.round(F.avg("x"), 6).alias("centroid"), F.count("*").alias("n_vectors"))
+        .agg(ex.davg("x").alias("centroid"), F.count("*").alias("n_vectors"))
     )
 
 
@@ -253,7 +254,7 @@ def norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vectors"),
-            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            ex.davg("nrm").alias("avg_norm"),
             F.round(F.min("nrm"), 6).alias("min_norm"),
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
@@ -349,7 +350,7 @@ ORACLE: dict[str, str] = {
             FROM e CROSS JOIN (SELECT UNNEST(range(0, {V.DIM})) AS d) AS d
         )
         SELECT label, CAST(dim AS INTEGER) AS dim,
-               ROUND(AVG(x), 6) AS centroid, COUNT(*) AS n_vectors
+               {ex.davg_sql("x")} AS centroid, COUNT(*) AS n_vectors
         FROM x GROUP BY label, dim
     """,
     "embedding_norm_stats": f"""
@@ -358,7 +359,7 @@ ORACLE: dict[str, str] = {
             FROM embeddings
         )
         SELECT label, COUNT(*) AS n_vectors,
-               ROUND(AVG(nrm), 6) AS avg_norm,
+               {ex.davg_sql("nrm")} AS avg_norm,
                ROUND(MIN(nrm), 6) AS min_norm,
                ROUND(MAX(nrm), 6) AS max_norm
         FROM e GROUP BY label

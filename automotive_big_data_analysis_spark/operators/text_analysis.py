@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table, spread
+from automotive_big_data_analysis_spark.functions import exact as ex
 from automotive_big_data_analysis_spark.functions import text as tx
 
 _STOP_EN_SQL = ", ".join(f"'{w}'" for w in tx.STOPWORDS_EN)
@@ -102,7 +103,9 @@ def wordpiece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_wp").cast("long").alias("total_wordpieces"),
             F.round(F.avg("n_wp"), 6).alias("avg_wordpieces"),
-            F.round(F.avg("r"), 6).alias("avg_fanout"),
+            # r is a fractional per-row double — exact decimal accumulation
+            # (integer-count avgs above stay plain: doubles sum ints exactly)
+            ex.davg("r").alias("avg_fanout"),
         )
     )
 
@@ -202,9 +205,7 @@ ORACLE: dict[str, str] = {
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_wp) AS BIGINT) AS total_wordpieces,
                ROUND(AVG(n_wp), 6) AS avg_wordpieces,
-               ROUND(AVG(CASE WHEN n_ws > 0
-                              THEN CAST(n_wp AS DOUBLE) / n_ws
-                              ELSE 0.0 END), 6) AS avg_fanout
+               {ex.davg_sql("CASE WHEN n_ws > 0 THEN CAST(n_wp AS DOUBLE) / n_ws ELSE 0.0 END")} AS avg_fanout
         FROM t GROUP BY lang
     """,
     "text_fingerprint_stats": """

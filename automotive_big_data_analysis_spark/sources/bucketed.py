@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import exact as ex
 
 N_BUCKETS = 8
 DEFAULT_DB = "bucketed"
@@ -98,9 +99,9 @@ def bucketed_join_revenue(
         li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            ex.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
             F.count("*").alias("n_lines"),
         )
         .orderBy("o_orderpriority")
@@ -118,9 +119,9 @@ def bucketed_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
-    "bucketed_join_revenue": """
+    "bucketed_join_revenue": f"""
         SELECT o_orderpriority,
-               ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+               {ex.dsum_sql("l_extendedprice * (1 - l_discount)")}
                    AS revenue,
                COUNT(*) AS n_lines
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey

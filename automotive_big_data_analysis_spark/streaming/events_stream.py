@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from automotive_big_data_analysis_spark.functions import exact as ex
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -69,7 +71,7 @@ def hourly_rollup_stream(
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            ex.dsum("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -88,7 +90,7 @@ def session_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Dat
         .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            ex.dsum("value").alias("session_value"),
         )
         .select(
             "user_id",

@@ -89,5 +89,18 @@ def test_generate_random_bounds_and_payload(spark):
         api.generate_random(spark, 10_001)
     out = api.generate_random(spark, 25)
     assert out["status"] == "success"
-    assert "25" in out["message"]
+    assert out["message"] == "成功生成 25 条随机数据"  # no insert performed
     assert out["data"].count() == 25
+
+
+def test_generate_random_inserts_when_given_a_table(spark, tmp_path):
+    """With table_path the facade matches the reference contract: the
+    handler inserts what it generates (backend/app.py:267-271) and the
+    message says 生成并插入."""
+    from automotive_big_data_analysis_spark.sources import tables
+
+    path = str(tmp_path / "car_table")
+    tables.create_car_table(spark, path)
+    out = api.generate_random(spark, 7, table_path=path)
+    assert out["message"] == "成功生成并插入 7 条随机数据"
+    assert tables.read_car_table(spark, path).count() == 7
