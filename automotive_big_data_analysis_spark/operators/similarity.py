@@ -112,20 +112,32 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = emb.where(F.col("vec_id") % IVF_SEED_MOD == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
     )
-    scored_cells = emb.join(F.broadcast(seeds)).select(
+    # slim assignment: the ranking window shuffles (id, cell, score)
+    # triples only — the 64-dim vectors never ride the |corpus|×|cells|
+    # shuffle (they rejoin by id below). The top-NPROBE rows materialize
+    # ONCE (localCheckpoint) for their two consumers — assignment and the
+    # probe list — instead of recomputing the full scoring subtree twice.
+    cell_rank = emb.join(F.broadcast(seeds)).select(
         "vec_id",
-        "v",
         "cell_id",
         F.round(V.cosine(F.col("v"), F.col("cv")), 6).alias("cell_cos"),
     )
     w_cell = Window.partitionBy("vec_id").orderBy(
         F.col("cell_cos").desc(), F.col("cell_id")
     )
-    ranked_cells = scored_cells.withColumn("r", F.row_number().over(w_cell))
-    assign = ranked_cells.where(F.col("r") == 1).select("vec_id", "v", "cell_id")
-    probes = (
-        ranked_cells.where((F.col("vec_id") < N_QUERIES) & (F.col("r") <= NPROBE))
-        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    ranked_cells = (
+        cell_rank.withColumn("r", F.row_number().over(w_cell))
+        .where(F.col("r") <= NPROBE)
+        .select("vec_id", "cell_id", "r")
+        .localCheckpoint()
+    )
+    assign = (
+        ranked_cells.where(F.col("r") == 1)
+        .join(emb, "vec_id")
+        .select("vec_id", "v", "cell_id")
+    )
+    probes = ranked_cells.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cell_id"
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
