@@ -82,6 +82,47 @@ def test_minhash_lsh_is_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_top_revenue_suppliers_broadcasts_bounded_side(spark):
+    """Q15: the tie-bounded max-revenue rows broadcast INTO supplier —
+    the supplier table itself must never hash-shuffle (at 100 TB it is
+    fact-scale; only the handful of max rows is provably small)."""
+    from automotive_big_data_analysis_spark.operators import relational_tpch2 as t2
+
+    df = t2.top_revenue_suppliers(spark, SF)
+    plan = px.physical_plan(df)
+    assert px.broadcast_join_count(df) >= 2  # one-row max + bounded top
+    assert "Exchange hashpartitioning(s_suppkey" not in plan
+
+
+def test_sessionize_single_shuffle_and_pruned_payload(spark):
+    """Gap sessionization is ONE shuffle on user_id (the groupBy keys
+    (user_id, session_seq) are satisfied by the window's partitioning)
+    and the sort never carries the props JSON payload."""
+    from automotive_big_data_analysis_spark.operators import events
+
+    df = events.sessionize(spark, SF)
+    assert px.shuffle_count(df) == 1
+    assert "props" not in " ".join(px.read_schemas(df))
+
+
+def test_session_window_reads_two_columns(spark):
+    from automotive_big_data_analysis_spark.operators import events
+
+    df = events.session_window_stats(spark, SF)
+    schemas = " ".join(px.read_schemas(df))
+    assert "props" not in schemas and "value" not in schemas
+    assert "ts" in schemas and "user_id" in schemas
+
+
+def test_props_value_per_type_reads_two_columns(spark):
+    from automotive_big_data_analysis_spark.operators import events
+
+    df = events.props_value_per_type(spark, SF)
+    schemas = " ".join(px.read_schemas(df))
+    assert "props" in schemas and "event_type" in schemas
+    assert "user_id" not in schemas and "value" not in schemas
+
+
 def test_price_histogram_partial_aggregation(spark):
     df = relational.price_histogram(spark, SF)
     assert px.has_partial_aggregation(df)
