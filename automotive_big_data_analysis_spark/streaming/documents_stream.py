@@ -1,0 +1,115 @@
+"""Streaming corpus curation (extension — the reference has no streaming
+surface, SURVEY §2.9; this is the streaming face of ``operators/
+pipeline.py``).
+
+A training-data pipeline rarely gets its corpus as one batch: crawls and
+uploads arrive continuously, and the cheap early stages — cleaning,
+quality gating, exact dedup — belong on the stream so the expensive batch
+stages (near-dup clustering, global sampling) run over an already-shrunk
+corpus. The stages compose the SAME column expressions as the batch
+pipeline (``functions/text.py``), so batch and stream agree row-for-row;
+only dedup semantics differ by necessity (streaming dedup is
+first-arrival-wins within the watermark horizon, batch is min-doc_id —
+identical corpora keep identical survivor COUNTS, the kept ids may
+differ, which is exactly the trade stated on ``dropDuplicates``' tin).
+
+Scale: cleaning/quality are stateless per-row projections (no state, no
+shuffle beyond the source); ``dropDuplicatesWithinWatermark`` keys state
+by content hash and EVICTS entries older than the watermark — without the
+watermark bound, streaming exact-dedup state would grow with the corpus
+forever. Near-dup removal stays batch-side by design: MinHash banding
+needs corpus-wide buckets, the standard split between streaming ingest
+and periodic batch compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from automotive_big_data_analysis_spark.functions import text as tx
+
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ingest_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+DEFAULT_WATERMARK = "1 hour"
+QUALITY_MIN = 0.4
+
+
+def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source document stream (schema declared — streaming sources
+    never infer). Same single-file/directory handling as the events
+    reader."""
+    import os
+
+    reader = spark.readStream.option("maxFilesPerTrigger", 8)
+    src = path
+    if os.path.isfile(path):
+        src = os.path.dirname(path)
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+    return reader.schema(DOCUMENT_SCHEMA).parquet(src)
+
+
+def clean_quality_stream(
+    docs: DataFrame, quality_min: float = QUALITY_MIN
+) -> DataFrame:
+    """Stateless clean + quality gate: strip markup, redact PII, collapse
+    whitespace, score, and drop below-threshold docs. Identical column
+    expressions to the batch pipeline — pure projections, zero state."""
+    return (
+        docs.withColumn("clean_text", tx.clean_text("text"))
+        .withColumn("quality", tx.quality_score("clean_text"))
+        .where(F.col("quality") >= quality_min)
+        .select("doc_id", "ingest_ts", "lang", "source", "clean_text", "quality")
+    )
+
+
+def curated_stream(
+    docs: DataFrame,
+    quality_min: float = QUALITY_MIN,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Clean → quality gate → streaming exact dedup on the cleaned text's
+    md5. ``dropDuplicatesWithinWatermark`` keeps the first arrival per
+    content hash and evicts state older than the watermark — bounded
+    state, the streaming analog of the batch pipeline's keep-first
+    exact-dedup stage."""
+    gated = clean_quality_stream(docs, quality_min).withColumn(
+        "content_hash", F.md5("clean_text")
+    )
+    return gated.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
+def curation_counters_stream(
+    docs: DataFrame,
+    quality_min: float = QUALITY_MIN,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Per-lang survivor accounting over the curated stream (windowed by
+    ingest hour so the aggregation state finalizes and evicts with the
+    watermark — an unwindowed running count would hold every lang×total
+    row open forever in append mode)."""
+    kept = curated_stream(docs, quality_min, watermark)
+    return (
+        kept.groupBy(F.window("ingest_ts", "1 hour").alias("w"), "lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.avg("quality").alias("avg_quality"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "lang",
+            "n_kept",
+            F.round("avg_quality", 6).alias("avg_quality"),
+        )
+    )

@@ -154,3 +154,79 @@ def test_stream_stream_join_matches_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got_pairs == batch_pairs
+
+
+# --- streaming curation (documents) -----------------------------------------
+
+from automotive_big_data_analysis_spark.streaming import documents_stream as ds
+
+GOOD = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+@pytest.fixture(scope="module")
+def doc_stream_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("doc_stream"))
+    rows = [
+        # hour 0: a good doc, its tag-wrapped duplicate, and a lowq doc
+        (0, T0, GOOD, "en", "srcA"),
+        (1, T0 + timedelta(minutes=5), f"<p>{GOOD}</p>", "en", "srcA"),
+        (2, T0 + timedelta(minutes=10), "spam spam", "en", "srcB"),
+        # hour 1: a distinct good doc and ANOTHER duplicate of doc 0
+        (3, T0 + timedelta(hours=1), GOOD.replace("theta", "other"), "de", "srcB"),
+        (4, T0 + timedelta(hours=1, minutes=5), GOOD, "en", "srcC"),
+        # far-future padding so the watermark closes all real windows
+        (5, T0 + timedelta(hours=12), GOOD.replace("alpha", "omega"), "en", "srcC"),
+    ]
+    df = spark.createDataFrame(rows, schema=ds.DOCUMENT_SCHEMA)
+    df.repartition(3).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_streaming_curation_dedups_and_gates(spark, doc_stream_dir):
+    """Clean+quality+exact-dedup on the stream: the lowq doc is gated, the
+    tag-wrapped and late duplicates are dropped (first arrival wins), and
+    cleaning strips the markup before hashing — survivor counts equal the
+    batch pipeline's distinct-clean-text count among quality passers."""
+    stream = ds.read_document_stream(spark, f"{doc_stream_dir}/documents.parquet")
+    got = st.run_to_memory(
+        ds.curated_stream(stream), "curated_out", output_mode="append"
+    )
+    kept = got.collect()
+    hashes = [r.content_hash for r in kept]
+    assert len(hashes) == len(set(hashes))  # no duplicate content survived
+    # batch expectation on the same data, same expressions
+    from automotive_big_data_analysis_spark.functions import text as tx
+
+    static = spark.read.schema(ds.DOCUMENT_SCHEMA).parquet(
+        f"{doc_stream_dir}/documents.parquet"
+    )
+    batch = (
+        static.withColumn("clean_text", tx.clean_text("text"))
+        .withColumn("quality", tx.quality_score("clean_text"))
+        .where(F.col("quality") >= ds.QUALITY_MIN)
+        .select(F.md5("clean_text").alias("h"))
+        .distinct()
+    )
+    assert len(kept) == batch.count()
+    # the lowq doc is gone; exactly one survivor carries GOOD's content
+    assert 2 not in {r.doc_id for r in kept}
+    good_hash_rows = [r for r in kept if r.clean_text == GOOD]
+    assert len(good_hash_rows) == 1
+
+
+def test_streaming_curation_counters_match_batch(spark, doc_stream_dir):
+    """Windowed per-lang survivor counters agree with the batch
+    aggregation over the curated survivors (append mode emits only
+    watermark-closed windows; every emitted row must match batch)."""
+    stream = ds.read_document_stream(spark, f"{doc_stream_dir}/documents.parquet")
+    got = st.run_to_memory(
+        ds.curation_counters_stream(stream), "cur_count_out", output_mode="append"
+    )
+    got_set = {(r.window_start, r.lang, r.n_kept) for r in got.collect()}
+    # survivors of hour 0: doc 0 (en); hour 1: docs 3 (de) — doc 4 deduped
+    assert (T0, "en", 1) in got_set
+    assert (T0 + timedelta(hours=1), "de", 1) in got_set
+    assert all(n == 1 for _, _, n in got_set)
