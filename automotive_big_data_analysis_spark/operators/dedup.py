@@ -227,10 +227,26 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+        # materialize once: the banded self-join is the expensive subtree
+        # and FOUR consumers reference it (the pair list, plus the pruned
+        # shingle table's three uses below) — without the checkpoint each
+        # consumer would recompute the whole bucket join
+        .localCheckpoint()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # semi-join pushdown: verification touches only candidate docs'
+    # shingles — prune the shingle table BEFORE the pair joins so the
+    # wide (doc, shingle-string) shuffles carry collision-bounded rows,
+    # not the whole corpus (per-doc shingle counts are unchanged by the
+    # semi-join, so sizes computed from the pruned table are exact)
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a_sh = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         candidates.join(a_sh, "doc_a")
         .join(b_sh, ["doc_b", "shingle"])
@@ -374,60 +390,50 @@ def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     nibble the per-bit majority over the document's distinct tokens' md5
     nibbles; docs sharing a signature form a group.
 
-    Pipeline: (doc, token) distinct → (doc, pos, nibble) via posexplode →
-    4 bit-majority sums per (doc, pos) → recombine nibble → per-doc ordered
-    string_agg → groupBy signature. All hash-partitioned aggregations."""
+    Pipeline: (doc, token-hash) distinct → 16 nibble columns per row →
+    ONE groupBy(doc) computing all 64 bit-sums + the token count as
+    aggregate expressions → signature assembled in a single projection →
+    groupBy signature. Flat aggregate expressions beat the explode
+    formulation (16 rows per hash + a second groupBy) ~2×: the shuffle
+    carries one 65-column partial row per (partition, doc) instead of 16
+    exploded rows per token, and there's one aggregation, not two."""
     docs = load_table(spark, sf_dir, "documents")
     tok = spread(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(tx.tokens("text"))).alias("t")
     ).select("doc_id", F.md5("t").alias("h"))
-    pos = tok.select(
+    nibs = tok.select(
         "doc_id",
-        F.posexplode(F.split(F.substring("h", 1, 16), "(?!^)")).alias("p", "c"),
-    ).where(
-        # Spark's split keeps the trailing empty match → a 17th "" element
-        F.col("p") < 16
-    ).select(
-        "doc_id",
-        "p",
-        F.conv(F.col("c"), 16, 10).cast("int").alias("nib"),
-    )
-    bits = pos.select(
-        "doc_id",
-        "p",
         *[
-            (F.floor(F.col("nib") / (2**b)) % 2).alias(f"b{b}")
+            F.conv(F.substring("h", p, 1), 16, 10).cast("int").alias(f"n{p}")
+            for p in range(1, 17)
+        ],
+    )
+    maj = nibs.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.floor(F.col(f"n{p}") / (2**b)) % 2).alias(f"s_{p}_{b}")
+            for p in range(1, 17)
             for b in range(4)
         ],
     )
-    maj = (
-        bits.groupBy("doc_id", "p")
-        .agg(
-            F.count("*").alias("n"),
-            *[F.sum(f"b{b}").alias(f"s{b}") for b in range(4)],
+    hexchars = F.array(*[F.lit(ch) for ch in "0123456789abcdef"])
+
+    def _maj_nib(p: int):
+        # per-bit majority with the same tie rule as before: bit set when
+        # ones × 2 >= token count
+        return sum(
+            F.when(F.col(f"s_{p}_{b}") * 2 >= F.col("n"), F.lit(2**b)).otherwise(0)
+            for b in range(4)
         )
-        .select(
-            "doc_id",
-            "p",
-            sum(
-                (F.when(F.col(f"s{b}") * 2 >= F.col("n"), F.lit(2**b)).otherwise(0))
-                for b in range(4)
-            ).alias("maj_nib"),
-        )
-    )
-    sig = maj.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("p"), F.col("maj_nib")))
-                ),
-                lambda s: F.element_at(
-                    F.array(*[F.lit(ch) for ch in "0123456789abcdef"]),
-                    (s["maj_nib"] + 1).cast("int"),
-                ),
-            ),
-        ).alias("signature")
+
+    sig = maj.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.element_at(hexchars, (_maj_nib(p) + 1).cast("int"))
+                for p in range(1, 17)
+            ]
+        ).alias("signature"),
     )
     return (
         sig.groupBy("signature")
