@@ -90,6 +90,37 @@ def curated_stream(
     )
 
 
+def write_curated_stream(
+    docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    quality_min: float = QUALITY_MIN,
+    watermark: str = DEFAULT_WATERMARK,
+):
+    """Continuously write the curated survivors as lang-partitioned
+    parquet — the same layout ``operators/pipeline.curate_documents``
+    writes batch-side, so downstream per-language jobs prune identically
+    whichever path produced the corpus.
+
+    ``foreachBatch`` + ``partitionBy``: the parquet sink proper can't
+    repartition-by-column per micro-batch. Exactly-once caveat: foreachBatch
+    is at-least-once on retry after a sink-side failure; the checkpoint
+    makes re-delivery rare, and re-delivered docs are exact duplicates a
+    downstream exact-dedup pass removes — acceptable for corpus ingest.
+    Returns the started StreamingQuery (caller stops/awaits)."""
+    kept = curated_stream(docs, quality_min, watermark)
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy("lang").parquet(out_dir)
+
+    return (
+        kept.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def curation_counters_stream(
     docs: DataFrame,
     quality_min: float = QUALITY_MIN,

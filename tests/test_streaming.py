@@ -158,6 +158,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path_factory):
 
 # --- streaming curation (documents) -----------------------------------------
 
+from automotive_big_data_analysis_spark.functions import text as tx
 from automotive_big_data_analysis_spark.streaming import documents_stream as ds
 
 GOOD = (
@@ -230,3 +231,36 @@ def test_streaming_curation_counters_match_batch(spark, doc_stream_dir):
     assert (T0, "en", 1) in got_set
     assert (T0 + timedelta(hours=1), "de", 1) in got_set
     assert all(n == 1 for _, _, n in got_set)
+
+
+def test_streaming_curated_partitioned_sink(spark, doc_stream_dir, tmp_path):
+    """foreachBatch sink: the curated stream lands as lang-partitioned
+    parquet with exactly the batch-curated survivor set."""
+    stream = ds.read_document_stream(spark, f"{doc_stream_dir}/documents.parquet")
+    out = str(tmp_path / "curated_out")
+    q = ds.write_curated_stream(
+        stream, out, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out)
+    assert "lang" in written.columns  # partition column round-trips
+    import os
+
+    assert any(d.startswith("lang=") for d in os.listdir(out))
+    hashes = [r.content_hash for r in written.collect()]
+    assert len(hashes) == len(set(hashes))
+    static = spark.read.schema(ds.DOCUMENT_SCHEMA).parquet(
+        f"{doc_stream_dir}/documents.parquet"
+    )
+    batch_n = (
+        static.withColumn("clean_text", tx.clean_text("text"))
+        .withColumn("quality", tx.quality_score("clean_text"))
+        .where(F.col("quality") >= ds.QUALITY_MIN)
+        .select(F.md5("clean_text"))
+        .distinct()
+        .count()
+    )
+    assert written.count() == batch_n
