@@ -192,6 +192,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate generation touches only (doc, band, bucket) tuples —
     shuffles are keyed on the bucket hash, never pairwise. Verification
     joins shingles only for candidate docs (semi-join pushdown)."""
+    cand_key = (spark.sparkContext.applicationId, sf_dir, "minhash_candidates")
+    if cand_key in _SHARED:
+        sh = _shingles_cached(spark, sf_dir)
+        candidates = _SHARED[cand_key]
+        return _verify_candidates(sh, candidates)
     sh = _shingles_cached(spark, sf_dir)
     sig = _minhash_signatures(sh)
     bands = sig.select(
@@ -227,17 +232,27 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
-        # materialize once: the banded self-join is the expensive subtree
-        # and FOUR consumers reference it (the pair list, plus the pruned
-        # shingle table's three uses below) — without the checkpoint each
-        # consumer would recompute the whole bucket join
+        # materialize once, eagerly: the banded self-join is the expensive
+        # subtree and FOUR consumers reference it (the pair list, plus the
+        # pruned shingle table's three uses in _verify_candidates). A lazy
+        # .cache() measured ~2× worse here — concurrent stages race to
+        # compute the uncached InMemoryRelation — while the checkpoint
+        # pays the subtree exactly once. Memoized for reuse across calls;
+        # release()/corpus-change eviction applies.
         .localCheckpoint()
     )
-    # semi-join pushdown: verification touches only candidate docs'
-    # shingles — prune the shingle table BEFORE the pair joins so the
-    # wide (doc, shingle-string) shuffles carry collision-bounded rows,
-    # not the whole corpus (per-doc shingle counts are unchanged by the
-    # semi-join, so sizes computed from the pruned table are exact)
+    _shared_put(cand_key, candidates)
+    return _verify_candidates(sh, candidates)
+
+
+def _verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of an LSH candidate pair list.
+
+    Semi-join pushdown: verification touches only candidate docs'
+    shingles — prune the shingle table BEFORE the pair joins so the wide
+    (doc, shingle-string) shuffles carry collision-bounded rows, not the
+    whole corpus (per-doc shingle counts are unchanged by the semi-join,
+    so sizes computed from the pruned table are exact)."""
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
