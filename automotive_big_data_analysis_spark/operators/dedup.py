@@ -12,6 +12,9 @@ all expressed in built-in JVM expressions (no UDFs):
                  candidate join, exact-Jaccard verification
 * SimHash      — per-bit majority over token md5 nibbles, signature
                  equality groups
+* CDC chunks   — content-defined chunking: a polynomial rolling hash
+                 over characters picks chunk boundaries, chunk-level
+                 md5 dedup finds shared sub-document content
 
 Hashing uses md5 (not Spark's xxhash64) so the DuckDB oracle can run the
 *same* algorithm — both engines order lowercase-hex strings identically,
@@ -25,6 +28,8 @@ output, bounded by shingle document-frequency).
 """
 
 from __future__ import annotations
+
+import functools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -461,6 +466,103 @@ def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Content-defined chunking: boundary after position i when the polynomial
+# rolling hash of the CDC_WINDOW chars ending at i is ≡ 0 mod CDC_MASK —
+# boundaries follow CONTENT, so an insertion early in a document shifts
+# no boundary after the next sync point (fixed-size chunking would shift
+# them all). Expected chunk length ≈ CDC_MASK characters.
+CDC_WINDOW = 8
+CDC_BASE = 31
+CDC_MASK = 64
+
+
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup stats per language via content-defined chunking
+    (the rolling-hash fingerprinting member of the family): documents
+    split at rolling-hash sync points, chunks keyed by md5, per-lang
+    totals / distinct / duplicate-chunk counts and mean chunk length.
+    This is how sub-document duplication (boilerplate headers, quoted
+    passages) is found when whole-document hashes all differ.
+
+    Implementation notes (both engines compute the identical function):
+
+    * the per-position window hash is built as a ``zip_with`` chain over
+      ``CDC_WINDOW`` shifted slices of the per-char code array — each
+      array evaluates ONCE per row; a per-position ``element_at`` lambda
+      formulation re-evaluates the inlined array expression per element
+      (O(n²), measured unusable);
+    * an exchange separates boundary computation from chunk extraction so
+      ``bounds`` is a bound attribute (O(1) lookups), not an inlined
+      expression Catalyst's projection collapse would re-expand;
+    * character codes are UTF-16 units on Spark and codepoints on DuckDB
+      — identical on this corpus (BMP-only, verified) and on any BMP
+      text; hash arithmetic stays exact in longs (max ≈ 1.4e16 < 2⁶³).
+
+    Scale: stateless per-row chunking (the exchange is a narrow
+    round-robin), then one hash aggregation on the 32-byte chunk key."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n = F.length("text")
+    codes = F.transform(
+        F.split(F.col("text"), "(?!^)"), lambda c: F.ascii(c).cast("long")
+    )
+    win_len = n - F.lit(CDC_WINDOW - 1)
+
+    def shifted(j: int):
+        # codes[W-j .. n-j]: element k aligns with the window ending at
+        # position i = W + k - 1, contributing code(i-j) · BASE^j
+        return F.slice(codes, F.lit(CDC_WINDOW - j), win_len)
+
+    hs = functools.reduce(
+        lambda acc, j: F.zip_with(
+            acc, shifted(j), lambda x, y: x + y * F.lit(CDC_BASE**j)
+        ),
+        range(1, CDC_WINDOW),
+        F.transform(shifted(0), lambda x: x),
+    )
+    positions = F.array_compact(
+        F.zip_with(
+            F.sequence(F.lit(CDC_WINDOW), n),
+            hs,
+            lambda p, hv: F.when(F.pmod(hv, F.lit(CDC_MASK)) == 0, p),
+        )
+    )
+    bounds = F.when(
+        n >= CDC_WINDOW, F.concat(F.array(F.lit(0)), positions, F.array(n))
+    ).otherwise(F.array(F.lit(0), n))
+    staged = docs.select("lang", "text", bounds.alias("bounds")).repartition(
+        "text"
+    )
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("bounds") - 1),
+            lambda k: F.substring(
+                F.col("text"),
+                F.element_at(F.col("bounds"), k) + 1,
+                F.element_at(F.col("bounds"), k + F.lit(1))
+                - F.element_at(F.col("bounds"), k),
+            ),
+        ),
+        lambda c: c != "",
+    )
+    return (
+        staged.select("lang", F.explode(chunks).alias("chunk"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct(F.md5("chunk")).alias("n_unique"),
+            (F.count("*") - F.countDistinct(F.md5("chunk")))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.round(F.avg(F.length("chunk")), 6).alias("avg_chunk_len"),
+        )
+    )
+
+
+_CDC_WSUM = " + ".join(
+    f"CAST(unicode(text[i-{j}]) AS BIGINT) * {CDC_BASE**j}"
+    for j in range(CDC_WINDOW)
+)
+
 _SHINGLES_CTE = r"""
     WITH toks AS (
         SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
@@ -611,6 +713,36 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["dedup_cdc_chunks"] = f"""
+    WITH base AS (
+        SELECT doc_id, lang, text, length(text) AS n FROM documents
+    ), hx AS (
+        SELECT doc_id, lang, text, n,
+            CASE WHEN n >= {CDC_WINDOW}
+                 THEN list_filter(range({CDC_WINDOW}, n+1),
+                                  i -> ({_CDC_WSUM}) % {CDC_MASK} = 0)
+                 ELSE [] END AS bpos
+        FROM base
+    ), bounds AS (
+        SELECT doc_id, lang, text,
+               list_concat(list_concat([0], bpos), [n]) AS bs
+        FROM hx
+    ), chunks AS (
+        SELECT doc_id, lang,
+            UNNEST(list_filter(
+                list_transform(range(1, len(bs)),
+                               k -> substring(text, bs[k]+1, bs[k+1]-bs[k])),
+                c -> c != '')) AS chunk
+        FROM bounds
+    )
+    SELECT lang, COUNT(*) AS n_chunks,
+           COUNT(DISTINCT md5(chunk)) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(chunk)) AS BIGINT)
+               AS n_dup_chunks,
+           ROUND(AVG(length(chunk)), 6) AS avg_chunk_len
+    FROM chunks GROUP BY lang
+"""
+
 QUERIES = {
     "dedup_exact_stats": exact_stats,
     "dedup_ngram_pairs": ngram_jaccard_pairs,
@@ -618,4 +750,5 @@ QUERIES = {
     "dedup_keep_stats": keep_list_stats,
     "dedup_components": duplicate_components,
     "dedup_simhash_groups": simhash_groups,
+    "dedup_cdc_chunks": cdc_chunk_stats,
 }

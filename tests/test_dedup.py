@@ -101,3 +101,58 @@ def test_components_merge_chains(spark, tmp_path_factory):
     assert [(r.component, r.n_docs, r.min_doc, r.max_doc) for r in comps] == [
         (1, 3, 1, 3)
     ]
+
+
+# --- content-defined chunking ------------------------------------------------
+
+# ~2k chars of deterministic pseudo-random letters/spaces (LCG): enough
+# entropy that rolling-hash sync points occur at the expected ~CDC_MASK
+# spacing (a regular repeating pattern yields almost no sync points)
+def _lcg_text(n: int, seed: int = 12345) -> str:
+    s, out = seed, []
+    for _ in range(n):
+        s = (s * 1103515245 + 12345) % (2**31)
+        out.append(" " if s % 7 == 0 else chr(ord("a") + s % 26))
+    return "".join(out)
+
+
+LONG = _lcg_text(2000)
+
+
+@pytest.fixture(scope="module")
+def cdc_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cdc_docs"))
+    rows = [
+        (0, LONG, "en", "srcA", len(LONG)),
+        # prefix insertion: fixed-size chunking would shift every chunk;
+        # content-defined boundaries resync after the first sync point
+        (1, "inserted preamble that shifts offsets " + LONG, "en", "srcA", 0),
+        (2, "tiny", "en", "srcB", 4),  # shorter than the hash window
+        (3, "", "en", "srcB", 0),  # empty doc → no chunks
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark, cdc_dir):
+    row = dedup.cdc_chunk_stats(spark, cdc_dir).first()
+    # docs 0 and 1 differ at every byte offset, yet share content-defined
+    # chunks — duplicate chunks prove the boundaries resynced
+    assert row.n_dup_chunks >= 3
+    # the sub-window doc contributes its whole text as one chunk; the
+    # empty doc contributes none
+    assert row.n_chunks > row.n_dup_chunks
+
+
+def test_cdc_short_and_empty_docs(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cdc_edge"))
+    rows = [(0, "tiny", "en", "s", 4), (1, "", "en", "s", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    row = dedup.cdc_chunk_stats(spark, path).first()
+    assert row.n_chunks == 1 and row.n_unique == 1  # 'tiny' only
