@@ -74,15 +74,26 @@ def _decode_payload(payload: bytes, kind: str, require_real_codec: bool) -> np.n
         )
     if kind == "audio":
         buf = payload[: len(payload) - (len(payload) % 2)]
-        return np.frombuffer(buf, dtype=np.int16).astype(np.float64)
-    return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+        return np.frombuffer(buf, dtype=np.int16).astype(np.int64)
+    return np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
 
 
 def media_features(df: DataFrame, require_real_codec: bool = False) -> DataFrame:
     """Per-item decoded-sample statistics via Arrow-batched mapInPandas.
 
     Output: media_id, kind, n_bytes, n_samples, mean, std, p99 — the
-    feature-extraction stage of a curation pipeline."""
+    feature-extraction stage of a curation pipeline.
+
+    The statistics are defined EXACTLY so the DuckDB oracle can replay
+    them bit-for-bit over the same bytes (samples are integers):
+
+    * ``mean``  = round(s / n, 6), s the exact integer sample sum;
+    * ``std``   = round(sqrt((n·Σx² − s²) / n²), 6) — population variance
+      with an exact integer numerator, one double division, one sqrt
+      (numpy's two-pass ``.std()`` associates float additions differently
+      per engine and can flip the 6th decimal);
+    * ``p99``   = the nearest-rank percentile sorted[⌈0.99·n⌉ − 1] — an
+      exact sample value, no interpolation arithmetic to mismatch."""
 
     out_schema = (
         "media_id long, kind string, n_bytes long, n_samples long, "
@@ -90,23 +101,34 @@ def media_features(df: DataFrame, require_real_codec: bool = False) -> DataFrame
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in it:
             rows = []
             for media_id, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 samples = _decode_payload(bytes(payload), kind, require_real_codec)
+                n = len(samples)
+                if n:
+                    s = int(samples.sum())
+                    ssq = int((samples * samples).sum())
+                    mean = round(s / n, 6)
+                    std = round(math.sqrt((n * ssq - s * s) / (n * n)), 6)
+                    p99 = float(
+                        np.sort(samples)[max(math.ceil(0.99 * n), 1) - 1]
+                    )
+                else:
+                    mean = std = p99 = 0.0
                 rows.append(
                     {
                         "media_id": media_id,
                         "kind": kind,
                         "n_bytes": len(payload),
-                        "n_samples": len(samples),
-                        "mean": round(float(samples.mean()), 6) if len(samples) else 0.0,
-                        "std": round(float(samples.std()), 6) if len(samples) else 0.0,
-                        "p99": round(float(np.percentile(samples, 99)), 6)
-                        if len(samples)
-                        else 0.0,
+                        "n_samples": n,
+                        "mean": mean,
+                        "std": std,
+                        "p99": p99,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -201,8 +223,10 @@ def frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate query: per-item decoded-sample features via the Arrow
-    mapInPandas stage (deterministic fake decode — no codec here). Not
-    SQL-expressible byte-for-byte in DuckDB → rows-only check."""
+    mapInPandas stage (deterministic fake decode — no codec here). The
+    exact-integer stat definitions in :func:`media_features` make this
+    fully oracle-checkable: DuckDB replays the byte-level decode via
+    ``hex()`` arithmetic and matches hash-for-hash."""
     from automotive_big_data_analysis_spark.catalog import spread
 
     return media_features(spread(media_from_documents(spark, sf_dir)))
@@ -218,8 +242,58 @@ ORACLE: dict[str, str] = {
         SELECT media_id, CAST(f.f AS INTEGER) AS frame_index, n_frames
         FROM m, UNNEST(range(0, CAST(n_frames AS BIGINT), 10)) AS f(f)
     """,
-    # multimodal_media_features intentionally has no oracle entry: the
-    # fake-decode byte statistics are not expressible in DuckDB SQL.
+    # Byte-level replay of the fake decode: UTF-8 payload → hex → per-byte
+    # values (int16 little-endian pairs for audio), then the same exact
+    # integer-sum statistics media_features defines.
+    "multimodal_media_features": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   encode(text) AS payload
+            FROM documents
+        ), b AS (
+            SELECT media_id, kind, octet_length(payload) AS n_bytes,
+                   hex(payload) AS h
+            FROM m
+        ), vals AS (
+            SELECT media_id, kind, n_bytes,
+              CASE WHEN kind = 'audio' THEN
+                list_transform(range(1, (n_bytes - n_bytes % 2) // 2 + 1), k ->
+                  CASE WHEN ('0x' || substr(h, 4*k-3, 2))::BIGINT
+                            + 256 * ('0x' || substr(h, 4*k-1, 2))::BIGINT
+                            >= 32768
+                       THEN ('0x' || substr(h, 4*k-3, 2))::BIGINT
+                            + 256 * ('0x' || substr(h, 4*k-1, 2))::BIGINT
+                            - 65536
+                       ELSE ('0x' || substr(h, 4*k-3, 2))::BIGINT
+                            + 256 * ('0x' || substr(h, 4*k-1, 2))::BIGINT
+                  END)
+              ELSE list_transform(range(1, n_bytes + 1),
+                                  i -> ('0x' || substr(h, 2*i-1, 2))::BIGINT)
+              END AS v
+            FROM b
+        )
+        SELECT media_id, kind,
+               CAST(n_bytes AS BIGINT) AS n_bytes,
+               CAST(len(v) AS BIGINT) AS n_samples,
+               CASE WHEN len(v) > 0
+                    THEN ROUND(CAST(list_sum(v) AS DOUBLE) / len(v), 6)
+                    ELSE 0.0 END AS mean,
+               CASE WHEN len(v) > 0
+                    THEN ROUND(sqrt(CAST(
+                           len(v) * list_sum(list_transform(v, x -> x*x))
+                           - list_sum(v) * list_sum(v) AS DOUBLE)
+                         / CAST(len(v) AS DOUBLE)**2), 6)
+                    ELSE 0.0 END AS std,
+               CASE WHEN len(v) > 0
+                    THEN CAST(list_sort(v)[
+                           GREATEST(CAST(ceil(0.99 * len(v)) AS BIGINT), 1)]
+                         AS DOUBLE)
+                    ELSE 0.0 END AS p99
+        FROM vals
+    """,
 }
 
 QUERIES = {
