@@ -37,8 +37,6 @@ _SWEEP_PRIORITY = [
     # (a) rotated out of the r3 window — need a current-round row
     "order_priority_check",
     "supplier_customer_balance",     # also: exact-sum migration
-    "top_parts_per_brand",
-    "order_price_delta",
     "small_quantity_revenue",        # also: exact-sum migration
     "cube_order_stats",              # also: exact-sum migration
     "approx_part_stats",             # rows-only by design (sketches)
@@ -81,17 +79,20 @@ _SWEEP_PRIORITY = [
     "embedding_label_centroids",     # exact-avg migration
     "embedding_norm_stats",
     "text_wordpiece_stats",          # exact fanout-avg migration
-    # (c) modified late in round 4 — must carry a current-round row
+    # (c) modified or new late in round 4 — must carry a current-round row
     "salted_type_totals",            # from_json rewrite
     "dedup_components",              # graph-sized loop shuffle width
     "dedup_minhash_lsh_pairs",       # candidate checkpoint + semi-join prune
     "dedup_simhash_groups",          # flat 64-expression aggregation
     "dedup_ngram_pairs",             # pipeline_curation_report reuses it
+    "dedup_cdc_chunks",              # NEW: content-defined chunking
+    "multimodal_media_features",     # first-ever oracle (exact stat defs)
 ]
-# Displaced to make room for late-round-4 modifications (both unmodified
+# Displaced to make room for late-round-4 modifications (all unmodified
 # since r1 and green in r1+r2; still covered by ORACLE_FULL_r04.txt and
 # tests/): customer_supplier_nations (INTERSECT), events_sliding_counts,
-# sample_stratified_documents. Rotate them back next round.
+# sample_stratified_documents, top_parts_per_brand, order_price_delta.
+# Rotate them back next round.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
