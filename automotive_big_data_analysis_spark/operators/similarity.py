@@ -162,6 +162,85 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8  # subspaces; PQ code = M small ids instead of DIM floats
+PQ_SUBDIM = V.DIM // PQ_M
+
+
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via product quantization with asymmetric distance
+    computation (ADC) — the memory-side ANN method: each vector compresses
+    to ``PQ_M`` codebook ids (one per 8-dim subspace; codebooks are the
+    deterministic seed vectors' subvectors), and a query scores a vector
+    by summing its PRECOMPUTED query→centroid sub-distances for the
+    vector's codes — the scan touches 8 small ints per vector, never the
+    floats.
+
+    Scale shape: encoding is |corpus| × |cells| × M against a broadcast
+    codebook (the classic PQ encode pass, run once per corpus snapshot
+    and stored); search reads the code table only, and the query's
+    distance lookup table (|queries| × |cells| × M rows) broadcasts. At
+    real scale this composes with the IVF coarse quantizer (IVF-PQ):
+    cells prune the scan, codes compress what remains.
+
+    Determinism: sub-distances are identical left-to-right folds on both
+    engines; the 8 per-subspace distances accumulate in DECIMAL(25,10)
+    (order-free — they arrive via a groupBy) and ranking orders by the
+    exact decimal before rounding for display."""
+    emb = _emb(spark, sf_dir)
+    seeds = emb.where(F.col("vec_id") % IVF_SEED_MOD == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    subs = emb.select("vec_id", ms, "v").select(
+        "vec_id",
+        "m",
+        F.slice("v", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+    )
+    sseeds = seeds.select("cell_id", ms, "cv").select(
+        "cell_id",
+        "m",
+        F.slice("cv", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sc"),
+    )
+    diff = F.zip_with(F.col("sv"), F.col("sc"), lambda x, y: x - y)
+    dists = subs.join(F.broadcast(sseeds), "m").select(
+        "vec_id", "m", "cell_id", V.dot(diff, diff).alias("d2")
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("cell_id")
+    )
+    codes = (
+        dists.withColumn("r", F.row_number().over(w_code))
+        .where(F.col("r") == 1)
+        .select("vec_id", "m", F.col("cell_id").alias("code"))
+    )
+    qdists = dists.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        "cell_id",
+        F.col("d2").alias("qd2"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(qdists),
+            (codes.m == F.col("qm")) & (codes.code == F.col("cell_id")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(ex.dec("qd2")).alias("adec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adec").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            F.round(F.col("adec").cast("double"), 6).alias("approx_d2"),
+        )
+    )
+
+
 N_BLOCKS = 8  # tile grid; at scale pick so a block (N/N_BLOCKS vectors)
 # fits an executor's memory — tiles grow as N_BLOCKS², work stays O(N²).
 
@@ -400,10 +479,61 @@ def _dup_sql() -> str:
 
 ORACLE["embedding_cosine_dups"] = _dup_sql()
 
+ORACLE["knn_pq"] = f"""
+    WITH e AS (
+        SELECT vec_id, {_V} AS v FROM embeddings
+    ), seeds AS (
+        SELECT vec_id AS cell_id, v AS cv FROM e
+        WHERE vec_id % {IVF_SEED_MOD} = 0
+    ), subs AS (
+        SELECT vec_id, m.m AS m,
+               v[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sv
+        FROM e CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
+    ), sseeds AS (
+        SELECT cell_id, m.m AS m,
+               cv[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sc
+        FROM seeds CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
+    ), dists AS (
+        SELECT s.vec_id, s.m, ss.cell_id,
+               list_dot_product(
+                   list_transform(range(1, {PQ_SUBDIM} + 1),
+                                  i -> s.sv[i] - ss.sc[i]),
+                   list_transform(range(1, {PQ_SUBDIM} + 1),
+                                  i -> s.sv[i] - ss.sc[i])) AS d2
+        FROM subs s JOIN sseeds ss ON s.m = ss.m
+    ), codes AS (
+        SELECT vec_id, m, cell_id AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, cell_id) AS r
+            FROM dists
+        ) WHERE r = 1
+    ), qdists AS (
+        SELECT vec_id AS query_id, m, cell_id, d2 AS qd2
+        FROM dists WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT q.query_id, c.vec_id,
+               SUM(CAST(q.qd2 AS {ex.SQL_DEC})) AS adec
+        FROM codes c
+        JOIN qdists q ON q.m = c.m AND q.cell_id = c.code
+        WHERE c.vec_id != q.query_id
+        GROUP BY q.query_id, c.vec_id
+    ), ranked AS (
+        SELECT query_id, vec_id, adec,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY adec, vec_id
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id,
+           ROUND(CAST(adec AS DOUBLE), 6) AS approx_d2
+    FROM ranked WHERE rank <= {TOP_K}
+"""
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
+    "knn_pq": knn_pq,
     "embedding_cosine_dups": cosine_dup_pairs,
     "embedding_label_centroids": label_centroids,
     "embedding_norm_stats": norm_stats,

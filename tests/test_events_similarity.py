@@ -150,3 +150,38 @@ def test_cosine_math(spark):
     ).first()
     assert got.d == 0.0
     assert got.self == pytest.approx(1.0)
+
+
+def test_knn_pq_structure_and_planted_pair(spark, emb_dir):
+    """PQ/ADC: vec 0 is the only seed, so every subspace has one centroid
+    and every vector gets the same code — ADC distance degenerates to the
+    query's own distance-to-centroid sum, identical for all candidates,
+    so ranking falls to the vec_id tie-break. Structure still holds: ranks
+    1..k per query, distances non-decreasing, and the planted
+    near-identical pair (0,1) scores rank 1 for query 0 by tie-break."""
+    rows = sim.knn_pq(spark, emb_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        d = [r.approx_d2 for r in rs]
+        assert d == sorted(d)
+        assert all(x >= 0 for x in d)
+    top_for_0 = [r for r in rows if r.query_id == 0 and r.rank == 1][0]
+    assert top_for_0.vec_id == 1
+
+
+def test_knn_pq_codes_discriminate_on_corpus(spark):
+    """On the real corpus (multiple seeds → multiple cells) ADC distances
+    must actually discriminate: per query, the top-5 approx distances are
+    not all identical."""
+    from tests.conftest import SF_SMOKE
+
+    rows = sim.knn_pq(spark, SF_SMOKE).collect()
+    assert len(rows) == 50
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.approx_d2)
+    assert any(len(set(v)) > 1 for v in by_q.values())
