@@ -191,3 +191,24 @@ def test_year_partitioned_orders_prune(spark, tmp_path):
     got = df.count()
     full = tb.read_partitioned_orders(spark, path).count()
     assert 0 < got < full
+
+
+def test_knn_pq_broadcasts_codebook_and_query_tables(spark):
+    """PQ: the per-subspace codebook and the query distance-lookup table
+    broadcast; the corpus-side code table never broadcasts."""
+    df = similarity.knn_pq(spark, SF)
+    assert px.broadcast_join_count(df) >= 2
+
+
+def test_cdc_chunks_single_wide_shuffle(spark):
+    """CDC chunking: one narrow exchange stages boundaries (so chunk
+    extraction binds `bounds` as an attribute), one hash shuffle
+    aggregates chunk keys — nothing else."""
+    from automotive_big_data_analysis_spark.operators import dedup
+
+    df = dedup.cdc_chunk_stats(spark, SF)
+    # repartition exchange + aggregation exchange (+ possibly AQE reads);
+    # the point is there's no join and no extra wide shuffle
+    plan = px.physical_plan(df)
+    assert "Join" not in plan
+    assert px.shuffle_count(df) <= 3
