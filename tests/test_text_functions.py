@@ -101,3 +101,37 @@ def test_salted_join_equals_plain_join(spark):
     salted = [ (r.k, r.v, r.w) for r in salted_join(big, small, "k", n_salts=4).collect() ]
     assert set(salted) == plain
     assert len(salted) == len(plain)  # no duplicate matches from replication
+
+
+def test_trigram_lang_id_separates_distinct_vocabularies(spark, tmp_path_factory):
+    """On corpora with genuinely distinct character distributions the
+    trigram profiles classify perfectly; the synthetic driver corpus
+    (one shared vocabulary) only exercises machinery + oracle parity."""
+    from automotive_big_data_analysis_spark.operators import text_analysis as ta
+
+    path = str(tmp_path_factory.mktemp("tri_docs"))
+    aa = "the quick brown fox jumps over the lazy dog again and again "
+    bb = "zzyzx qoph vex jumbled glyphs waltz quiz nymph fjord vibex "
+    rows = []
+    for i in range(6):
+        rows.append((i, aa * 3, "aa", "s", 0))
+        rows.append((100 + i, bb * 3, "bb", "s", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    rows = ta.lang_trigram_confusion(spark, path).collect()
+    got = {(r.lang, r.predicted): r.n_docs for r in rows}
+    assert got == {("aa", "aa"): 6, ("bb", "bb"): 6}
+
+
+def test_trigram_lang_id_beats_chance_on_corpus(spark):
+    from tests.conftest import SF_SMALL
+    from automotive_big_data_analysis_spark.operators import text_analysis as ta
+
+    rows = ta.lang_trigram_confusion(spark, SF_SMALL).collect()
+    total = sum(r.n_docs for r in rows)
+    diag = sum(r.n_docs for r in rows if r.lang == r.predicted)
+    n_langs = len({r.lang for r in rows})
+    assert total == 500 and n_langs == 5
+    assert diag / total > 1.5 / n_langs  # > 1.5x chance despite shared vocab
