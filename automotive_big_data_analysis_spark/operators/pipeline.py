@@ -215,14 +215,29 @@ _REPORT_SQL = (
     """
 )
 
+SAMPLED_PERMILLE = 500  # the sampled variant keeps ~half the survivors
+
+
+def curation_report_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation report with the hash-sample stage LIVE (permille=500):
+    quality/dedup decisions are identical to ``curation_report``; roughly
+    half the would-be-kept documents land in ``sampled_out`` instead,
+    selected by the same content-keyed hash on both engines."""
+    return curation_report(spark, sf_dir, sample_permille=SAMPLED_PERMILLE)
+
+
 ORACLE: dict[str, str] = {
     # plain token replacement — .format() would choke on the regex
     # quantifier braces ({2,}, {1,3}) inside the cleaning patterns
     "pipeline_curation_report": _REPORT_SQL.replace(
         "__QMIN__", str(QUALITY_MIN)
     ).replace("__PERMILLE__", str(SAMPLE_PERMILLE)),
+    "pipeline_curation_sampled": _REPORT_SQL.replace(
+        "__QMIN__", str(QUALITY_MIN)
+    ).replace("__PERMILLE__", str(SAMPLED_PERMILLE)),
 }
 
 QUERIES = {
     "pipeline_curation_report": curation_report,
+    "pipeline_curation_sampled": curation_report_sampled,
 }

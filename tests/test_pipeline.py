@@ -129,3 +129,19 @@ def test_curate_documents_partitioned_write(spark, doc_dir, tmp_path):
     import os
 
     assert any(d.startswith("lang=") for d in os.listdir(out))
+
+
+def test_sampled_report_conserves_and_moves_only_kept(spark, doc_dir):
+    """permille=500 relocates documents ONLY between kept and sampled_out;
+    every drop stage decided earlier in the pipeline is unchanged."""
+    full = {r.lang: r for r in pipeline.curation_report(spark, doc_dir).collect()}
+    samp = {
+        r.lang: r
+        for r in pipeline.curation_report(
+            spark, doc_dir, sample_permille=pipeline.SAMPLED_PERMILLE
+        ).collect()
+    }
+    for lang, f in full.items():
+        s = samp[lang]
+        assert (s.lowq, s.exact_dup, s.near_dup) == (f.lowq, f.exact_dup, f.near_dup)
+        assert s.kept + s.sampled_out == f.kept + f.sampled_out
