@@ -76,13 +76,19 @@ def main() -> None:
 
     dedup.release()
     total = round(sum(timings.values()), 3)
+    # Key order matters: the driver records only the TAIL of stdout
+    # (BENCH_r03.json shows the line truncated from the front with
+    # parsed=null once per-query entries outgrew the window), so the
+    # summary fields go LAST — whatever window survives always contains
+    # metric/value/sf.
     print(
         json.dumps(
             {
+                "queries": timings,
+                "unit": "sec",
+                "n_queries": len(timings),
                 "metric": "total_wall_clock_headline_queries",
                 "value": total,
-                "unit": "sec",
-                "queries": timings,
                 "sf": sf,
             }
         )
