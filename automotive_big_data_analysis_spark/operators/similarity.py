@@ -2,10 +2,12 @@
 embedding, label).
 
 Training-data-pipeline extension: brute-force cosine top-k as the
-correctness baseline, a hyperplane-LSH bucketed variant as the scale path,
-plus cosine near-dup pairs and per-label centroids. All scoring runs in
-JVM higher-order functions (``functions/vectors.py``); the DuckDB oracle
-executes the same arithmetic via ``list_dot_product``.
+correctness baseline, with three scale paths — hyperplane-LSH buckets,
+IVF coarse-quantizer cells (nprobe=2), and product-quantization codes
+with ADC scoring (composing as IVF-PQ at real scale) — plus cosine
+near-dup pairs (blocked GEMM) and per-label centroids. All scoring runs
+in JVM higher-order functions (``functions/vectors.py``); the DuckDB
+oracle executes the same arithmetic via ``list_dot_product``.
 
 Scale shape: the query side of a top-k search is small → broadcast it; the
 corpus side streams partition-parallel with no shuffle until the final
