@@ -529,8 +529,11 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = F.when(
         n >= CDC_WINDOW, F.concat(F.array(F.lit(0)), positions, F.array(n))
     ).otherwise(F.array(F.lit(0), n))
+    # round-robin barrier (NOT keyed on text: a duplicate-heavy corpus —
+    # exactly what a dedup operator sees — would hash every copy of a hot
+    # document into one partition)
     staged = docs.select("lang", "text", bounds.alias("bounds")).repartition(
-        "text"
+        spark.sparkContext.defaultParallelism
     )
     chunks = F.filter(
         F.transform(
