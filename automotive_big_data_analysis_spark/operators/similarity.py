@@ -243,6 +243,103 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF-PQ — the production ANN layout: the IVF coarse
+    quantizer prunes the candidate set to the query's NPROBE nearest
+    cells, and PQ/ADC scores the survivors from their 8 codebook ids —
+    the scan touches neither the full corpus nor any full vector.
+
+    This composes :func:`knn_ivf`'s cell assignment with :func:`knn_pq`'s
+    code table; both stay broadcast-or-bucket-local, so at 100 TB the
+    per-cell postings lists hold (vec_id, 8 codes) rows and a query reads
+    NPROBE postings lists against a broadcast distance-lookup table."""
+    emb = _emb(spark, sf_dir)
+    seeds = emb.where(F.col("vec_id") % IVF_SEED_MOD == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    # coarse quantizer (same slim layout as knn_ivf)
+    cell_rank = emb.join(F.broadcast(seeds)).select(
+        "vec_id",
+        "cell_id",
+        F.round(V.cosine(F.col("v"), F.col("cv")), 6).alias("cell_cos"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell_id")
+    )
+    ranked_cells = (
+        cell_rank.withColumn("r", F.row_number().over(w_cell))
+        .where(F.col("r") <= NPROBE)
+        .select("vec_id", "cell_id", "r")
+        .localCheckpoint()
+    )
+    cell_assign = ranked_cells.where(F.col("r") == 1).select(
+        "vec_id", F.col("cell_id").alias("vcell")
+    )
+    probes = ranked_cells.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cell_id"
+    )
+    # PQ codes + query lookup table (same layout as knn_pq)
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    subs = emb.select("vec_id", ms, "v").select(
+        "vec_id",
+        "m",
+        F.slice("v", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+    )
+    sseeds = seeds.select("cell_id", ms, "cv").select(
+        "cell_id",
+        "m",
+        F.slice("cv", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sc"),
+    )
+    diff = F.zip_with(F.col("sv"), F.col("sc"), lambda x, y: x - y)
+    dists = subs.join(F.broadcast(sseeds), "m").select(
+        "vec_id", "m", F.col("cell_id").alias("dcell"), V.dot(diff, diff).alias("d2")
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("dcell")
+    )
+    codes = (
+        dists.withColumn("cr", F.row_number().over(w_code))
+        .where(F.col("cr") == 1)
+        .select("vec_id", "m", F.col("dcell").alias("code"))
+    )
+    qdists = dists.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qq"),
+        F.col("m").alias("qm"),
+        F.col("dcell").alias("qcell"),
+        F.col("d2").alias("qd2"),
+    )
+    # cell-pruned candidates, ADC-scored from codes alone
+    cand = (
+        cell_assign.join(
+            F.broadcast(probes), cell_assign.vcell == probes.cell_id
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(qdists),
+            (F.col("query_id") == F.col("qq"))
+            & (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("qcell")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(ex.dec("qd2")).alias("adec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adec").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            F.round(F.col("adec").cast("double"), 6).alias("approx_d2"),
+        )
+    )
+
+
 N_BLOCKS = 8  # tile grid; at scale pick so a block (N/N_BLOCKS vectors)
 # fits an executor's memory — tiles grow as N_BLOCKS², work stays O(N²).
 
@@ -531,11 +628,84 @@ ORACLE["knn_pq"] = f"""
     FROM ranked WHERE rank <= {TOP_K}
 """
 
+ORACLE["knn_ivfpq"] = f"""
+    WITH e AS (
+        SELECT vec_id, {_V} AS v FROM embeddings
+    ), seeds AS (
+        SELECT vec_id AS cell_id, v AS cv FROM e
+        WHERE vec_id % {IVF_SEED_MOD} = 0
+    ), cr AS (
+        SELECT e.vec_id, s.cell_id,
+               ROUND(list_dot_product(e.v, s.cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(s.cv, s.cv))), 6) AS cell_cos
+        FROM e CROSS JOIN seeds s
+    ), rc AS (
+        SELECT vec_id, cell_id, r FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS r
+            FROM cr
+        ) WHERE r <= {NPROBE}
+    ), ca AS (
+        SELECT vec_id, cell_id AS vcell FROM rc WHERE r = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, cell_id FROM rc
+        WHERE vec_id < {N_QUERIES}
+    ), subs AS (
+        SELECT vec_id, m.m AS m,
+               v[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sv
+        FROM e CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
+    ), sseeds AS (
+        SELECT cell_id, m.m AS m,
+               cv[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sc
+        FROM seeds CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
+    ), dists AS (
+        SELECT s.vec_id, s.m, ss.cell_id AS dcell,
+               list_dot_product(
+                   list_transform(range(1, {PQ_SUBDIM} + 1),
+                                  i -> s.sv[i] - ss.sc[i]),
+                   list_transform(range(1, {PQ_SUBDIM} + 1),
+                                  i -> s.sv[i] - ss.sc[i])) AS d2
+        FROM subs s JOIN sseeds ss ON s.m = ss.m
+    ), codes AS (
+        SELECT vec_id, m, dcell AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, dcell) AS cr
+            FROM dists
+        ) WHERE cr = 1
+    ), qdists AS (
+        SELECT vec_id AS query_id, m, dcell, d2 AS qd2
+        FROM dists WHERE vec_id < {N_QUERIES}
+    ), cand AS (
+        SELECT p.query_id, ca.vec_id
+        FROM ca JOIN probes p ON ca.vcell = p.cell_id
+        WHERE ca.vec_id != p.query_id
+    ), scored AS (
+        SELECT c.query_id, c.vec_id,
+               SUM(CAST(q.qd2 AS {ex.SQL_DEC})) AS adec
+        FROM cand c
+        JOIN codes k ON k.vec_id = c.vec_id
+        JOIN qdists q ON q.query_id = c.query_id
+             AND q.m = k.m AND q.dcell = k.code
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT query_id, vec_id, adec,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY adec, vec_id
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id,
+           ROUND(CAST(adec AS DOUBLE), 6) AS approx_d2
+    FROM ranked WHERE rank <= {TOP_K}
+"""
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "knn_pq": knn_pq,
+    "knn_ivfpq": knn_ivfpq,
     "embedding_cosine_dups": cosine_dup_pairs,
     "embedding_label_centroids": label_centroids,
     "embedding_norm_stats": norm_stats,

@@ -185,3 +185,29 @@ def test_knn_pq_codes_discriminate_on_corpus(spark):
     for r in rows:
         by_q.setdefault(r.query_id, []).append(r.approx_d2)
     assert any(len(set(v)) > 1 for v in by_q.values())
+
+
+def test_knn_ivfpq_agrees_with_pq_on_shared_pairs(spark):
+    """IVF-PQ = PQ scoring over cell-pruned candidates: any (query, vec)
+    pair surfaced by BOTH variants must carry the identical ADC distance
+    (same codes, same lookup table — only the candidate set differs)."""
+    from tests.conftest import SF_SMOKE
+
+    pq = {(r.query_id, r.vec_id): r.approx_d2
+          for r in sim.knn_pq(spark, SF_SMOKE).collect()}
+    ivfpq_rows = sim.knn_ivfpq(spark, SF_SMOKE).collect()
+    assert len(ivfpq_rows) > 0
+    shared = 0
+    for r in ivfpq_rows:
+        if (r.query_id, r.vec_id) in pq:
+            assert r.approx_d2 == pq[(r.query_id, r.vec_id)]
+            shared += 1
+    assert shared > 0  # the probed cells contain some of the global top-5
+    by_q = {}
+    for r in ivfpq_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        d = [r.approx_d2 for r in rs]
+        assert d == sorted(d)
