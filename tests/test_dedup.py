@@ -156,3 +156,31 @@ def test_cdc_short_and_empty_docs(spark, tmp_path_factory):
     df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
     row = dedup.cdc_chunk_stats(spark, path).first()
     assert row.n_chunks == 1 and row.n_unique == 1  # 'tiny' only
+
+
+# --- shared-intermediate lifecycle -------------------------------------------
+
+
+def test_release_then_reuse_rebuilds(spark, doc_dir):
+    """release() drops the staged intermediates; consumers lazily rebuild
+    identical results afterwards."""
+    before = dedup.ngram_jaccard_pairs(spark, doc_dir).collect()
+    assert dedup.release(doc_dir) >= 1
+    assert not any(k[1] == doc_dir for k in dedup._SHARED)
+    after = dedup.ngram_jaccard_pairs(spark, doc_dir).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_cache_evicts_on_corpus_change(spark, doc_dir, tmp_path_factory):
+    """Touching a different corpus evicts the previous corpus's staged
+    entries — a long-lived session holds at most one corpus resident."""
+    dedup.ngram_jaccard_pairs(spark, doc_dir).count()
+    other = str(tmp_path_factory.mktemp("other_docs"))
+    rows = [(0, BASE, "en", "s", len(BASE)), (1, BASE, "en", "s", len(BASE))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{other}/documents.parquet")
+    dedup.ngram_jaccard_pairs(spark, other).count()
+    assert not any(k[1] == doc_dir for k in dedup._SHARED)
+    assert any(k[1] == other for k in dedup._SHARED)
+    dedup.release(other)
