@@ -135,3 +135,26 @@ def test_trigram_lang_id_beats_chance_on_corpus(spark):
     n_langs = len({r.lang for r in rows})
     assert total == 500 and n_langs == 5
     assert diag / total > 1.5 / n_langs  # > 1.5x chance despite shared vocab
+
+
+def test_salted_sum_count_equals_plain_groupby(spark):
+    """Two-phase salted aggregation must be result-identical to the plain
+    groupBy for any salt source (the salt only routes partials)."""
+    from automotive_big_data_analysis_spark.functions.skew import salted_sum_count
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(20)],
+        "k string, v int",
+    )
+    plain = {
+        (r.k, r.total, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count("*").alias("n"))
+        .collect()
+    }
+    for salt_on in (None, "v"):
+        salted = {
+            (r.k, r.total, r.n)
+            for r in salted_sum_count(df, "k", "v", salt_on=salt_on).collect()
+        }
+        assert salted == plain
