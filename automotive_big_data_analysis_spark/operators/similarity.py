@@ -204,8 +204,13 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("cv", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sc"),
     )
     diff = F.zip_with(F.col("sv"), F.col("sc"), lambda x, y: x - y)
-    dists = subs.join(F.broadcast(sseeds), "m").select(
-        "vec_id", "m", "cell_id", V.dot(diff, diff).alias("d2")
+    # materialize once: the |corpus|×|cells|×M scoring table feeds BOTH
+    # the code assignment and the query lookup table — this is the PQ
+    # encode pass, stored once per corpus snapshot in production
+    dists = (
+        subs.join(F.broadcast(sseeds), "m")
+        .select("vec_id", "m", "cell_id", V.dot(diff, diff).alias("d2"))
+        .localCheckpoint()
     )
     w_code = Window.partitionBy("vec_id", "m").orderBy(
         F.col("d2").asc(), F.col("cell_id")
@@ -291,8 +296,16 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("cv", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sc"),
     )
     diff = F.zip_with(F.col("sv"), F.col("sc"), lambda x, y: x - y)
-    dists = subs.join(F.broadcast(sseeds), "m").select(
-        "vec_id", "m", F.col("cell_id").alias("dcell"), V.dot(diff, diff).alias("d2")
+    # materialized once — see knn_pq (the shared PQ encode table)
+    dists = (
+        subs.join(F.broadcast(sseeds), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.col("cell_id").alias("dcell"),
+            V.dot(diff, diff).alias("d2"),
+        )
+        .localCheckpoint()
     )
     w_code = Window.partitionBy("vec_id", "m").orderBy(
         F.col("d2").asc(), F.col("dcell")
