@@ -113,8 +113,14 @@ def lang_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang) — nothing corpus-quadratic."""
     docs = load_table(spark, sf_dir, "documents")
     norm = tx.normalize_whitespace(F.lower(F.col("text")))
-    staged = docs.select("doc_id", "lang", norm.alias("nt")).repartition(
-        spark.sparkContext.defaultParallelism
+    # materialize once: THREE consumers read this frame (profile build,
+    # classification, the final label join) and without a barrier each
+    # would re-scan and re-normalize the corpus (plan showed 6 FileScans,
+    # 0 ReusedExchange); one slim (id, lang, normalized-text) row per doc
+    staged = (
+        docs.select("doc_id", "lang", norm.alias("nt"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
     )
     tg_arr = F.when(
         F.length("nt") >= 3,
