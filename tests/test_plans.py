@@ -193,11 +193,14 @@ def test_year_partitioned_orders_prune(spark, tmp_path):
     assert 0 < got < full
 
 
-def test_knn_pq_broadcasts_codebook_and_query_tables(spark):
-    """PQ: the per-subspace codebook and the query distance-lookup table
-    broadcast; the corpus-side code table never broadcasts."""
+def test_knn_pq_broadcasts_query_table_over_materialized_codes(spark):
+    """PQ: the encode pass (codebook broadcast included) materializes once
+    behind a checkpoint — the search plan reads it as an ExistingRDD scan
+    and broadcasts only the query distance-lookup table."""
     df = similarity.knn_pq(spark, SF)
-    assert px.broadcast_join_count(df) >= 2
+    plan = px.physical_plan(df)
+    assert px.broadcast_join_count(df) >= 1  # the query lookup table
+    assert "ExistingRDD" in plan  # the materialized encode table
 
 
 def test_cdc_chunks_single_wide_shuffle(spark):
