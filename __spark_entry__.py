@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from automotive_big_data_analysis_spark.operators import asof, dedup, events, multimodal, pipeline, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis
+from automotive_big_data_analysis_spark.operators import asof, dedup, events, multimodal, pipeline, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis, training_prep
 from automotive_big_data_analysis_spark.sources import bucketed
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(multimodal.QUERIES)
     merged.update(bucketed.QUERIES)
     merged.update(pipeline.QUERIES)
+    merged.update(training_prep.QUERIES)
     out = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     out.update(merged)
     return out
@@ -132,4 +133,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal.ORACLE)
     out.update(bucketed.ORACLE)
     out.update(pipeline.ORACLE)
+    out.update(training_prep.ORACLE)
     return out

@@ -1,0 +1,388 @@
+"""Training-set preparation operators: contamination screening, shard
+packing, domain rebalancing, and tokenizer pair statistics.
+
+Training-data-pipeline extension (no reference analog — the reference's
+surface stops at single-table SQL, SURVEY §2): the four operations that
+sit between a curated corpus (``operators/pipeline.py``) and a training
+run:
+
+* benchmark contamination — n-gram overlap of every candidate document
+  against a held-out benchmark set, so eval data can be excised from the
+  training corpus (the decontamination step every LLM data pipeline runs);
+* token-budget shard packing — a distributed prefix sum assigns documents
+  to fixed-token-budget training shards in a deterministic global order;
+* temperature rebalancing — per-domain keep rates derived from observed
+  counts (rate ∝ count^(α-1), the multilingual "temperature sampling"
+  rule), applied as a deterministic content-keyed filter;
+* BPE pair statistics — adjacent wordpiece-pair frequencies, i.e. the
+  candidate-scoring pass of one byte-pair-encoding merge round.
+
+Everything is built-in JVM expressions (regexp / higher-order array
+functions / windows) — no Python in the row path — and every operator has
+an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import exact as ex
+from automotive_big_data_analysis_spark.functions import text as tx
+from automotive_big_data_analysis_spark.operators.sampling import (
+    _bucket_sql,
+    hash_bucket,
+)
+
+# --- benchmark contamination ------------------------------------------------
+
+# The held-out "benchmark" is the src0 slice of the corpus — stand-in for
+# an eval suite (MMLU, GSM8K, …); a real pipeline swaps in its benchmark
+# corpus. 8-gram overlap is the published decontamination granularity
+# (GPT-3 used 13-grams, PaLM 8-grams); this corpus's documents are short,
+# so 8 keeps per-doc gram counts meaningful.
+BENCH_SOURCE = "src0"
+CONTAM_N = 8
+CONTAM_FLAG_RATIO = 0.5  # flag a doc when ≥ half its 8-grams are benchmark
+
+
+def _gram_hashes(toks_col, n: int):
+    """Distinct word n-gram md5 hashes from a token-array COLUMN (md5
+    keeps joins/broadcasts at 32 bytes per gram).
+
+    The argument must be a bound attribute, not an inlined expression:
+    the transform lambda references it per element, and Catalyst's
+    projection collapse would re-evaluate an inlined tokenizer regexp for
+    every gram — O(tokens²) per document, measured 11× slower on this
+    corpus. Callers stage the token array behind an exchange first (the
+    same staging discipline as ``dedup._shingle_df`` and the trigram
+    language ID)."""
+    grams = F.when(
+        F.size(toks_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks_col, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang contamination of candidate docs against the benchmark set.
+
+    A candidate doc's contamination ratio is the fraction of its distinct
+    word-8-grams that appear anywhere in the benchmark slice; docs with
+    fewer than 8 tokens have no grams and ratio 0.
+
+    Scale shape: the benchmark gram set is eval-suite-sized at ANY corpus
+    scale — it broadcasts. Candidate grams explode map-side, the broadcast
+    join marks hits without a shuffle, and the only exchanges are the
+    per-doc count (keyed on doc_id, linear in gram volume, partial-agg
+    combined) and the |langs|-row final rollup. Nothing is pairwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    # each side tokenizes only its own slice (the source filter pushes to
+    # the scan) and stages the token array behind a narrow round-robin
+    # exchange so the gram lambda reads an attribute — see _gram_hashes
+    bench_toks = (
+        docs.where(F.col("source") == BENCH_SOURCE)
+        .select(tx.tokens("text").alias("toks"))
+        .repartition(n_parts)
+    )
+    # explode_outer everywhere grams are generated: plain explode infers a
+    # non-empty-array filter that pushes below the staging exchange and
+    # re-inlines the tokenizer into a per-row filter (measured 14× slower)
+    bench_grams = (
+        bench_toks.select(
+            F.explode_outer(_gram_hashes(F.col("toks"), CONTAM_N)).alias("g")
+        )
+        .where(F.col("g").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    cand = (
+        docs.where(F.col("source") != BENCH_SOURCE)
+        .select("doc_id", "lang", tx.tokens("text").alias("toks"))
+        .repartition(n_parts)
+        .select(
+            "doc_id", "lang", _gram_hashes(F.col("toks"), CONTAM_N).alias("grams")
+        )
+    )
+    per_doc = (
+        cand.select("doc_id", F.explode_outer("grams").alias("g"))
+        .where(F.col("g").isNotNull())
+        .join(F.broadcast(bench_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    ratio = F.coalesce(F.col("n_hits") / F.col("n_grams"), F.lit(0.0))
+    return (
+        cand.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")  # keep zero-gram docs (ratio 0)
+        .select("lang", ratio.alias("ratio"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("ratio") >= CONTAM_FLAG_RATIO).cast("int"))
+            .cast("long")
+            .alias("n_flagged"),
+            ex.davg("ratio").alias("avg_contamination"),
+        )
+    )
+
+
+# --- token-budget shard packing ---------------------------------------------
+
+SHARD_BUDGET = 4096  # tokens per training shard
+
+# Global order for packing: (md5(text), doc_id) — content-keyed, so the
+# "shuffled" training order is deterministic across engines, retries, and
+# partition layouts, with doc_id breaking exact-duplicate ties.
+
+
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to a fixed-token-budget training shard and
+    report per-shard document counts and token totals.
+
+    A document belongs to shard ``floor(start_offset / BUDGET)`` where
+    ``start_offset`` is the running token total of all documents before it
+    in the global (md5(text), doc_id) order — i.e. documents are laid out
+    on a token number line and the line is cut every BUDGET tokens.
+
+    Scale shape — distributed prefix sum, NOT a single global window: a
+    one-partition ``ORDER BY`` window over the corpus is the textbook
+    scale killer, so the running total is computed in two passes. Pass 1
+    groups by the first hex digit of the hash (16 range buckets — a
+    prefix of the sort key, so bucket order IS global order; widen the
+    prefix for more buckets at scale) and computes per-bucket token
+    totals; the cumulative bucket offsets come from a window over that
+    |buckets|-row aggregate. Pass 2 computes the within-bucket running
+    total with a window PARTITIONED by bucket (parallel across buckets)
+    and adds the broadcast offset. Shuffles: one |buckets|-row agg, one
+    window keyed on bucket. The oracle is the naive single-window SQL —
+    same numbers, different (scalable) plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        tx.token_count("text").cast("long").alias("tok"),
+    ).withColumn("bucket", F.conv(F.substring("h", 1, 1), 16, 10).cast("int"))
+    bucket_totals = base.groupBy("bucket").agg(F.sum("tok").alias("btok"))
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = bucket_totals.select(
+        "bucket", (F.sum("btok").over(w_off) - F.col("btok")).alias("offset")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = (
+        base.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_end", F.col("offset") + F.sum("tok").over(w_in))
+        .withColumn(
+            "shard_id",
+            F.floor((F.col("cum_end") - F.col("tok")) / SHARD_BUDGET),
+        )
+    )
+    return placed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").cast("long").alias("shard_tokens"),
+    )
+
+
+# --- temperature rebalancing ------------------------------------------------
+
+TEMP_ALPHA = 0.5  # sampling temperature: target share ∝ count^α
+
+
+def temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep rates from temperature sampling (α = 0.5) and the
+    resulting mix: rate_l ∝ count_l^(α−1), normalized so the rarest
+    language keeps everything — the standard multilingual flattening rule
+    (common languages are downsampled toward the rare ones). Inclusion is
+    content-keyed (md5 bucket of doc_id), so the sample is reproducible on
+    any engine or layout.
+
+    Scale shape: pass 1 is a |langs|-row count aggregate; the global min
+    joins in as a one-row broadcast; pass 2 re-scans documents with the
+    broadcast rate map and aggregates kept counts — two linear scans, no
+    fact-scale shuffle (both aggregations combine map-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    min_count = counts.agg(F.min("n_docs").alias("min_docs"))
+    rates = counts.join(F.broadcast(min_count)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.lit(1000.0)
+            * F.pow(F.col("min_docs") / F.col("n_docs"), 1.0 - TEMP_ALPHA)
+        )
+        .cast("int")
+        .alias("rate_permille"),
+    )
+    kept = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .where(
+            hash_bucket(F.col("doc_id").cast("string")) < F.col("rate_permille")
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "rate_permille",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+# --- BPE pair statistics ----------------------------------------------------
+
+BPE_TOP_K = 20
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent wordpiece-pair frequencies — the candidate-scoring pass of
+    one BPE merge round (the highest-count pair is the merge a tokenizer
+    trainer would apply). Pieces come from the same pre-tokenization split
+    as ``text_wordpiece_stats`` (letter runs / digit runs / punctuation).
+
+    Scale shape: pair extraction is a map-side array expression; the
+    explode feeds a hash aggregation keyed on the pair string (partial
+    combine makes the shuffle |pair-vocabulary|-sized, not corpus-sized);
+    top-k is TakeOrdered, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    # stage the piece array behind an exchange: the pair lambda indexes it
+    # per element, and an inlined regexp would re-tokenize per pair
+    staged = docs.select(tx.wordpieces("text").alias("p")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pieces = F.col("p")
+    pairs = F.when(
+        F.size(pieces) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(pieces) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(pieces, i), F.element_at(pieces, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        staged.select(F.explode_outer(pairs).alias("pair"))
+        .where(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+# --- DuckDB oracles ---------------------------------------------------------
+
+_TOKENS = r"regexp_extract_all(text, '\S+')"
+_PIECES = r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')"
+
+ORACLE: dict[str, str] = {
+    "contamination_stats": f"""
+        WITH grams AS (
+            SELECT doc_id, lang, source,
+                   list_distinct(list_transform(
+                       range(1, GREATEST(len({_TOKENS}) - {CONTAM_N - 1}, 0) + 1),
+                       i -> md5(list_aggregate(
+                           list_slice({_TOKENS}, i, i + {CONTAM_N - 1}),
+                           'string_agg', ' '))
+                   )) AS gs
+            FROM documents
+        ), bench AS (
+            SELECT DISTINCT UNNEST(gs) AS g FROM grams
+            WHERE source = '{BENCH_SOURCE}'
+        ), cand AS (
+            SELECT doc_id, lang, gs FROM grams
+            WHERE source != '{BENCH_SOURCE}'
+        ), exploded AS (
+            SELECT c.doc_id, g.g AS g
+            FROM cand c, UNNEST(c.gs) AS g(g)
+        ), per_doc AS (
+            SELECT e.doc_id, COUNT(*) AS n_grams,
+                   SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+            FROM exploded e LEFT JOIN bench b ON e.g = b.g
+            GROUP BY e.doc_id
+        ), ratios AS (
+            SELECT c.lang,
+                   COALESCE(CAST(p.n_hits AS DOUBLE) / p.n_grams, 0.0)
+                       AS ratio
+            FROM cand c LEFT JOIN per_doc p ON c.doc_id = p.doc_id
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN ratio >= {CONTAM_FLAG_RATIO}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               {ex.davg_sql("ratio")} AS avg_contamination
+        FROM ratios GROUP BY lang
+    """,
+    "pack_token_shards": f"""
+        WITH base AS (
+            SELECT doc_id, md5(text) AS h,
+                   CAST(len({_TOKENS}) AS BIGINT) AS tok
+            FROM documents
+        ), placed AS (
+            SELECT tok,
+                   CAST(FLOOR(CAST(
+                       SUM(tok) OVER (ORDER BY h, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - tok
+                       AS DOUBLE) / {SHARD_BUDGET}) AS BIGINT) AS shard_id
+            FROM base
+        )
+        SELECT shard_id, COUNT(*) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS shard_tokens
+        FROM placed GROUP BY shard_id
+    """,
+    "temperature_rebalance": f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ), rates AS (
+            SELECT lang, n_docs,
+                   CAST(FLOOR(1000.0 * POW(
+                       CAST((SELECT MIN(n_docs) FROM counts) AS DOUBLE)
+                           / n_docs,
+                       {1.0 - TEMP_ALPHA})) AS INTEGER) AS rate_permille
+            FROM counts
+        ), kept AS (
+            SELECT d.lang, COUNT(*) AS n_kept
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE {_bucket_sql("CAST(d.doc_id AS VARCHAR)")} < r.rate_permille
+            GROUP BY d.lang
+        )
+        SELECT r.lang, r.n_docs, r.rate_permille,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+        FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+    """,
+    "text_bpe_pairs": f"""
+        WITH pieces AS (
+            SELECT {_PIECES} AS p FROM documents
+        ), pairs AS (
+            SELECT UNNEST(list_transform(
+                range(1, GREATEST(len(p), 1)),
+                i -> p[i] || ' ' || p[i+1])) AS pair
+            FROM pieces
+        )
+        SELECT pair, COUNT(*) AS n FROM pairs
+        GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_TOP_K}
+    """,
+}
+
+QUERIES = {
+    "contamination_stats": contamination_stats,
+    "pack_token_shards": pack_token_shards,
+    "temperature_rebalance": temperature_rebalance,
+    "text_bpe_pairs": bpe_pair_stats,
+}

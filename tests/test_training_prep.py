@@ -1,0 +1,123 @@
+"""Training-prep invariants: contamination accounting, shard packing
+(distributed prefix sum vs the naive global window), temperature rates,
+and BPE pair extraction — plus plan-shape checks for the scale claims."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import text as tx
+from automotive_big_data_analysis_spark.operators import training_prep as tp
+from automotive_big_data_analysis_spark.plans import explain as px
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_contamination_covers_all_candidates_and_bounds(spark):
+    docs = load_table(spark, SF, "documents")
+    n_cand = docs.where(F.col("source") != tp.BENCH_SOURCE).count()
+    rows = tp.contamination_stats(spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == n_cand
+    for r in rows:
+        assert 0.0 <= r.avg_contamination <= 1.0
+        assert 0 <= r.n_flagged <= r.n_docs
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    df = tp.contamination_stats(spark, SF)
+    # the benchmark gram set must join as a broadcast, never a shuffle join
+    assert px.broadcast_join_count(df) >= 1
+
+
+def test_shard_packing_matches_naive_global_window(spark):
+    # the two-pass prefix sum must equal the one-window formulation the
+    # oracle uses — same shard ids, same totals
+    docs = load_table(spark, SF, "documents")
+    base = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        tx.token_count("text").cast("long").alias("tok"),
+    )
+    w = Window.orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = (
+        base.withColumn(
+            "shard_id",
+            F.floor((F.sum("tok").over(w) - F.col("tok")) / tp.SHARD_BUDGET),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("long").alias("shard_tokens"),
+        )
+    )
+    got = {
+        r.shard_id: (r.n_docs, r.shard_tokens)
+        for r in tp.pack_token_shards(spark, SF).collect()
+    }
+    want = {r.shard_id: (r.n_docs, r.shard_tokens) for r in naive.collect()}
+    assert got == want
+
+
+def test_shard_packing_partitions_the_corpus_exactly(spark):
+    docs = load_table(spark, SF, "documents")
+    total_docs = docs.count()
+    total_tok = docs.select(
+        F.sum(tx.token_count("text").cast("long")).alias("t")
+    ).first().t
+    rows = tp.pack_token_shards(spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == total_docs
+    assert sum(r.shard_tokens for r in rows) == total_tok
+    # shard ids are contiguous from 0 (the number line has no gaps)
+    ids = sorted(r.shard_id for r in rows)
+    assert ids == list(range(len(ids)))
+    # a shard holds docs STARTING inside its budget span, so its total is
+    # bounded by budget + the largest single document
+    max_doc = docs.select(
+        F.max(tx.token_count("text").cast("long")).alias("m")
+    ).first().m
+    for r in rows:
+        assert r.shard_tokens < tp.SHARD_BUDGET + max_doc
+
+
+def test_shard_packing_avoids_single_partition_corpus_window(spark):
+    # the corpus-sized window must be partitioned by bucket; only the
+    # |buckets|-row offset window may be unpartitioned
+    plan = px.physical_plan(tp.pack_token_shards(spark, SF))
+    import re
+
+    corpus_windows = re.findall(r"Window .*partitionBy=\[\]", plan)
+    # any unpartitioned window must sit above the 16-row bucket aggregate,
+    # which appears as a SinglePartition exchange fed by a HashAggregate
+    assert plan.count("Window") >= 2
+    assert len(corpus_windows) <= 1
+
+
+def test_temperature_rates_follow_the_flattening_rule(spark):
+    rows = tp.temperature_rebalance(spark, SF).collect()
+    by_lang = {r.lang: r for r in rows}
+    min_docs = min(r.n_docs for r in rows)
+    for r in rows:
+        # rarest language keeps everything; others keep sqrt-scaled shares
+        expected = int(1000.0 * (min_docs / r.n_docs) ** (1 - tp.TEMP_ALPHA))
+        assert r.rate_permille == expected
+        assert 0 < r.rate_permille <= 1000
+        assert 0 <= r.n_kept <= r.n_docs
+    assert by_lang[min(by_lang, key=lambda k: by_lang[k].n_docs)].rate_permille == 1000
+
+
+def test_bpe_pairs_are_adjacent_piece_bigrams(spark):
+    rows = tp.bpe_pair_stats(spark, SF).collect()
+    assert 0 < len(rows) <= tp.BPE_TOP_K
+    # ranked by count desc then pair asc
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # every pair is two wordpieces joined by one space
+    import re
+
+    piece = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+    for r in rows:
+        assert re.fullmatch(piece + " " + piece, r.pair), r.pair
