@@ -437,6 +437,91 @@ def cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_ITERS = 2  # Lloyd rounds (fixed so the oracle can unroll them)
+
+
+def embedding_kmeans(
+    spark: SparkSession, sf_dir: str, iters: int = KM_ITERS
+) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm): the coarse-quantizer
+    TRAINER the IVF family's seed heuristic stands in for. Initial
+    centroids are the deterministic seed vectors (vec_id % 97 == 0); each
+    of ``KM_ITERS`` rounds assigns every vector to its nearest centroid
+    (squared L2, centroid-id tiebreak) and recomputes centroids as
+    per-dimension means; output is the final assignment's per-cluster
+    size and inertia.
+
+    Scale shape — the standard Spark k-means layout (what MLlib does):
+    centroids are K×dim rows of model state, always broadcast; each
+    round scores |corpus|×K rows map-side (codegen'd unrolled distance,
+    built as one parsed SQL string — see ``vectors.sq_dist_unrolled``)
+    and collapses them in a struct-min partial aggregate BEFORE the
+    exchange, so the assignment shuffle carries one row per vector; the
+    update aggregates (cluster, dim, x) triples with map-side combine,
+    so its shuffle carries K×dim×partitions rows, never the corpus. The
+    driver loop only orchestrates — each round's centroid table is
+    ~K×dim values, ``localCheckpoint``-ed to truncate lineage (the loop
+    would otherwise double the plan depth per round).
+
+    Determinism across engines: distances are ascending-index folds
+    (bit-identical, see ``functions/vectors.sq_dist``); ties break on
+    centroid id; per-dimension means accumulate in DECIMAL(25,10)
+    (order-free) and divide in double; a cluster that loses all members
+    drops out on both engines identically."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") % IVF_SEED_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def assign(cents: DataFrame, keep_v: bool) -> DataFrame:
+        # slim argmin: the broadcast join scores |corpus|×K rows map-side
+        # with the codegen'd unrolled distance; the struct-min aggregate
+        # (d2 first, centroid id as deterministic tiebreak) combines
+        # map-side, so the shuffle carries one row per vector — the
+        # 64-dim array rides along only when the update needs it, and
+        # never fans out K-fold (a row's K scored copies collapse in the
+        # partial aggregate before the exchange).
+        d2 = V.sq_dist_unrolled("v", "cv")
+        aggs = [F.min(F.struct(d2.alias("d2"), F.col("cid"))).alias("s")]
+        if keep_v:
+            aggs.append(F.first("v").alias("v"))
+        return (
+            emb.join(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(*aggs)
+        )
+
+    for _ in range(iters):
+        assigned = assign(centroids, keep_v=True)
+        centroids = (
+            assigned.select(F.col("s.cid").alias("cid"), "v")
+            .select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg((F.sum(ex.dec("x")).cast("double") / F.count("x")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.m,
+                ).alias("cv")
+            )
+            # K×dim rows of model state: materialize eagerly so each
+            # round's plan starts from the small table, not the whole
+            # history of prior rounds
+            .localCheckpoint()
+        )
+    return (
+        assign(centroids, keep_v=False)
+        .select(F.col("s.cid").alias("cluster"), F.col("s.d2").alias("d2"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            ex.dsum("d2", 6).alias("inertia"),
+            ex.davg("d2").alias("avg_d2"),
+        )
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label per-dimension centroid (posexplode → groupBy(label, dim)).
     640 output rows at 10 labels × 64 dims; the aggregation is partial
@@ -591,6 +676,60 @@ def _dup_sql() -> str:
 
 ORACLE["embedding_cosine_dups"] = _dup_sql()
 
+
+def _km_assign_sql(cent: str, out: str) -> str:
+    """One Lloyd assignment round: nearest centroid by squared L2 with a
+    centroid-id tiebreak (same fold order as Spark's sq_dist)."""
+    diff = f"list_transform(range(1, {V.DIM} + 1), i -> e.v[i] - c.cv[i])"
+    return f"""
+    , {out} AS (
+        SELECT vec_id, v, cid, d2 FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   list_dot_product({diff}, {diff}) AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id ORDER BY d2, c.cid) AS r
+            FROM e CROSS JOIN {cent} c
+        ) WHERE r = 1
+    )"""
+
+
+def _km_update_sql(assigned: str, out: str) -> str:
+    """Centroid update: per-dimension DECIMAL-exact mean, repacked into a
+    dim-ordered list."""
+    return f"""
+    , {out} AS (
+        SELECT cid, list(m ORDER BY dim) AS cv FROM (
+            SELECT cid, d.d AS dim,
+                   CAST(SUM(CAST(v[d.d + 1] AS {ex.SQL_DEC})) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM {assigned} CROSS JOIN
+                 (SELECT UNNEST(range(0, {V.DIM})) AS d) AS d
+            GROUP BY cid, d.d
+        ) GROUP BY cid
+    )"""
+
+
+ORACLE["embedding_kmeans"] = (
+    f"""
+    WITH e AS (
+        SELECT vec_id, {_V} AS v FROM embeddings
+    ), c0 AS (
+        SELECT vec_id AS cid, v AS cv FROM e
+        WHERE vec_id % {IVF_SEED_MOD} = 0
+    )"""
+    + _km_assign_sql("c0", "a0")
+    + _km_update_sql("a0", "c1")
+    + _km_assign_sql("c1", "a1")
+    + _km_update_sql("a1", "c2")
+    + _km_assign_sql("c2", "af")
+    + f"""
+    SELECT cid AS cluster, COUNT(*) AS n_vectors,
+           {ex.dsum_sql("d2", 6)} AS inertia,
+           {ex.davg_sql("d2")} AS avg_d2
+    FROM af GROUP BY cid
+"""
+)
+
 ORACLE["knn_pq"] = f"""
     WITH e AS (
         SELECT vec_id, {_V} AS v FROM embeddings
@@ -720,6 +859,7 @@ QUERIES = {
     "knn_pq": knn_pq,
     "knn_ivfpq": knn_ivfpq,
     "embedding_cosine_dups": cosine_dup_pairs,
+    "embedding_kmeans": embedding_kmeans,
     "embedding_label_centroids": label_centroids,
     "embedding_norm_stats": norm_stats,
 }

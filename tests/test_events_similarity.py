@@ -211,3 +211,36 @@ def test_knn_ivfpq_agrees_with_pq_on_shared_pairs(spark):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         d = [r.approx_d2 for r in rs]
         assert d == sorted(d)
+
+
+def test_kmeans_single_seed_collapses_to_one_cluster(spark, emb_dir):
+    # the crafted corpus has one seed (vec 0) -> K = 1: everything lands in
+    # its cluster and the centroid is the global mean
+    rows = sim.embedding_kmeans(spark, emb_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].n_vectors == 20
+    assert rows[0].inertia > 0
+
+
+def test_kmeans_lloyd_iterations_never_increase_inertia(spark):
+    from tests.conftest import SF_SMOKE
+
+    def total_inertia(iters):
+        rows = sim.embedding_kmeans(spark, SF_SMOKE, iters=iters).collect()
+        return sum(r.inertia for r in rows), rows
+
+    i0, _ = total_inertia(0)
+    i2, rows = total_inertia(2)
+    assert i2 <= i0  # Lloyd monotonicity
+    # every vector is assigned exactly once
+    from automotive_big_data_analysis_spark.catalog import load_table
+
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n
+    # cluster count is bounded by the seed count and never zero
+    n_seeds = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .where(F.col("vec_id") % sim.IVF_SEED_MOD == 0)
+        .count()
+    )
+    assert 0 < len(rows) <= n_seeds
