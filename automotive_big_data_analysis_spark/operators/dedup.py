@@ -434,9 +434,17 @@ def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries one 65-column partial row per (partition, doc) instead of 16
     exploded rows per token, and there's one aggregation, not two."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = spread(docs.select("doc_id", "text")).select(
-        "doc_id", F.explode(F.array_distinct(tx.tokens("text"))).alias("t")
-    ).select("doc_id", F.md5("t").alias("h"))
+    # explode_outer: the inferred size>0 filter of plain explode would run
+    # the tokenizer regexp a second time per row (cf. _shingle_df)
+    tok = (
+        spread(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(tx.tokens("text"))).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+        .select("doc_id", F.md5("t").alias("h"))
+    )
     nibs = tok.select(
         "doc_id",
         *[

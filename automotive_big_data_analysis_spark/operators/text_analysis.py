@@ -65,7 +65,10 @@ def word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vocabulary|-sized; TakeOrdered avoids a global sort."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(tx.tokens("text")).alias("w"))
+        # explode_outer: plain explode infers a size>0 filter that runs
+        # the tokenizer regexp a second time per row
+        docs.select(F.explode_outer(tx.tokens("text")).alias("w"))
+        .where(F.col("w").isNotNull())
         .select(F.lower("w").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
@@ -129,7 +132,11 @@ def lang_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.substring(F.col("nt"), i, 3),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    tri = staged.select("doc_id", "lang", F.explode(tg_arr).alias("tg"))
+    # explode_outer avoids the inferred size>0 filter re-building the
+    # trigram array a second time per row (cf. dedup._shingle_df)
+    tri = staged.select(
+        "doc_id", "lang", F.explode_outer(tg_arr).alias("tg")
+    ).where(F.col("tg").isNotNull())
     w_prof = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tg"))
     prof = (
         tri.groupBy("lang", "tg")
