@@ -67,17 +67,13 @@ _SWEEP_PRIORITY = [
     "rollup_order_counts",
     "revenue_by_nation",
     "customer_running_balance",      # exact windowed running sum
-    "events_hourly_rollup",
     "events_sessionize",             # r3's one hash-FAIL (flaky) — fixed
     "events_session_window",         # minimal-projection rework
     "events_type_share",
     "events_top_users",
     "events_props_value_per_type",   # from_json rewrite
-    "sample_lineitem_stats",
-    "sample_orders_split",
     "bucketed_join_revenue",
     "embedding_label_centroids",     # exact-avg migration
-    "embedding_norm_stats",
     "text_wordpiece_stats",          # exact fanout-avg migration
     # (c) modified or new late in round 4 — must carry a current-round row
     "salted_type_totals",            # from_json rewrite
@@ -87,12 +83,25 @@ _SWEEP_PRIORITY = [
     "dedup_ngram_pairs",             # pipeline_curation_report reuses it
     "dedup_cdc_chunks",              # NEW: content-defined chunking
     "multimodal_media_features",     # first-ever oracle (exact stat defs)
+    # (d) generate-path rework late in round 4 (explode_outer + staged
+    # token arrays) — the queries whose SEMANTIC code path changed last
+    "events_props_key_rollup",       # explode_outer over from_json map
+    "dedup_keep_stats",              # consumes the reworked shingle table
+    "text_word_topk",                # explode_outer over tokens
+    "text_lang_trigram_confusion",   # explode_outer over trigram array
 ]
-# Displaced to make room for late-round-4 modifications (all unmodified
-# since r1 and green in r1+r2; still covered by ORACLE_FULL_r04.txt and
-# tests/): customer_supplier_nations (INTERSECT), events_sliding_counts,
-# sample_stratified_documents, top_parts_per_brand, order_price_delta.
-# Rotate them back next round.
+# Displaced to make room for late-round-4 modifications (all green in r3
+# or r1+r2, unchanged by the late-round generate rework, and their
+# exact-sum migration pattern is represented by in-window peers; all
+# covered by ORACLE_FULL_r04.txt / ORACLE_ALT_r04.txt and tests/):
+# customer_supplier_nations (INTERSECT), events_sliding_counts,
+# sample_stratified_documents, top_parts_per_brand, order_price_delta,
+# events_hourly_rollup, sample_lineitem_stats, sample_orders_split,
+# embedding_norm_stats. Queries first registered late in round 4
+# (knn_pq, knn_ivfpq, dedup_cdc_chunks — now in-window —
+# text_bpe_pairs, contamination_stats, pack_token_shards,
+# temperature_rebalance, embedding_kmeans, pipeline_curation_sampled)
+# carry local oracle evidence; rotate them in next round.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
