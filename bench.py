@@ -97,33 +97,47 @@ def main() -> None:
 
     queries = entrymod.queries()
 
-    # The dedup family stages shared intermediates (shingle table, verified
-    # pair list) in executor memory while its consumers run. Group those
-    # consumers LAST and release the caches when they finish, so resident
-    # blocks never tax unrelated queries with eviction/GC pressure — in a
-    # production pipeline these are staged tables with a bounded lifetime,
-    # not session-lifetime cache (round-3 bench measured a diffuse 2-7×
-    # slowdown on every query scheduled after the dedup family).
+    # Two families stage shared intermediates in executor memory while
+    # their consumers run (dedup: shingle table + verified pair list;
+    # similarity: coarse-cell ranking + PQ encode table). Group each
+    # family's consumers together and release its caches when the family
+    # finishes, so resident blocks never tax unrelated queries with
+    # eviction/GC pressure — in a production pipeline these are staged
+    # tables with a bounded lifetime, not session-lifetime cache (round-3
+    # bench measured a diffuse 2-7× slowdown on every query scheduled
+    # after the dedup family when its caches stayed resident).
+    from automotive_big_data_analysis_spark.operators import dedup, similarity
+
     def _uses_dedup_cache(name: str) -> bool:
         return name.startswith("dedup_") or name.startswith("pipeline_")
 
+    def _uses_sim_cache(name: str) -> bool:
+        return name.startswith("knn_") or name.startswith("embedding_")
+
     rest = [n for n in sorted(queries) if n not in HEADLINE]
-    names = (
-        [n for n in HEADLINE if n in queries]
-        + [n for n in rest if not _uses_dedup_cache(n)]
-        + [n for n in rest if _uses_dedup_cache(n)]
-    )
+    groups = [
+        (
+            [n for n in HEADLINE if n in queries]
+            + [
+                n
+                for n in rest
+                if not _uses_dedup_cache(n) and not _uses_sim_cache(n)
+            ],
+            None,
+        ),
+        ([n for n in rest if _uses_sim_cache(n)], similarity.release),
+        ([n for n in rest if _uses_dedup_cache(n)], dedup.release),
+    ]
     calib_before = _calibrate()
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        queries[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+    for names, release in groups:
+        for name in names:
+            t0 = time.time()
+            queries[name](spark, sf_dir).collect()
+            timings[name] = round(time.time() - t0, 3)
+        if release is not None:
+            release()
     calib_after = _calibrate()
-
-    from automotive_big_data_analysis_spark.operators import dedup
-
-    dedup.release()
     total = round(sum(timings.values()), 3)
     # Key order matters: the driver records only the TAIL of stdout
     # (BENCH_r03.json shows the line truncated from the front with
