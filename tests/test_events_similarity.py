@@ -244,3 +244,22 @@ def test_kmeans_lloyd_iterations_never_increase_inertia(spark):
         .count()
     )
     assert 0 < len(rows) <= n_seeds
+
+
+def test_similarity_index_memo_lifecycle(spark):
+    """The cell ranking and PQ encode table are memoized per (session,
+    corpus), shared by the IVF/PQ family, and rebuild identically after
+    release() — mirror of the dedup staged-intermediate lifecycle."""
+    from tests.conftest import SF_SMOKE
+
+    before = sim.knn_ivfpq(spark, SF_SMOKE).collect()
+    keys = [k for k in sim._SHARED if k[1] == SF_SMOKE]
+    assert {k[2] for k in keys} == {"ivf_cells", "pq_dists"}
+    # knn_ivf reuses the memoized cell ranking (no new entries appear)
+    sim.knn_ivf(spark, SF_SMOKE).collect()
+    assert len([k for k in sim._SHARED if k[1] == SF_SMOKE]) == 2
+    assert sim.release(SF_SMOKE) == 2
+    assert not any(k[1] == SF_SMOKE for k in sim._SHARED)
+    after = sim.knn_ivfpq(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    sim.release(SF_SMOKE)
