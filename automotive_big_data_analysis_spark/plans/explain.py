@@ -18,6 +18,28 @@ def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def formatted_plan(df: DataFrame) -> str:
+    """`explain("formatted")` as a string. Unlike ``toString`` (which
+    elides long expressions), the formatted mode prints every operator's
+    FULL condition/projection — required when asserting what a Filter
+    actually evaluates."""
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def filters_containing(df: DataFrame, needle: str) -> int:
+    """How many Filter operators in the plan evaluate an expression
+    containing ``needle``. Guard against Catalyst's inferred-from-Generate
+    filters re-inlining an expensive staged pipeline (tokenizer regexp,
+    from_json) into a per-row pre-shuffle filter."""
+    count = 0
+    for block in formatted_plan(df).split("\n\n"):
+        lines = block.strip().splitlines()
+        if lines and ") Filter" in lines[0] and needle in block:
+            count += 1
+    return count
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All PushedFilters lists appearing in the plan's parquet scans."""
     return re.findall(r"PushedFilters: \[([^\]\n]*)", physical_plan(df))

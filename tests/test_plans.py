@@ -215,3 +215,30 @@ def test_cdc_chunks_single_wide_shuffle(spark):
     plan = px.physical_plan(df)
     assert "Join" not in plan
     assert px.shuffle_count(df) <= 3
+
+
+def test_generate_paths_keep_tokenizer_out_of_filters(spark):
+    """Regression guard for the explode inferred-filter pathology: plain
+    explode over a staged array infers a size>0 filter that Catalyst
+    pushes below the staging exchange, re-running the tokenizer regexp
+    per row (measured 14x on the 8-gram explode; detection validated to
+    flag the plain-explode formulation of these exact plans). The guard
+    reads the FORMATTED plan — toString elides long filter conditions,
+    which would make the assertion vacuous."""
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.operators import (
+        dedup,
+        text_analysis,
+        training_prep,
+    )
+
+    dedup.release()
+    dfs = [
+        dedup._shingle_df(load_table(spark, SF, "documents")),
+        text_analysis.word_topk(spark, SF),
+        training_prep.contamination_stats(spark, SF),
+        training_prep.bpe_pair_stats(spark, SF),
+    ]
+    for df in dfs:
+        assert px.filters_containing(df, "regexp_extract_all") == 0
+    dedup.release()
