@@ -218,12 +218,16 @@ def temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
     min_count = counts.agg(F.min("n_docs").alias("min_docs"))
+    # sqrt, not pow(x, 0.5): sqrt is IEEE-correctly-rounded on BOTH
+    # engines; libm pow is not, and an ulp disagreement at a floor
+    # boundary would flip a rate between Spark and the oracle. (α = 0.5
+    # makes the exponent exactly 1/2; a different α would need a shared
+    # exact formulation.)
     rates = counts.join(F.broadcast(min_count)).select(
         "lang",
         "n_docs",
         F.floor(
-            F.lit(1000.0)
-            * F.pow(F.col("min_docs") / F.col("n_docs"), 1.0 - TEMP_ALPHA)
+            F.lit(1000.0) * F.sqrt(F.col("min_docs") / F.col("n_docs"))
         )
         .cast("int")
         .alias("rate_permille"),
@@ -351,10 +355,9 @@ ORACLE: dict[str, str] = {
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
         ), rates AS (
             SELECT lang, n_docs,
-                   CAST(FLOOR(1000.0 * POW(
+                   CAST(FLOOR(1000.0 * SQRT(
                        CAST((SELECT MIN(n_docs) FROM counts) AS DOUBLE)
-                           / n_docs,
-                       {1.0 - TEMP_ALPHA})) AS INTEGER) AS rate_permille
+                           / n_docs)) AS INTEGER) AS rate_permille
             FROM counts
         ), kept AS (
             SELECT d.lang, COUNT(*) AS n_kept
