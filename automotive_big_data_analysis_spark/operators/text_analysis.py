@@ -199,6 +199,50 @@ def wordpiece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REP_N = 5  # repetition measured over word-5-grams
+REP_THRESHOLD = 0.2  # flag docs where ≥20% of 5-grams are repeats
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition per language — the boilerplate /
+    degenerate-text quality signal (docs dominated by repeated n-grams:
+    templated pages, keyword stuffing, generation loops). A document's
+    repetition ratio is the fraction of its word-5-grams that duplicate
+    an earlier one: ``1 − distinct/total``; per-lang output counts docs,
+    flags heavy repeaters, and averages the ratio exactly.
+
+    Plan shape: token arrays stage behind one narrow exchange (the gram
+    lambda slices a bound attribute — see ``dedup._shingle_df``); the
+    ratio is pure per-row array arithmetic with NO explode (nothing ever
+    fans out), and the only other exchange is the |langs|-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("lang", tx.tokens("text").alias("toks")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tk = F.col("toks")
+    grams = F.when(
+        F.size(tk) >= REP_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (REP_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, REP_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_g = F.size(grams)
+    n_u = F.size(F.array_distinct(grams))
+    ratio = F.when(n_g > 0, (n_g - n_u) / n_g).otherwise(F.lit(0.0))
+    return (
+        staged.select("lang", ratio.alias("rep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("rep") >= REP_THRESHOLD).cast("int"))
+            .cast("long")
+            .alias("n_repetitive"),
+            ex.davg("rep").alias("avg_repetition"),
+        )
+    )
+
+
 def fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-md5 fingerprint dedup stats per source: total docs,
     distinct fingerprints, duplicate docs (reference has no dedup; op
@@ -351,6 +395,30 @@ ORACLE["text_lang_trigram_confusion"] = rf"""
     GROUP BY 1, 2
 """
 
+ORACLE["text_repetition_stats"] = rf"""
+    WITH g AS (
+        SELECT lang,
+               list_transform(
+                   range(1, GREATEST(len({_TOKENS}) - {REP_N - 1}, 0) + 1),
+                   i -> list_aggregate(
+                       list_slice({_TOKENS}, i, i + {REP_N - 1}),
+                       'string_agg', ' ')) AS gs
+        FROM documents
+    ), r AS (
+        SELECT lang,
+               CASE WHEN len(gs) > 0
+                    THEN CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE)
+                         / len(gs)
+                    ELSE 0.0 END AS rep
+        FROM g
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rep >= {REP_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repetitive,
+           {ex.davg_sql("rep")} AS avg_repetition
+    FROM r GROUP BY lang
+"""
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_scores": quality_scores,
@@ -358,5 +426,6 @@ QUERIES = {
     "text_lang_confusion": lang_confusion,
     "text_lang_trigram_confusion": lang_trigram_confusion,
     "text_wordpiece_stats": wordpiece_stats,
+    "text_repetition_stats": repetition_stats,
     "text_fingerprint_stats": fingerprint_stats,
 }

@@ -158,3 +158,24 @@ def test_salted_sum_count_equals_plain_groupby(spark):
             for r in salted_sum_count(df, "k", "v", salt_on=salt_on).collect()
         }
         assert salted == plain
+
+
+def test_repetition_stats_exact_ratio(spark, tmp_path_factory):
+    from automotive_big_data_analysis_spark.operators import text_analysis as ta
+
+    path = str(tmp_path_factory.mktemp("repdocs"))
+    # cycled doc: 15 tokens -> 11 5-grams, 5 distinct -> ratio 6/11
+    cyc = " ".join(["a b c d e"] * 3)
+    rows = [
+        (0, cyc, "en", "s", len(cyc)),
+        (1, "too short", "en", "s", 9),  # <5 tokens -> ratio 0
+        (2, "v w x y z q r s t u", "fr", "s", 19),  # all distinct -> 0
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    got = {r.lang: r for r in ta.repetition_stats(spark, path).collect()}
+    assert got["en"].n_docs == 2
+    assert got["en"].n_repetitive == 1  # only the cycled doc crosses 0.2
+    assert got["en"].avg_repetition == round((6 / 11 + 0.0) / 2, 6)
+    assert got["fr"].n_repetitive == 0 and got["fr"].avg_repetition == 0.0
