@@ -100,6 +100,7 @@ _SWEEP_PRIORITY = [
 # embedding_norm_stats. Queries first registered late in round 4
 # (knn_pq, knn_ivfpq, dedup_cdc_chunks — now in-window —
 # text_bpe_pairs, contamination_stats, pack_token_shards, text_repetition_stats,
+# events_funnel,
 # temperature_rebalance, embedding_kmeans, pipeline_curation_sampled)
 # carry local oracle evidence; rotate them in next round.
 

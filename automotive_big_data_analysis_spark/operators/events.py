@@ -158,6 +158,59 @@ def props_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per stage,
+    how many users reached it and the mean lag from the previous stage.
+    A user reaches stage k at the EARLIEST event of that type that is
+    strictly after their stage-(k−1) time — the standard funnel
+    definition (later steps must follow earlier ones in event time).
+
+    Scale shape: one pass per stage, each a per-user min aggregate
+    (map-side partial combine) joined to the previous stage's per-user
+    times on ``user_id`` — co-partitioned joins on the same key, so AQE
+    reuses the exchange; no windows over the raw event stream and
+    nothing user-quadratic. Output is |stages| rows.
+
+    Determinism: timestamps compare at full µs precision; lags aggregate
+    as whole seconds (integer math — exact in doubles), averaged and
+    rounded identically on both engines; users with no qualifying event
+    simply drop out of later stages on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", "event_type", "ts")
+
+    def stage_times(step: str, prev: DataFrame | None) -> DataFrame:
+        step_ev = base.where(F.col("event_type") == step)
+        if prev is None:
+            return step_ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        return (
+            step_ev.join(prev.select("user_id", F.col("t").alias("pt")), "user_id")
+            .where(F.col("ts") > F.col("pt"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"), F.min("pt").alias("pt"))
+        )
+
+    out = None
+    prev = None
+    for step in FUNNEL_STEPS:
+        cur = stage_times(step, prev)
+        lag_s = (
+            F.col("t").cast("long") - F.col("pt").cast("long")
+            if prev is not None
+            else F.lit(None).cast("long")
+        )
+        row = cur.select(lag_s.alias("lag_s")).agg(
+            F.lit(step).alias("stage"),
+            F.count("*").alias("n_users"),
+            F.round(F.avg("lag_s"), 6).alias("avg_lag_s"),
+        )
+        out = row if out is None else out.unionByName(row)
+        prev = cur
+    return out
+
+
 def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference ops A4+A5 analog: per-type event value and its share of
     the total (shares sum to 1.0); window over the tiny aggregate only."""
@@ -267,6 +320,38 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+# Funnel note: timestamps compare at native precision on both engines —
+# the corpus is µs-aligned (verified: epoch_ns % 1000 == 0 for every
+# event), so Spark's µs timestamps and DuckDB's ns reads order
+# identically. Lags aggregate as whole seconds (bigint), averaged in
+# double (integer sums are exact), rounded identically.
+ORACLE["events_funnel"] = """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t, MIN(s1.t) AS pt
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t, MIN(s2.t) AS pt
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, COUNT(*) AS n_users,
+           ROUND(AVG(CAST(NULL AS BIGINT)), 6) AS avg_lag_s FROM s1
+    UNION ALL
+    SELECT 'click', COUNT(*),
+           ROUND(AVG(CAST(FLOOR(EPOCH(t)) AS BIGINT)
+                     - CAST(FLOOR(EPOCH(pt)) AS BIGINT)), 6) FROM s2
+    UNION ALL
+    SELECT 'purchase', COUNT(*),
+           ROUND(AVG(CAST(FLOOR(EPOCH(t)) AS BIGINT)
+                     - CAST(FLOOR(EPOCH(pt)) AS BIGINT)), 6) FROM s3
+"""
+
 QUERIES = {
     "events_hourly_rollup": hourly_rollup,
     "events_sliding_counts": sliding_window_counts,
@@ -276,4 +361,5 @@ QUERIES = {
     "events_props_value_per_type": props_value_per_type,
     "events_type_share": event_type_share,
     "events_top_users": top_users,
+    "events_funnel": funnel,
 }

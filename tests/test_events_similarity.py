@@ -263,3 +263,32 @@ def test_similarity_index_memo_lifecycle(spark):
     after = sim.knn_ivfpq(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
     sim.release(SF_SMOKE)
+
+
+def test_funnel_requires_ordered_stages(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("funnel"))
+    rows = [
+        # user 1 completes view(t0) -> click(+60s) -> purchase(+180s)
+        (1, T0, 1, "view", 0.0, "{}"),
+        (2, T0 + timedelta(seconds=60), 1, "click", 0.0, "{}"),
+        (3, T0 + timedelta(seconds=180), 1, "purchase", 0.0, "{}"),
+        # user 2 views then purchases WITHOUT clicking -> stops at view
+        (4, T0, 2, "view", 0.0, "{}"),
+        (5, T0 + timedelta(seconds=30), 2, "purchase", 0.0, "{}"),
+        # user 3 clicks BEFORE viewing -> the early click must not count
+        (6, T0, 3, "click", 0.0, "{}"),
+        (7, T0 + timedelta(seconds=10), 3, "view", 0.0, "{}"),
+        # user 4 never views -> not in the funnel at all
+        (8, T0, 4, "click", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    got = {r.stage: r for r in ev.funnel(spark, path).collect()}
+    assert got["view"].n_users == 3 and got["view"].avg_lag_s is None
+    assert got["click"].n_users == 1  # only user 1 clicked after viewing
+    assert got["click"].avg_lag_s == 60.0
+    assert got["purchase"].n_users == 1
+    assert got["purchase"].avg_lag_s == 120.0
