@@ -79,9 +79,14 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "value"
     )
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order_w)
+    # gap at full microsecond precision (matches the oracle's EPOCH_US):
+    # whole-second casts would declare a 1800.4 s gap "1800" and disagree
+    # with any fractional-second engine on the boundary
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(
+        order_w
+    )
     is_break = F.when(
-        gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), F.lit(1)
+        gap.isNull() | (gap > SESSION_GAP_MINUTES * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     numbered = ev.withColumn("_brk", is_break).withColumn(
         "session_seq",
@@ -242,7 +247,8 @@ _SESSION_CTE = f"""
     WITH ordered AS (
         SELECT user_id, event_id, ts, value,
                CASE WHEN LAG(ts) OVER w IS NULL
-                         OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > {SESSION_GAP_MINUTES * 60}
+                         OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                            > {SESSION_GAP_MINUTES * 60 * 1_000_000}
                     THEN 1 ELSE 0 END AS brk
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -276,9 +282,14 @@ ORACLE: dict[str, str] = {
         FROM sec CROSS JOIN (VALUES (0), (1)) AS k(k)
         GROUP BY 1, 2
     """,
+    # session_seq MUST be cast: DuckDB types the windowed SUM(brk) HUGEINT,
+    # which fetchdf() converts to float64 ("11.0") while Spark emits bigint
+    # ("11") — the driver hashes the rendered values, so the un-cast column
+    # hash-mismatched every round (r1-r4) despite identical row counts
     "events_sessionize": _SESSION_CTE
     + f"""
-        SELECT user_id, session_seq, COUNT(*) AS n_events,
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
                MIN(ts) AS session_start, MAX(ts) AS session_end,
                {ex.dsum_sql("value")} AS session_value
         FROM numbered GROUP BY user_id, session_seq

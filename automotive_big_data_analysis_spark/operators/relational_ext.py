@@ -196,17 +196,38 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct + t-digest quantiles) per
-    return flag — the 100 TB substitutes for exact countDistinct /
-    percentile. No oracle entry: approx sketches are engine-specific, so
-    the driver records the weaker rows-only check."""
+    """Approximate aggregates (HLL distinct + quantile sketch) per return
+    flag — the 100 TB substitutes for exact countDistinct / percentile.
+
+    Sketch values are engine-specific, so raw sketch output can't be
+    hash-compared; instead this emits a TOLERANCE oracle: each sketch is
+    checked in-query against the exact statistic within its published
+    error bound (HLL++ default rsd 0.05 → 3σ ≈ 15 %; percentile_approx
+    accuracy 1000 → rank error 0.001, checked against exact quantiles at
+    0.5 ± 0.005). The booleans plus the exact anchors ARE deterministic
+    and hash-comparable, so a sketch drifting out of bound fails the
+    driver gate. The exact aggregates exist only to verify the sketches
+    at test scale; at 100 TB one would run the sketch side alone."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.round(
-            F.percentile_approx("l_extendedprice", 0.5, 1000), 2
-        ).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("_hll"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_amed"),
+        F.percentile("l_extendedprice", F.lit(0.495)).alias("_lo"),
+        F.percentile("l_extendedprice", F.lit(0.505)).alias("_hi"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "exact_parts",
+        (
+            F.abs(F.col("_hll") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).alias("hll_within_tol"),
+        F.col("_amed").between(F.col("_lo"), F.col("_hi")).alias(
+            "median_within_tol"
+        ),
     )
 
 
@@ -272,6 +293,16 @@ ORACLE["salted_type_totals"] = """
            CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS total_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
+"""
+# tolerance oracle: the booleans are computed Spark-side (sketch vs exact
+# within published bounds); the oracle asserts they are TRUE and pins the
+# exact anchors, so the sketches are gated without being hash-compared raw
+ORACLE["approx_part_stats"] = """
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_within_tol,
+           TRUE AS median_within_tol
+    FROM lineitem GROUP BY l_returnflag
 """
 ORACLE["cube_order_stats"] = f"""
     SELECT o_orderstatus, o_orderpriority,

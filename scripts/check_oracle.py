@@ -40,6 +40,26 @@ def frame_fingerprint(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(df), cols, digest
 
 
+def dtype_splits(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Column-level dtype-kind mismatches the hash canonicalization would
+    mask but a stricter harness (the driver's) would not.
+
+    The round-1..4 ``events_sessionize`` failure was exactly this class:
+    DuckDB's HUGEINT windowed SUM became float64 through ``fetchdf()``
+    ("11.0") while Spark emitted int64 ("11") — ``canonical()`` collapses
+    integral floats so the local hash matched while the driver's did not.
+    int-vs-float is the killer; int-width differences and float64 on BOTH
+    sides (nullable long) are fine.
+    """
+    out = []
+    for col in set(spark_pdf.columns) & set(duck_pdf.columns):
+        sk, dk = spark_pdf[col].dtype.kind, duck_pdf[col].dtype.kind
+        norm = {"u": "i"}
+        if norm.get(sk, sk) != norm.get(dk, dk):
+            out.append(f"{col}: spark={spark_pdf[col].dtype} oracle={duck_pdf[col].dtype}")
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -94,6 +114,11 @@ def main() -> int:
             continue
         sn, sc, sh = frame_fingerprint(spark_pdf)
         dn, dc, dh = frame_fingerprint(duck_pdf)
+        splits = dtype_splits(spark_pdf, duck_pdf)
+        if splits:
+            failures.append(name)
+            print(f"FAIL  {name}: dtype split (driver-visible): {splits}")
+            continue
         if (sn, sc, sh) == (dn, dc, dh):
             print(f"ok    {name}: rows={sn} hash={sh} ({took:.1f}s)")
         else:
