@@ -39,8 +39,13 @@ _SHARED: dict[tuple, DataFrame] = {}
 
 def _shared_put(key: tuple, df: DataFrame) -> DataFrame:
     for other in [k for k in _SHARED if k[:2] != key[:2]]:
+        old = _SHARED.pop(other, None)
+        # eagerly release the localCheckpoint blocks (per round-4 advice:
+        # dropping the dict reference alone leaves the blocks resident
+        # until Python GC + ContextCleaner get around to them, and
+        # dead-session entries linger until the next cross-corpus touch)
         try:
-            _SHARED.pop(other)
+            old.rdd.unpersist()
         except Exception:
             pass
     _SHARED[key] = df
@@ -121,14 +126,80 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_SEED_MOD = 97  # vec_id % 97 == 0 → deterministic coarse centroids
+IVF_SEED_MOD = 97  # every 97th vec_id is an initializer candidate
+IVF_K = 64  # max coarse cells — FIXED, independent of corpus size
 NPROBE = 2  # cells probed per query
 
-
-def _seeds(emb: DataFrame) -> DataFrame:
-    return emb.where(F.col("vec_id") % IVF_SEED_MOD == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+# Initializer: the first IVF_K candidates of the deterministic seed rule.
+# The cap is the scale fix for the round-4 flagged flaw — uncapped
+# (vec_id % 97) cells grow LINEARLY with the corpus, making the
+# |corpus| × |cells| coarse-assignment and PQ-encode passes O(N²/97) at
+# 100×. With K fixed (production: 256–65536, tuned to corpus size; 64
+# here so every test SF exercises the cap path structure), those passes
+# are O(N·K) — linear in the corpus. At the test SFs (≤2000 vectors) the
+# cap does not bind, so the initializer picks the same ids as before.
+def _seed_cond():
+    return (F.col("vec_id") % IVF_SEED_MOD == 0) & (
+        F.col("vec_id") < IVF_SEED_MOD * IVF_K
     )
+
+
+def _train_centroids(emb: DataFrame, iters: int) -> DataFrame:
+    """(cid, cv): Lloyd-trained centroids from the capped deterministic
+    initializer — the coarse-quantizer TRAINER (``embedding_kmeans`` is
+    the same loop exposed as a query; the IVF/PQ family consumes this).
+
+    Each round scores |corpus| × K rows map-side against a BROADCAST
+    centroid table (codegen'd unrolled squared-L2, centroid-id tiebreak),
+    collapses them in a struct-min partial aggregate before the exchange
+    (one row per vector crosses the wire), and recomputes per-dimension
+    means with map-side combine (K × dim × partitions shuffle rows). The
+    K×dim model state is ``localCheckpoint``-ed per round to truncate
+    lineage. Determinism across engines: ascending-index distance folds,
+    cid tiebreaks, DECIMAL(25,10) mean accumulation (order-free)."""
+    cents = emb.where(_seed_cond()).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        d2 = V.sq_dist_unrolled("v", "cv")
+        assigned = (
+            emb.join(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(d2.alias("d2"), F.col("cid"))).alias("s"),
+                F.first("v").alias("v"),
+            )
+        )
+        cents = (
+            assigned.select(F.col("s.cid").alias("cid"), "v")
+            .select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg((F.sum(ex.dec("x")).cast("double") / F.count("x")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.m,
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell_id, cv): the TRAINED fixed-K coarse codebook, built once per
+    (session, corpus) and memoized — in production it is trained per
+    corpus snapshot and stored with the index. Every IVF-family search
+    (knn_ivf / knn_pq / knn_ivfpq) reads this table; it is always tiny
+    (≤ IVF_K rows) and always broadcast."""
+    key = (spark.sparkContext.applicationId, sf_dir, "ivf_codebook")
+    if key in _SHARED:
+        return _SHARED[key]
+    cb = _train_centroids(_emb(spark, sf_dir), KM_ITERS).select(
+        F.col("cid").alias("cell_id"), F.col("cv")
+    )
+    return _shared_put(key, cb)
 
 
 def _ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,7 +215,7 @@ def _ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _SHARED:
         return _SHARED[key]
     emb = _emb(spark, sf_dir)
-    seeds = _seeds(emb)
+    seeds = _codebook(spark, sf_dir)
     cell_rank = emb.join(F.broadcast(seeds)).select(
         "vec_id",
         "cell_id",
@@ -163,13 +234,14 @@ def _ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via an IVF-style coarse quantizer: deterministic seed
-    vectors (vec_id % 97 == 0) define cells; every vector is assigned to
-    its nearest seed by cosine; each query scores only vectors in its
-    NPROBE nearest cells.
+    """ANN top-5 via an IVF coarse quantizer: a TRAINED fixed-K codebook
+    (``_codebook`` — Lloyd's algorithm from the capped deterministic
+    initializer) defines cells; every vector is assigned to its nearest
+    centroid by cosine; each query scores only vectors in its NPROBE
+    nearest cells.
 
-    Scale shape: assignment is |corpus| × |cells| against a broadcast
-    seed set (cells ≈ √N keeps that linear-ish); search is bucket-local
+    Scale shape: assignment is |corpus| × K against a broadcast codebook
+    (K fixed → linear in the corpus); search is bucket-local
     like the LSH variant, but cells follow the data distribution instead
     of random hyperplanes, so recall degrades more gracefully on
     clustered corpora. At 100 TB the cell id becomes the partition key
@@ -224,7 +296,7 @@ def _pq_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _SHARED:
         return _SHARED[key]
     emb = _emb(spark, sf_dir)
-    seeds = _seeds(emb)
+    seeds = _codebook(spark, sf_dir)
     ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
     subs = emb.select("vec_id", ms, "v").select(
         "vec_id",
@@ -252,8 +324,10 @@ def _pq_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via product quantization with asymmetric distance
     computation (ADC) — the memory-side ANN method: each vector compresses
-    to ``PQ_M`` codebook ids (one per 8-dim subspace; codebooks are the
-    deterministic seed vectors' subvectors), and a query scores a vector
+    to ``PQ_M`` codebook ids (one per 8-dim subspace; sub-codebooks are
+    the trained coarse centroids' subvectors — a shared-codebook
+    simplification of classic per-subspace PQ training that keeps the
+    encode pass |corpus| × K × M with K fixed), and a query scores a vector
     by summing its PRECOMPUTED query→centroid sub-distances for the
     vector's codes — the scan touches 8 small ints per vector, never the
     floats.
@@ -465,12 +539,12 @@ def embedding_kmeans(
     spark: SparkSession, sf_dir: str, iters: int = KM_ITERS
 ) -> DataFrame:
     """Distributed k-means (Lloyd's algorithm): the coarse-quantizer
-    TRAINER the IVF family's seed heuristic stands in for. Initial
-    centroids are the deterministic seed vectors (vec_id % 97 == 0); each
-    of ``KM_ITERS`` rounds assigns every vector to its nearest centroid
-    (squared L2, centroid-id tiebreak) and recomputes centroids as
-    per-dimension means; output is the final assignment's per-cluster
-    size and inertia.
+    TRAINER, exposed as a query — the IVF family consumes the same loop
+    through ``_codebook``. Initial centroids are the capped deterministic
+    seed set (``_seed_cond``, ≤ IVF_K vectors); each of ``KM_ITERS``
+    rounds assigns every vector to its nearest centroid (squared L2,
+    centroid-id tiebreak) and recomputes centroids as per-dimension
+    means; output is the final assignment's per-cluster size and inertia.
 
     Scale shape — the standard Spark k-means layout (what MLlib does):
     centroids are K×dim rows of model state, always broadcast; each
@@ -490,50 +564,15 @@ def embedding_kmeans(
     (order-free) and divide in double; a cluster that loses all members
     drops out on both engines identically."""
     emb = _emb(spark, sf_dir)
-    centroids = emb.where(F.col("vec_id") % IVF_SEED_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    centroids = _train_centroids(emb, iters)
+    d2 = V.sq_dist_unrolled("v", "cv")
+    final = (
+        emb.join(F.broadcast(centroids))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(d2.alias("d2"), F.col("cid"))).alias("s"))
     )
-
-    def assign(cents: DataFrame, keep_v: bool) -> DataFrame:
-        # slim argmin: the broadcast join scores |corpus|×K rows map-side
-        # with the codegen'd unrolled distance; the struct-min aggregate
-        # (d2 first, centroid id as deterministic tiebreak) combines
-        # map-side, so the shuffle carries one row per vector — the
-        # 64-dim array rides along only when the update needs it, and
-        # never fans out K-fold (a row's K scored copies collapse in the
-        # partial aggregate before the exchange).
-        d2 = V.sq_dist_unrolled("v", "cv")
-        aggs = [F.min(F.struct(d2.alias("d2"), F.col("cid"))).alias("s")]
-        if keep_v:
-            aggs.append(F.first("v").alias("v"))
-        return (
-            emb.join(F.broadcast(cents))
-            .groupBy("vec_id")
-            .agg(*aggs)
-        )
-
-    for _ in range(iters):
-        assigned = assign(centroids, keep_v=True)
-        centroids = (
-            assigned.select(F.col("s.cid").alias("cid"), "v")
-            .select("cid", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cid", "dim")
-            .agg((F.sum(ex.dec("x")).cast("double") / F.count("x")).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s.m,
-                ).alias("cv")
-            )
-            # K×dim rows of model state: materialize eagerly so each
-            # round's plan starts from the small table, not the whole
-            # history of prior rounds
-            .localCheckpoint()
-        )
     return (
-        assign(centroids, keep_v=False)
-        .select(F.col("s.cid").alias("cluster"), F.col("s.d2").alias("d2"))
+        final.select(F.col("s.cid").alias("cluster"), F.col("s.d2").alias("d2"))
         .groupBy("cluster")
         .agg(
             F.count("*").alias("n_vectors"),
@@ -604,13 +643,64 @@ def _knn_sql(candidate_filter: str) -> str:
     """
 
 
+_SEED_WHERE = (
+    f"vec_id % {IVF_SEED_MOD} = 0 AND vec_id < {IVF_SEED_MOD * IVF_K}"
+)
+
+
+def _km_assign_sql(cent: str, out: str) -> str:
+    """One Lloyd assignment round: nearest centroid by squared L2 with a
+    centroid-id tiebreak (same fold order as Spark's sq_dist)."""
+    diff = f"list_transform(range(1, {V.DIM} + 1), i -> e.v[i] - c.cv[i])"
+    return f"""
+    , {out} AS (
+        SELECT vec_id, v, cid, d2 FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   list_dot_product({diff}, {diff}) AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id ORDER BY d2, c.cid) AS r
+            FROM e CROSS JOIN {cent} c
+        ) WHERE r = 1
+    )"""
+
+
+def _km_update_sql(assigned: str, out: str) -> str:
+    """Centroid update: per-dimension DECIMAL-exact mean, repacked into a
+    dim-ordered list."""
+    return f"""
+    , {out} AS (
+        SELECT cid, list(m ORDER BY dim) AS cv FROM (
+            SELECT cid, d.d AS dim,
+                   CAST(SUM(CAST(v[d.d + 1] AS {ex.SQL_DEC})) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM {assigned} CROSS JOIN
+                 (SELECT UNNEST(range(0, {V.DIM})) AS d) AS d
+            GROUP BY cid, d.d
+        ) GROUP BY cid
+    )"""
+
+
+# Unrolled KM_ITERS=2 training rounds ending in the trained codebook
+# (`seeds`): the exact SQL mirror of _train_centroids / _codebook. Every
+# IVF-family oracle shares this prefix so the index structure is
+# bit-identical across engines.
+_TRAIN_CTES = (
+    f"""
+    , c0 AS (
+        SELECT vec_id AS cid, v AS cv FROM e WHERE {_SEED_WHERE}
+    )"""
+    + _km_assign_sql("c0", "ta0")
+    + _km_update_sql("ta0", "tc1")
+    + _km_assign_sql("tc1", "ta1")
+    + _km_update_sql("ta1", "tc2")
+    + """
+    , seeds AS (SELECT cid AS cell_id, cv FROM tc2)"""
+)
+
 _IVF_SQL = f"""
     WITH e AS (
         SELECT vec_id, {_V} AS v FROM embeddings
-    ), seeds AS (
-        SELECT vec_id AS cell_id, v AS cv FROM e
-        WHERE vec_id % {IVF_SEED_MOD} = 0
-    ), scored_cells AS (
+    ){_TRAIN_CTES}, scored_cells AS (
         SELECT e.vec_id, e.v, s.cell_id,
                ROUND(list_dot_product(e.v, s.cv)
                      / (sqrt(list_dot_product(e.v, e.v))
@@ -698,51 +788,12 @@ def _dup_sql() -> str:
 ORACLE["embedding_cosine_dups"] = _dup_sql()
 
 
-def _km_assign_sql(cent: str, out: str) -> str:
-    """One Lloyd assignment round: nearest centroid by squared L2 with a
-    centroid-id tiebreak (same fold order as Spark's sq_dist)."""
-    diff = f"list_transform(range(1, {V.DIM} + 1), i -> e.v[i] - c.cv[i])"
-    return f"""
-    , {out} AS (
-        SELECT vec_id, v, cid, d2 FROM (
-            SELECT e.vec_id, e.v, c.cid,
-                   list_dot_product({diff}, {diff}) AS d2,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id ORDER BY d2, c.cid) AS r
-            FROM e CROSS JOIN {cent} c
-        ) WHERE r = 1
-    )"""
-
-
-def _km_update_sql(assigned: str, out: str) -> str:
-    """Centroid update: per-dimension DECIMAL-exact mean, repacked into a
-    dim-ordered list."""
-    return f"""
-    , {out} AS (
-        SELECT cid, list(m ORDER BY dim) AS cv FROM (
-            SELECT cid, d.d AS dim,
-                   CAST(SUM(CAST(v[d.d + 1] AS {ex.SQL_DEC})) AS DOUBLE)
-                       / COUNT(*) AS m
-            FROM {assigned} CROSS JOIN
-                 (SELECT UNNEST(range(0, {V.DIM})) AS d) AS d
-            GROUP BY cid, d.d
-        ) GROUP BY cid
-    )"""
-
-
 ORACLE["embedding_kmeans"] = (
     f"""
     WITH e AS (
         SELECT vec_id, {_V} AS v FROM embeddings
-    ), c0 AS (
-        SELECT vec_id AS cid, v AS cv FROM e
-        WHERE vec_id % {IVF_SEED_MOD} = 0
-    )"""
-    + _km_assign_sql("c0", "a0")
-    + _km_update_sql("a0", "c1")
-    + _km_assign_sql("c1", "a1")
-    + _km_update_sql("a1", "c2")
-    + _km_assign_sql("c2", "af")
+    ){_TRAIN_CTES}"""
+    + _km_assign_sql("tc2", "af")
     + f"""
     SELECT cid AS cluster, COUNT(*) AS n_vectors,
            {ex.dsum_sql("d2", 6)} AS inertia,
@@ -754,10 +805,7 @@ ORACLE["embedding_kmeans"] = (
 ORACLE["knn_pq"] = f"""
     WITH e AS (
         SELECT vec_id, {_V} AS v FROM embeddings
-    ), seeds AS (
-        SELECT vec_id AS cell_id, v AS cv FROM e
-        WHERE vec_id % {IVF_SEED_MOD} = 0
-    ), subs AS (
+    ){_TRAIN_CTES}, subs AS (
         SELECT vec_id, m.m AS m,
                v[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sv
         FROM e CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
@@ -804,10 +852,7 @@ ORACLE["knn_pq"] = f"""
 ORACLE["knn_ivfpq"] = f"""
     WITH e AS (
         SELECT vec_id, {_V} AS v FROM embeddings
-    ), seeds AS (
-        SELECT vec_id AS cell_id, v AS cv FROM e
-        WHERE vec_id % {IVF_SEED_MOD} = 0
-    ), cr AS (
+    ){_TRAIN_CTES}, cr AS (
         SELECT e.vec_id, s.cell_id,
                ROUND(list_dot_product(e.v, s.cv)
                      / (sqrt(list_dot_product(e.v, e.v))

@@ -254,11 +254,11 @@ def test_similarity_index_memo_lifecycle(spark):
 
     before = sim.knn_ivfpq(spark, SF_SMOKE).collect()
     keys = [k for k in sim._SHARED if k[1] == SF_SMOKE]
-    assert {k[2] for k in keys} == {"ivf_cells", "pq_dists"}
+    assert {k[2] for k in keys} == {"ivf_codebook", "ivf_cells", "pq_dists"}
     # knn_ivf reuses the memoized cell ranking (no new entries appear)
     sim.knn_ivf(spark, SF_SMOKE).collect()
-    assert len([k for k in sim._SHARED if k[1] == SF_SMOKE]) == 2
-    assert sim.release(SF_SMOKE) == 2
+    assert len([k for k in sim._SHARED if k[1] == SF_SMOKE]) == 3
+    assert sim.release(SF_SMOKE) == 3
     assert not any(k[1] == SF_SMOKE for k in sim._SHARED)
     after = sim.knn_ivfpq(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))

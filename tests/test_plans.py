@@ -203,6 +203,22 @@ def test_knn_pq_broadcasts_query_table_over_materialized_codes(spark):
     assert "ExistingRDD" in plan  # the materialized encode table
 
 
+def test_ivf_codebook_fixed_k_and_broadcast(spark):
+    """IVF scale fix (round-4 flag): the coarse codebook is TRAINED with
+    a corpus-independent cell cap, so the |corpus| x |cells| assignment
+    pass stays O(N*K); the codebook side must be broadcast in both the
+    trainer rounds and the search, never shuffled against the corpus."""
+    similarity.release()
+    cb = similarity._codebook(spark, SF)
+    assert cb.count() <= similarity.IVF_K  # fixed K, never corpus-linear
+    df = similarity.knn_ivf(spark, SF)
+    # probes + queries broadcast in the search; the trainer's rounds are
+    # behind the codebook checkpoint
+    assert px.broadcast_join_count(df) >= 2
+    plan = px.physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
 def test_cdc_chunks_single_wide_shuffle(spark):
     """CDC chunking: one narrow exchange stages boundaries (so chunk
     extraction binds `bounds` as an attribute), one hash shuffle
