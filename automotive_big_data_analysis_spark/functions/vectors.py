@@ -75,6 +75,14 @@ def sq_dist_unrolled(a: str, b: str, dim: int = DIM) -> Column:
     :func:`dot_unrolled`): whole-stage-codegen'd, ~10× faster than the
     interpreted fold in scoring loops, bit-identical summation order.
 
+    Unlike :func:`_dot_chain_sql`, this chain deliberately omits the
+    ``CAST(0 AS DOUBLE) +`` fold seed: every term is a non-negative
+    square, so no partial sum can be ``-0.0`` and the seedless chain is
+    bit-equal to the 0.0-seeded fold. That safety argument does NOT hold
+    for signed terms — a seedless signed chain could produce ``-0.0``
+    where the fold gives ``0.0`` — which is why the dot-product chain
+    keeps its seed.
+
     Takes column NAMES and parses one SQL string: building the 256-node
     tree through py4j Column operators costs ~0.5 s of driver time PER
     CONSTRUCTION (one JVM round trip per operator); ``F.expr`` parses the

@@ -28,14 +28,23 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def filters_containing(df: DataFrame, needle: str) -> int:
-    """How many Filter operators in the plan evaluate an expression
+    """How many Filter operators in the plan evaluate a CONDITION
     containing ``needle``. Guard against Catalyst's inferred-from-Generate
     filters re-inlining an expensive staged pipeline (tokenizer regexp,
-    from_json) into a per-row pre-shuffle filter."""
+    from_json) into a per-row pre-shuffle filter.
+
+    Only the block's ``Condition :`` line is searched — the Input/Output
+    attribute lists would false-positive on any attribute whose *name*
+    contains the needle even when the filter never evaluates it."""
     count = 0
     for block in formatted_plan(df).split("\n\n"):
         lines = block.strip().splitlines()
-        if lines and ") Filter" in lines[0] and needle in block:
+        if not lines or ") Filter" not in lines[0]:
+            continue
+        cond = "\n".join(
+            ln for ln in lines if ln.lstrip().startswith("Condition")
+        )
+        if needle in cond:
             count += 1
     return count
 

@@ -1,0 +1,62 @@
+"""Isolated re-pin harness for individually flagged bench queries.
+
+Runs each named query N times back-to-back in a warmed session with the
+all-cores calibration probe recorded before/after every repetition, so a
+perf regression can be separated from ambient host noise (this VM's
+recorded full-suite totals vary 74.7-135.9 s on identical code; see
+COVERAGE.md). Prints one JSON line per query: per-rep seconds, median,
+and the probe readings.
+
+Usage: PYTHONPATH=/root/repo python scripts/pin_bench.py [sf_dir] name...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from bench import _calibrate  # noqa: E402
+from automotive_big_data_analysis_spark import get_spark  # noqa: E402
+
+REPS = 5
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
+    names = args
+    spark = get_spark(app_name="pin_bench")
+    spark.range(1).count()
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet").count()
+    queries = entrymod.queries()
+    for name in names:
+        fn = queries[name]
+        fn(spark, sf_dir).collect()  # warm the query's scans + JIT
+        reps, probes = [], []
+        for _ in range(REPS):
+            probes.append(_calibrate())
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            reps.append(round(time.time() - t0, 3))
+        probes.append(_calibrate())
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf_dir": sf_dir,
+                    "reps": reps,
+                    "median": round(statistics.median(reps), 3),
+                    "calib_probes": probes,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
