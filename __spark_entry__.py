@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from automotive_big_data_analysis_spark.operators import asof, dedup, events, multimodal, pipeline, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis, training_prep
+from automotive_big_data_analysis_spark.operators import analytics, asof, dedup, events, multimodal, pipeline, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis, training_prep
 from automotive_big_data_analysis_spark.sources import bucketed
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -80,6 +80,11 @@ _SWEEP_PRIORITY = [
     "embedding_cosine_dups",
     "asof_purchase_attribution",     # at-or-before tie semantics (VERDICT #7)
     "multimodal_frame_plan",
+    # (d) NEW this round — cohort/anomaly/segmentation analytics
+    "events_user_retention",
+    "events_hourly_anomalies",
+    "orders_rfm_segments",
+    "docs_length_gate",
 ]
 # Remaining window slots fill with this round's newly registered queries
 # (appended below as they land). Everything displaced past position 50 is
@@ -104,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(bucketed.QUERIES)
     merged.update(pipeline.QUERIES)
     merged.update(training_prep.QUERIES)
+    merged.update(analytics.QUERIES)
     out = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     out.update(merged)
     return out
@@ -126,4 +132,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(bucketed.ORACLE)
     out.update(pipeline.ORACLE)
     out.update(training_prep.ORACLE)
+    out.update(analytics.ORACLE)
     return out

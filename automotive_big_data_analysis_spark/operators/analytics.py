@@ -1,0 +1,325 @@
+"""Cohort / anomaly / segmentation analytics over events, orders, and
+documents.
+
+Training-data-pipeline + product-analytics extension (no reference
+analog — the reference's aggregation surface stops at per-year rollups,
+SURVEY §2.4): weekly cohort retention, hourly anomaly detection,
+RFM customer segmentation, and a percentile-based document length gate.
+Everything is built-in expressions; each oracle mirrors the exact
+arithmetic (explicit variance formula, epoch-integer week buckets,
+NTILE with total-order tiebreaks) so doubles are bit-identical across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import exact as ex
+
+_US_PER_DAY = 86_400 * 1_000_000
+
+
+def _week(col):
+    """Deterministic week bucket: floor(days-since-epoch / 7) computed on
+    integer microseconds — identical on any engine, no calendar/locale
+    week-numbering semantics involved."""
+    return (F.unix_micros(col) / F.lit(_US_PER_DAY)).cast("long") / F.lit(7)
+
+
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week;
+    for each (cohort_week, week_offset), how many cohort members were
+    active and what share of the cohort that is.
+
+    Scale shape: one pass computes per-(user, week) activity (map-side
+    combine collapses events to user-weeks before the exchange), the
+    per-user min-week aggregate derives cohorts from that SAME user-keyed
+    exchange (AQE reuses it), and the final rollup is |cohorts × offsets|
+    rows. The cohort-size join attaches to the tiny cohort dimension —
+    broadcast. Nothing scales with raw events past the first partial
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    user_weeks = (
+        ev.select("user_id", _week(F.col("ts")).cast("long").alias("week"))
+        .groupBy("user_id", "week")
+        .agg(F.count("*").alias("n_events"))
+    )
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+ANOMALY_Z = 2.0
+
+
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose per-type event count is an outlier (|z| > 2) against
+    that type's hourly distribution, plus the per-type baseline stats.
+
+    The z-score arithmetic is written out explicitly from exact integer
+    sums (n_hours, Σn, Σn² are bigint on both engines; mean/var/z derive
+    from them with an identical expression tree) instead of calling each
+    engine's stddev — built-in variance implementations differ in
+    summation order, and a last-ulp difference at the |z| = 2 boundary
+    would flip membership between engines.
+
+    Scale shape: events collapse map-side to (type, hour) counts; the
+    per-type moment aggregate is |types| rows, broadcast back; output is
+    outlier hours only."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    moments = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").cast("long").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
+    )
+    mean = F.col("sum_n") / F.col("n_hours")
+    var = (
+        F.col("sum_n2") - F.col("sum_n") * F.col("sum_n") / F.col("n_hours")
+    ) / (F.col("n_hours") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(moments), "event_type")
+        .where((F.col("n_hours") > 1) & (F.abs(z) > ANOMALY_Z))
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round(mean, 6).alias("mean_n"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile customers by Recency (days
+    since last order, against the corpus max date), Frequency (order
+    count), and Monetary (total spend), then report each (r, f, m)
+    segment's size and average spend.
+
+    Determinism: every NTILE orders by (metric, custkey) — a total
+    order, so quartile boundaries can't depend on partition layout; both
+    engines fill remainder rows into the leading buckets identically.
+    Monetary sums accumulate in DECIMAL(25,10).
+
+    Scale shape: one orders scan → per-customer aggregate (map-side
+    combine); the three NTILE windows are unpartitioned BUT run over the
+    per-customer aggregate, not raw orders — |customers| rows through a
+    single-partition window is the textbook global-ranking bottleneck at
+    100 TB, so production would swap in the two-pass range-bucket prefix
+    sum used by ``training_prep.pack_token_shards``; at |customers| ≪
+    |orders| scale this exact global NTILE is the standard layout."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(ex.dec("o_totalprice")).alias("monetary_dec"),
+        )
+        .join(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            "frequency",
+            "monetary_dec",
+            (
+                (
+                    F.unix_micros(F.col("maxd").cast("timestamp"))
+                    - F.unix_micros(F.col("last_order").cast("timestamp"))
+                )
+                / F.lit(_US_PER_DAY)
+            ).cast("long").alias("recency_days"),
+        )
+    )
+    r_q = F.ntile(4).over(
+        Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    )
+    f_q = F.ntile(4).over(
+        Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    )
+    m_q = F.ntile(4).over(
+        Window.orderBy(
+            F.col("monetary_dec").desc(), F.col("o_custkey")
+        )
+    )
+    return (
+        per_cust.select(
+            "o_custkey",
+            "monetary_dec",
+            r_q.alias("r_quartile"),
+            f_q.alias("f_quartile"),
+            m_q.alias("m_quartile"),
+        )
+        .groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                (
+                    F.sum("monetary_dec") / F.count("*")
+                ).cast("double"),
+                6,
+            ).alias("avg_monetary"),
+        )
+    )
+
+
+GATE_LO = 0.05
+GATE_HI = 0.95
+
+
+def doc_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile document-length gate — the curation stage that drops
+    each language's extreme-length tails (truncated fragments, runaway
+    concatenations) before training: per lang, the exact P5/P95 char
+    bounds and how many documents survive the [P5, P95] gate.
+
+    Scale shape: the bounds aggregate is |langs| rows (exact interpolated
+    percentile needs a per-lang sort at scale — production swaps in
+    percentile_approx, cf. ``approx_part_stats``'s tolerance gating);
+    the re-scan joins against the broadcast bounds, so the gate itself
+    is one filter pass with no wide shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    bounds = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(GATE_LO)).alias("lo"),
+        F.percentile("n_chars", F.lit(GATE_HI)).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("n_chars").between(F.col("lo"), F.col("hi")), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_kept"),
+            F.round(F.first("lo"), 6).alias("p05_chars"),
+            F.round(F.first("hi"), 6).alias("p95_chars"),
+        )
+    )
+
+
+_WEEK_SQL = "CAST(FLOOR(EPOCH_US(ts) / 86400000000) AS BIGINT) // 7"
+
+ORACLE: dict[str, str] = {
+    "events_user_retention": f"""
+        WITH uw AS (
+            SELECT user_id, {_WEEK_SQL} AS week, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), cohorts AS (
+            SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+        ), sizes AS (
+            SELECT cohort_week, COUNT(*) AS cohort_size
+            FROM cohorts GROUP BY cohort_week
+        )
+        SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+               COUNT(*) AS n_active, ANY_VALUE(s.cohort_size) AS cohort_size,
+               ROUND(COUNT(*) / CAST(ANY_VALUE(s.cohort_size) AS DOUBLE), 6)
+                   AS retention
+        FROM uw JOIN cohorts c ON uw.user_id = c.user_id
+        JOIN sizes s ON s.cohort_week = c.cohort_week
+        GROUP BY 1, 2
+    """,
+    "events_hourly_anomalies": f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), moments AS (
+            SELECT event_type, COUNT(*) AS n_hours,
+                   CAST(SUM(n) AS BIGINT) AS sum_n,
+                   CAST(SUM(n * n) AS BIGINT) AS sum_n2
+            FROM hourly GROUP BY event_type
+        )
+        SELECT h.event_type, h.hour, h.n,
+               ROUND(sum_n / CAST(n_hours AS DOUBLE), 6) AS mean_n,
+               ROUND((h.n - sum_n / CAST(n_hours AS DOUBLE))
+                     / sqrt((sum_n2 - sum_n * sum_n
+                             / CAST(n_hours AS DOUBLE))
+                            / CAST(n_hours - 1 AS DOUBLE)), 6) AS z
+        FROM hourly h JOIN moments m ON h.event_type = m.event_type
+        WHERE n_hours > 1
+          AND ABS((h.n - sum_n / CAST(n_hours AS DOUBLE))
+                  / sqrt((sum_n2 - sum_n * sum_n
+                          / CAST(n_hours AS DOUBLE))
+                         / CAST(n_hours - 1 AS DOUBLE))) > {ANOMALY_Z}
+    """,
+    "orders_rfm_segments": f"""
+        WITH maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+        per_cust AS (
+            SELECT o_custkey,
+                   CAST(FLOOR((EPOCH_US(maxd.maxd)
+                               - EPOCH_US(MAX(o_orderdate)))
+                              / 86400000000.0) AS BIGINT) AS recency_days,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(o_totalprice AS {ex.SQL_DEC})) AS monetary_dec
+            FROM orders CROSS JOIN maxd
+            GROUP BY o_custkey, maxd.maxd
+        ), q AS (
+            SELECT o_custkey, monetary_dec,
+                   CAST(NTILE(4) OVER (
+                       ORDER BY recency_days ASC, o_custkey) AS INTEGER)
+                       AS r_quartile,
+                   CAST(NTILE(4) OVER (
+                       ORDER BY frequency DESC, o_custkey) AS INTEGER)
+                       AS f_quartile,
+                   CAST(NTILE(4) OVER (
+                       ORDER BY monetary_dec DESC, o_custkey) AS INTEGER)
+                       AS m_quartile
+            FROM per_cust
+        )
+        SELECT r_quartile, f_quartile, m_quartile,
+               COUNT(*) AS n_customers,
+               ROUND(CAST(SUM(monetary_dec) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_monetary
+        FROM q GROUP BY 1, 2, 3
+    """,
+    "docs_length_gate": f"""
+        WITH bounds AS (
+            SELECT lang,
+                   quantile_cont(n_chars, {GATE_LO}) AS lo,
+                   quantile_cont(n_chars, {GATE_HI}) AS hi
+            FROM documents GROUP BY lang
+        )
+        SELECT d.lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               ROUND(ANY_VALUE(b.lo), 6) AS p05_chars,
+               ROUND(ANY_VALUE(b.hi), 6) AS p95_chars
+        FROM documents d JOIN bounds b ON d.lang = b.lang
+        GROUP BY d.lang
+    """,
+}
+
+QUERIES = {
+    "events_user_retention": user_retention,
+    "events_hourly_anomalies": hourly_anomalies,
+    "orders_rfm_segments": rfm_segments,
+    "docs_length_gate": doc_length_gate,
+}

@@ -1,0 +1,124 @@
+"""Semantics tests for the cohort/anomaly/segmentation analytics on
+crafted data plus corpus-level invariants."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.operators import analytics as an
+from tests.conftest import SF_SMOKE
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)  # a Monday, mid-week-bucket irrelevant
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+
+
+def test_retention_cohorts_and_offsets(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ret"))
+    wk = timedelta(days=7)
+    rows = [
+        # user 1: active in week 0, 1, 3 relative to their first event
+        (1, T0, 1, "view", 0.0, "{}"),
+        (2, T0 + wk, 1, "view", 0.0, "{}"),
+        (3, T0 + 3 * wk, 1, "view", 0.0, "{}"),
+        # user 2: same cohort week, only ever active once
+        (4, T0 + timedelta(days=1), 2, "view", 0.0, "{}"),
+        # user 3: one week later cohort, active two consecutive weeks
+        (5, T0 + wk, 3, "view", 0.0, "{}"),
+        (6, T0 + 2 * wk, 3, "view", 0.0, "{}"),
+    ]
+    _write_events(spark, path, rows)
+    got = {
+        (r.cohort_week, r.week_offset): r
+        for r in an.user_retention(spark, path).collect()
+    }
+    cohorts = sorted({cw for cw, _ in got})
+    first, second = cohorts
+    assert second == first + 1
+    # cohort 1 (users 1+2): offset 0 has both, offset 1 and 3 only user 1
+    assert got[(first, 0)].n_active == 2
+    assert got[(first, 0)].cohort_size == 2
+    assert got[(first, 0)].retention == 1.0
+    assert got[(first, 1)].n_active == 1
+    assert got[(first, 1)].retention == 0.5
+    assert got[(first, 3)].n_active == 1
+    assert (first, 2) not in got  # nobody active in offset week 2
+    # cohort 2 (user 3): offsets 0 and 1
+    assert got[(second, 0)].n_active == 1
+    assert got[(second, 1)].retention == 1.0
+
+
+def test_hourly_anomalies_flags_planted_spike(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("anom"))
+    rows = []
+    eid = 0
+    # 23 quiet hours with 2 events each, one spike hour with 40
+    for h in range(24):
+        n = 40 if h == 7 else 2
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, T0 + timedelta(hours=h, seconds=i), 1, "view", 0.0, "{}")
+            )
+    _write_events(spark, path, rows)
+    got = an.hourly_anomalies(spark, path).collect()
+    assert [r.hour.hour for r in got] == [7]
+    assert got[0].n == 40
+    assert got[0].z > an.ANOMALY_Z
+
+
+def test_rfm_segments_partition_customers_exactly_once(spark):
+    rows = an.rfm_segments(spark, SF_SMOKE).collect()
+    from automotive_big_data_analysis_spark.catalog import load_table
+
+    n_cust = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_quartile <= 4
+        assert 1 <= r.f_quartile <= 4
+        assert 1 <= r.m_quartile <= 4
+        assert r.avg_monetary > 0
+
+
+def test_rfm_quartiles_are_balanced(spark):
+    """Each single dimension's quartiles must split customers as evenly
+    as NTILE guarantees (sizes differ by at most 1)."""
+    rows = an.rfm_segments(spark, SF_SMOKE).collect()
+    for dim in ("r_quartile", "f_quartile", "m_quartile"):
+        sizes = {}
+        for r in rows:
+            sizes[getattr(r, dim)] = sizes.get(getattr(r, dim), 0) + r.n_customers
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_doc_length_gate_bounds_and_counts(spark):
+    rows = an.doc_length_gate(spark, SF_SMOKE).collect()
+    assert rows, "gate must emit one row per language"
+    from automotive_big_data_analysis_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    total = docs.count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.p05_chars <= r.p95_chars
+        # the gate keeps the bulk: at least 80% of docs fall inside P5-P95
+        assert r.n_kept >= 0.8 * r.n_docs
+        assert r.n_kept <= r.n_docs
