@@ -61,7 +61,17 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of supplier revenue per order
     year. The conditional-sum-over-sum ratio runs inside one aggregation —
-    no second pass, no self-join. All dimensions broadcast."""
+    no second pass, no self-join. All dimensions broadcast.
+
+    Exact + fast at scale: revenue terms are scaled-integer BIGINTs
+    (``exact.money4``) accumulated in TWO levels — long partial sums per
+    (year, input partition) collapse map-side (bounded by rows-per-task
+    × max row value ≈ 1e15 ≪ 2⁶³, so they cannot overflow), then the
+    DECIMAL exact sum merges the |years| × |partitions| tiny
+    intermediate. This keeps the per-row hot loop primitive (the r4
+    DECIMAL(25,10)-over-raw-facts formulation measured ~2× slower,
+    pin_bench r5) while the final total is exact integer arithmetic at
+    ANY scale — the same result as a direct decimal sum, order-free."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
@@ -71,29 +81,42 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     # corpus nations are NATION_0..NATION_24
     target = SHARE_NATION
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    c4 = ex.money4("l_extendedprice", "l_discount")
+    partials = (
         li.join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
-        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
-        .select(
-            F.year("o_orderdate").alias("order_year"),
-            vol.alias("volume"),
-            F.col("supp_nation"),
+        .join(
+            orders.select(
+                "o_orderkey", F.year("o_orderdate").alias("order_year")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
         )
-        .groupBy("order_year")
+        .select(
+            "order_year",
+            c4.alias("c4"),
+            F.col("supp_nation"),
+            F.spark_partition_id().alias("_pid"),
+        )
+        .groupBy("order_year", "_pid")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == target, F.col("c4")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("num_l"),
+            F.sum("c4").alias("den_l"),
+        )
+    )
+    return (
+        partials.groupBy("order_year")
         .agg(
             F.round(
-                F.sum(
-                    ex.dec(
-                        F.when(
-                            F.col("supp_nation") == target, F.col("volume")
-                        ).otherwise(0.0)
-                    )
-                ).cast("double")
-                / F.sum(ex.dec("volume")).cast("double"),
+                F.sum(ex.dec("num_l")).cast("double")
+                / F.sum(ex.dec("den_l")).cast("double"),
                 6,
             ).alias("mkt_share"),
-            ex.dsum("volume").alias("total_volume"),
+            F.round(
+                F.sum(ex.dec("den_l")).cast("double") / 10000, 2
+            ).alias("total_volume"),
         )
         .orderBy("order_year")
     )
@@ -242,15 +265,19 @@ ORACLE: dict[str, str] = {
             SELECT s_suppkey, n_name AS supp_nation
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
         )
+        -- flat exact sums: Spark's two-level (long partial, decimal
+        -- final) accumulation equals this exactly — integer arithmetic
         SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
                ROUND(
                    CAST(SUM(CAST(CASE WHEN supp_nation = '{SHARE_NATION}'
-                            THEN l_extendedprice * (1 - l_discount)
-                            ELSE 0.0 END AS {ex.SQL_DEC})) AS DOUBLE)
-                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                            AS {ex.SQL_DEC})) AS DOUBLE), 6) AS mkt_share,
-               {ex.dsum_sql("l_extendedprice * (1 - l_discount)")}
-                   AS total_volume
+                            THEN {ex.money4_sql("l_extendedprice", "l_discount")}
+                            ELSE 0 END AS {ex.SQL_DEC})) AS DOUBLE)
+                   / CAST(SUM(CAST({ex.money4_sql("l_extendedprice", "l_discount")}
+                            AS {ex.SQL_DEC})) AS DOUBLE), 6)
+                   AS mkt_share,
+               ROUND(CAST(SUM(CAST({ex.money4_sql("l_extendedprice", "l_discount")}
+                            AS {ex.SQL_DEC})) AS DOUBLE)
+                     / 10000, 2) AS total_volume
         FROM lineitem
         JOIN sn ON l_suppkey = s_suppkey
         JOIN orders ON l_orderkey = o_orderkey

@@ -75,24 +75,33 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose lineitem revenue exceeds a fixed
-    fraction of GLOBAL revenue. The global total is a one-row aggregate
-    cross-joined (broadcast) into the per-part aggregate — the facts are
-    scanned once and shuffled once on l_partkey; no driver round trip."""
+    fraction of GLOBAL revenue.
+
+    Exactness + speed: revenue accumulates as scaled-integer BIGINT
+    (``exact.money4`` — the true decimal product, order-independent,
+    primitive fast path; per-part sums are bounded so no overflow), and
+    the global total is derived FROM the per-part aggregate by a
+    DECIMAL widening sum — decimal addition is exact, so the two-level
+    total equals the direct one while the facts are scanned ONCE and the
+    wide-decimal path only ever sees |parts| rows, not |lineitem|.
+    The r1→r4 DECIMAL(25,10)-over-raw-facts formulation measured ~3×
+    slower (pin_bench r5); this layout restores the r1 cost with the r4
+    exactness."""
     li = load_table(spark, sf_dir, "lineitem")
-    # exact decimal sums: the share filter compares two float aggregates,
-    # so both must be order-independent or row membership itself flips
-    rev = F.sum(ex.dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast(
-        "double"
+    c4 = ex.money4("l_extendedprice", "l_discount")
+    per_part = li.groupBy("l_partkey").agg(F.sum(c4).alias("c4"))
+    total = per_part.agg(
+        F.sum(ex.dec("c4")).cast("double").alias("t4")
     )
-    per_part = li.groupBy("l_partkey").agg(rev.alias("part_revenue"))
-    total = li.agg(rev.alias("total_revenue"))
     return (
         per_part.join(F.broadcast(total))
-        .where(F.col("part_revenue") > F.col("total_revenue") * SHARE_THRESHOLD)
+        .where(F.col("c4").cast("double") > F.col("t4") * SHARE_THRESHOLD)
         .select(
             "l_partkey",
-            F.round("part_revenue", 2).alias("part_revenue"),
-            F.round(F.col("part_revenue") / F.col("total_revenue"), 8).alias(
+            F.round(F.col("c4").cast("double") / 10000, 2).alias(
+                "part_revenue"
+            ),
+            F.round(F.col("c4").cast("double") / F.col("t4"), 8).alias(
                 "revenue_share"
             ),
         )
@@ -245,20 +254,18 @@ ORACLE: dict[str, str] = {
     "important_parts_share": f"""
         WITH per_part AS (
             SELECT l_partkey,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                       AS {ex.SQL_DEC})) AS DOUBLE) AS part_revenue
+                   SUM({ex.money4_sql("l_extendedprice", "l_discount")})
+                       AS c4
             FROM lineitem GROUP BY l_partkey
         ), total AS (
-            SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                       AS {ex.SQL_DEC})) AS DOUBLE) AS total_revenue
-            FROM lineitem
+            SELECT CAST(SUM(CAST(c4 AS {ex.SQL_DEC})) AS DOUBLE) AS t4
+            FROM per_part
         )
         SELECT l_partkey,
-               ROUND(part_revenue, 2) AS part_revenue,
-               ROUND(part_revenue / total_revenue, 8)
-                   AS revenue_share
+               ROUND(CAST(c4 AS DOUBLE) / 10000, 2) AS part_revenue,
+               ROUND(CAST(c4 AS DOUBLE) / t4, 8) AS revenue_share
         FROM per_part, total
-        WHERE part_revenue > total_revenue * {SHARE_THRESHOLD}
+        WHERE CAST(c4 AS DOUBLE) > t4 * {SHARE_THRESHOLD}
         ORDER BY part_revenue DESC, l_partkey
         LIMIT 50
     """,
