@@ -203,21 +203,43 @@ def approx_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compared; instead this emits a TOLERANCE oracle: each sketch is
     checked in-query against the exact statistic within its published
     error bound (HLL++ default rsd 0.05 → 3σ ≈ 15 %; percentile_approx
-    accuracy 1000 → rank error 0.001, checked against exact quantiles at
-    0.5 ± 0.005). The booleans plus the exact anchors ARE deterministic
-    and hash-comparable, so a sketch drifting out of bound fails the
-    driver gate. The exact aggregates exist only to verify the sketches
-    at test scale; at 100 TB one would run the sketch side alone."""
+    accuracy 1000 → rank error 0.001, verified with 5× slack). The
+    booleans plus the exact anchors ARE deterministic and
+    hash-comparable, so a sketch drifting out of bound fails the driver
+    gate. The exact aggregates exist only to verify the sketches at test
+    scale; at 100 TB one would run the sketch side alone.
+
+    The median check is a RANK-COUNT: a second projected scan counts
+    rows ≤/< the sketch's median against the broadcast sketch row, and
+    the approx median is in tolerance iff count(x < m) ≤ (0.5+ε)·n and
+    count(x ≤ m) ≥ (0.5−ε)·n. Counting is exact on both engines and
+    avoids materializing exact percentiles (a per-group SORT — measured
+    4.3 s vs ~1.5 s at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    eps = 0.005
+    sketch = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("_hll"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_amed"),
-        F.percentile("l_extendedprice", F.lit(0.495)).alias("_lo"),
-        F.percentile("l_extendedprice", F.lit(0.505)).alias("_hi"),
     )
-    return agg.select(
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(sketch), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("exact_parts").alias("exact_parts"),
+            F.first("_hll").alias("_hll"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("_amed")).cast("long")
+            ).alias("_le"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("_amed")).cast("long")
+            ).alias("_lt"),
+        )
+    )
+    return ranks.select(
         "l_returnflag",
         "n",
         "exact_parts",
@@ -225,9 +247,10 @@ def approx_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_hll") - F.col("exact_parts"))
             <= 0.15 * F.col("exact_parts")
         ).alias("hll_within_tol"),
-        F.col("_amed").between(F.col("_lo"), F.col("_hi")).alias(
-            "median_within_tol"
-        ),
+        (
+            (F.col("_le") >= (0.5 - eps) * F.col("n"))
+            & (F.col("_lt") <= (0.5 + eps) * F.col("n"))
+        ).alias("median_within_tol"),
     )
 
 

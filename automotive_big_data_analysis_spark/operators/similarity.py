@@ -564,7 +564,15 @@ def embedding_kmeans(
     (order-free) and divide in double; a cluster that loses all members
     drops out on both engines identically."""
     emb = _emb(spark, sf_dir)
-    centroids = _train_centroids(emb, iters)
+    # the default-depth training IS the shared coarse codebook — reuse the
+    # session memo so the whole IVF family (kmeans / ivf / pq / ivfpq)
+    # trains ONCE per corpus instead of once per query
+    if iters == KM_ITERS:
+        centroids = _codebook(spark, sf_dir).select(
+            F.col("cell_id").alias("cid"), F.col("cv")
+        )
+    else:
+        centroids = _train_centroids(emb, iters)
     d2 = V.sq_dist_unrolled("v", "cv")
     final = (
         emb.join(F.broadcast(centroids))
