@@ -80,11 +80,13 @@ _SWEEP_PRIORITY = [
     "embedding_cosine_dups",
     "asof_purchase_attribution",     # at-or-before tie semantics (VERDICT #7)
     "multimodal_frame_plan",
-    # (d) NEW this round — cohort/anomaly/segmentation analytics
+    # (d) NEW this round — cohort/anomaly/segmentation analytics +
+    # incremental ingestion dedup
     "events_user_retention",
     "events_hourly_anomalies",
     "orders_rfm_segments",
     "docs_length_gate",
+    "dedup_incremental_stats",
 ]
 # Remaining window slots fill with this round's newly registered queries
 # (appended below as they land). Everything displaced past position 50 is

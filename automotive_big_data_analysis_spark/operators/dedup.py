@@ -333,6 +333,65 @@ def keep_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCOMING_MOD = 5  # doc_id % 5 == 0 → the "incoming batch"; rest = history
+
+
+def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion near-dedup: the nightly-batch shape of the
+    pipeline — an INCOMING batch (deterministic split: doc_id %
+    ``INCOMING_MOD`` == 0) is deduplicated against the already-indexed
+    HISTORY (everything else) and against itself.
+
+    Policy, greedy and deterministic: an incoming doc is dropped against
+    history if any verified near-dup partner (word-3-gram Jaccard ≥ 0.6,
+    the family's shared staged pair list) lies in history; otherwise
+    dropped within-batch if a partner with a SMALLER doc_id is also
+    incoming; else admitted. Per-lang accounting of all three outcomes.
+
+    Scale shape: the partner list is the (tiny) verified pair set — the
+    symmetric view broadcasts; incoming is a pure predicate on the scan.
+    In production the history side is a stored fingerprint/pair index
+    keyed like ``_shingles_cached`` — the batch never rescans history
+    bodies, exactly as here (history participates only through the pair
+    list)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    partners = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("partner")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("partner"))
+    )
+    incoming = docs.where(F.col("doc_id") % INCOMING_MOD == 0)
+    flags = (
+        incoming.join(partners, "doc_id", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.max(
+                F.when(F.col("partner") % INCOMING_MOD != 0, 1).otherwise(0)
+            ).alias("hist_dup"),
+            F.max(
+                F.when(
+                    (F.col("partner") % INCOMING_MOD == 0)
+                    & (F.col("partner") < F.col("doc_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("batch_dup"),
+        )
+    )
+    return flags.groupBy("lang").agg(
+        F.count("*").alias("n_incoming"),
+        F.sum("hist_dup").cast("long").alias("n_dropped_history"),
+        F.sum(
+            F.when((F.col("hist_dup") == 0) & (F.col("batch_dup") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_dropped_batch"),
+        F.sum(
+            F.when((F.col("hist_dup") == 0) & (F.col("batch_dup") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_admitted"),
+    )
+
+
 CC_MAX_ITERS = 12  # propagation radius 2^12 ≫ any real dup-cluster diameter
 
 
@@ -770,6 +829,39 @@ ORACLE["dedup_cdc_chunks"] = f"""
     FROM chunks GROUP BY lang
 """
 
+ORACLE["dedup_incremental_stats"] = (
+    _SHINGLES_CTE
+    + _PAIR_SQL_TAIL
+    + f"""
+    , vp AS (
+        SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+    ), partners AS (
+        SELECT doc_a AS doc_id, doc_b AS partner FROM vp
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS partner FROM vp
+    ), inc AS (
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id % {INCOMING_MOD} = 0
+    ), flags AS (
+        SELECT i.doc_id, i.lang,
+               MAX(CASE WHEN p.partner % {INCOMING_MOD} != 0
+                        THEN 1 ELSE 0 END) AS hist_dup,
+               MAX(CASE WHEN p.partner % {INCOMING_MOD} = 0
+                             AND p.partner < i.doc_id
+                        THEN 1 ELSE 0 END) AS batch_dup
+        FROM inc i LEFT JOIN partners p ON i.doc_id = p.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT lang, COUNT(*) AS n_incoming,
+           CAST(SUM(hist_dup) AS BIGINT) AS n_dropped_history,
+           CAST(SUM(CASE WHEN hist_dup = 0 AND batch_dup = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_batch,
+           CAST(SUM(CASE WHEN hist_dup = 0 AND batch_dup = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+    FROM flags GROUP BY lang
+    """
+)
+
 QUERIES = {
     "dedup_exact_stats": exact_stats,
     "dedup_ngram_pairs": ngram_jaccard_pairs,
@@ -778,4 +870,5 @@ QUERIES = {
     "dedup_components": duplicate_components,
     "dedup_simhash_groups": simhash_groups,
     "dedup_cdc_chunks": cdc_chunk_stats,
+    "dedup_incremental_stats": incremental_dedup_stats,
 }

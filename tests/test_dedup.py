@@ -184,3 +184,38 @@ def test_cache_evicts_on_corpus_change(spark, doc_dir, tmp_path_factory):
     assert not any(k[1] == doc_dir for k in dedup._SHARED)
     assert any(k[1] == other for k in dedup._SHARED)
     dedup.release(other)
+
+
+BASE2 = (
+    "rojo azul verde amarillo morado naranja blanco negro gris rosa "
+    "uno dos tres cuatro cinco seis siete ocho nueve diez"
+)
+NEAR2 = BASE2.replace("cinco", "CINCO-X")
+
+
+def test_incremental_dedup_policy(spark, tmp_path_factory):
+    """Crafted split exercising all three outcomes: drop-vs-history,
+    drop-within-batch (smaller-id partner also incoming), and admitted.
+    INCOMING_MOD=5, so doc_ids 0/5/10/15 are incoming, others history."""
+    path = str(tmp_path_factory.mktemp("incdocs"))
+    rows = [
+        # incoming 0 near-dups history 1 -> dropped_history
+        (0, BASE, "en", "s", len(BASE)),
+        (1, BASE, "en", "s", len(BASE)),
+        # incoming 5 and 10 near-dup EACH OTHER only (a token set
+        # disjoint from BASE): 5 admitted (no smaller incoming partner),
+        # 10 dropped_batch
+        (5, BASE2, "en", "s", len(BASE2)),
+        (10, NEAR2, "en", "s", len(NEAR2)),
+        # incoming 15 matches nothing -> admitted
+        (15, FAR, "en", "s", len(FAR)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    row = dedup.incremental_dedup_stats(spark, path).first()
+    assert row.n_incoming == 4
+    assert row.n_dropped_history == 1  # doc 0
+    assert row.n_dropped_batch == 1  # doc 10 (partner 5 is smaller+incoming)
+    assert row.n_admitted == 2  # docs 5 and 15
+    dedup.release(path)
