@@ -219,6 +219,36 @@ def test_ivf_codebook_fixed_k_and_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_retention_broadcasts_cohort_sizes(spark):
+    """Cohort retention: the per-cohort size dimension is tiny and must
+    broadcast; nothing scales with raw events past the first partial
+    aggregate (no join against the raw event scan)."""
+    from automotive_big_data_analysis_spark.operators import analytics
+
+    df = analytics.user_retention(spark, SF)
+    assert px.broadcast_join_count(df) >= 1
+    assert px.has_partial_aggregation(df)
+
+
+def test_length_gate_broadcasts_bounds_and_prunes(spark):
+    """The P5/P95 bounds table is |langs| rows — broadcast; the gate scan
+    reads only (lang, n_chars), never the document text."""
+    from automotive_big_data_analysis_spark.operators import analytics
+
+    df = analytics.doc_length_gate(spark, SF)
+    assert px.broadcast_join_count(df) >= 1
+    schemas = " ".join(px.read_schemas(df))
+    assert "text" not in schemas
+
+
+def test_hourly_anomalies_broadcasts_moments(spark):
+    from automotive_big_data_analysis_spark.operators import analytics
+
+    df = analytics.hourly_anomalies(spark, SF)
+    assert px.broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in px.physical_plan(df)
+
+
 def test_cdc_chunks_single_wide_shuffle(spark):
     """CDC chunking: one narrow exchange stages boundaries (so chunk
     extraction binds `bounds` as an attribute), one hash shuffle
