@@ -74,6 +74,41 @@ def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANOMALY_Z = 2.0
 
 
+def hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hour, n): the per-type hourly counts — map-side
+    collapse of the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+
+
+def hourly_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_hours, sum_n, sum_n2): exact integer moments of the
+    per-type hourly count distribution — the BASELINE the anomaly check
+    derives mean/var/z from. Trained batch-side (here, or on history in
+    production) and broadcast wherever it is consumed, including the
+    streaming detector (``streaming.events_stream.anomaly_stream``)."""
+    return hourly_counts(spark, sf_dir).groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").cast("long").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
+    )
+
+
+def anomaly_condition():
+    """(mean, z, filter) column expressions over (n, n_hours, sum_n,
+    sum_n2) — shared by the batch and streaming detectors so both flag
+    identical hours."""
+    mean = F.col("sum_n") / F.col("n_hours")
+    var = (
+        F.col("sum_n2") - F.col("sum_n") * F.col("sum_n") / F.col("n_hours")
+    ) / (F.col("n_hours") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    cond = (F.col("n_hours") > 1) & (F.abs(z) > ANOMALY_Z)
+    return mean, z, cond
+
+
 def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hours whose per-type event count is an outlier (|z| > 2) against
     that type's hourly distribution, plus the per-type baseline stats.
@@ -88,24 +123,12 @@ def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: events collapse map-side to (type, hour) counts; the
     per-type moment aggregate is |types| rows, broadcast back; output is
     outlier hours only."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
-        .agg(F.count("*").alias("n"))
-    )
-    moments = hourly.groupBy("event_type").agg(
-        F.count("*").alias("n_hours"),
-        F.sum("n").cast("long").alias("sum_n"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
-    )
-    mean = F.col("sum_n") / F.col("n_hours")
-    var = (
-        F.col("sum_n2") - F.col("sum_n") * F.col("sum_n") / F.col("n_hours")
-    ) / (F.col("n_hours") - 1)
-    z = (F.col("n") - mean) / F.sqrt(var)
+    hourly = hourly_counts(spark, sf_dir)
+    moments = hourly_moments(spark, sf_dir)
+    mean, z, cond = anomaly_condition()
     return (
         hourly.join(F.broadcast(moments), "event_type")
-        .where((F.col("n_hours") > 1) & (F.abs(z) > ANOMALY_Z))
+        .where(cond)
         .select(
             "event_type",
             "hour",

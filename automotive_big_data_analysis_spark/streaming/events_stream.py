@@ -101,6 +101,47 @@ def session_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Dat
     )
 
 
+def anomaly_stream(
+    events: DataFrame,
+    moments: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming anomaly detection against a BATCH-TRAINED baseline —
+    the production split for monitoring pipelines: per-type hourly
+    moments train offline on history (``analytics.hourly_moments``) and
+    broadcast; the stream keeps one watermark-bounded windowed count
+    aggregate and flags each closing hour whose count deviates |z| > 2
+    from the baseline. Stream-static join after the aggregation is
+    stateless on the static side, so state stays
+    |open windows × types|.
+
+    The z arithmetic is ``analytics.anomaly_condition`` — the SAME
+    expression tree as the batch detector, so a stream replay of a day
+    flags exactly the hours the batch job flags against the same
+    baseline (``tests/test_streaming.py`` pins this agreement)."""
+    from automotive_big_data_analysis_spark.operators.analytics import (
+        anomaly_condition,
+    )
+
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    mean, z, cond = anomaly_condition()
+    return (
+        hourly.join(F.broadcast(moments), "event_type")
+        .where(cond)
+        .select(
+            "event_type",
+            F.col("w.start").alias("hour"),
+            "n",
+            F.round(mean, 6).alias("mean_n"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
 def user_totals_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count and value total, one snapshot row emitted per

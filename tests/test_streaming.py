@@ -75,6 +75,39 @@ def test_streaming_sessions_match_batch(spark, stream_dir):
     assert len(got_set) >= len(batch_set) - 3  # last open sessions unflushed
 
 
+def test_streaming_anomalies_match_batch(spark, tmp_path_factory):
+    """Streaming detector vs batch detector against the SAME batch-trained
+    baseline: a planted hourly spike must be flagged identically."""
+    from automotive_big_data_analysis_spark.operators import analytics as an
+
+    path = str(tmp_path_factory.mktemp("anomstream"))
+    rows = []
+    eid = 0
+    for h in range(24):  # 23 quiet hours (2 events), one spike hour (40)
+        for i in range(40 if h == 7 else 2):
+            eid += 1
+            rows.append(
+                (eid, T0 + timedelta(hours=h, seconds=i), 1, "view", 0.0, "{}")
+            )
+    spark.createDataFrame(rows, schema=st.EVENT_SCHEMA).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    moments = an.hourly_moments(spark, path)
+    stream = st.read_event_stream(spark, f"{path}/events.parquet")
+    got = st.run_to_memory(
+        st.anomaly_stream(stream, moments), "anom_out", output_mode="append"
+    )
+    got_set = {(r.event_type, r.hour, r.n, r.z) for r in got.collect()}
+    batch_set = {
+        (r.event_type, r.hour, r.n, r.z)
+        for r in an.hourly_anomalies(spark, path).collect()
+    }
+    # every emitted flag matches batch exactly, and the spike (well before
+    # the watermark frontier) MUST have been emitted
+    assert got_set == batch_set
+    assert any(r[2] == 40 for r in got_set)
+
+
 def test_stateful_user_totals_match_batch(spark, stream_dir):
     """applyInPandasWithState running totals: the last emitted snapshot
     per user equals the batch aggregate, under any micro-batch split."""
