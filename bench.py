@@ -171,15 +171,19 @@ def main() -> None:
             t0 = time.time()
             queries[name](spark, sf_dir).collect()
             timings[name] = round(time.time() - t0, 3)
-        if release is None:
-            for name in [n for n in names if timings[n] > retry_threshold]:
-                t0 = time.time()
-                queries[name](spark, sf_dir).collect()
-                t2 = round(time.time() - t0, 3)
-                if t2 < timings[name]:
-                    noise_retries[name] = timings[name]
-                    timings[name] = t2
-        else:
+        if release is not None:
+            # memoizing families retry COLD (memos released first), so the
+            # retry is at-least-as-cold as the in-suite first run and min()
+            # never substitutes a warm-path number
+            release()
+        for name in [n for n in names if timings[n] > retry_threshold]:
+            t0 = time.time()
+            queries[name](spark, sf_dir).collect()
+            t2 = round(time.time() - t0, 3)
+            if t2 < timings[name]:
+                noise_retries[name] = timings[name]
+                timings[name] = t2
+        if release is not None:
             release()
     calib_after = _calibrate()
     total = round(sum(timings.values()), 3)
