@@ -87,6 +87,8 @@ _SWEEP_PRIORITY = [
     "orders_rfm_segments",
     "docs_length_gate",
     "dedup_incremental_stats",
+    "text_tfidf_topterms",
+    "sample_weighted_documents",
 ]
 # Remaining window slots fill with this round's newly registered queries
 # (appended below as they land). Everything displaced past position 50 is

@@ -111,6 +111,45 @@ def orders_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHT_SCALE = 800  # quality 1.0 → 80% keep rate
+
+
+def weighted_document_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sample: each document's keep
+    probability is proportional to its heuristic quality score (keep iff
+    content-hash bucket < floor(quality × ``WEIGHT_SCALE``)) — the
+    "sample good data harder" curation policy, still fully reproducible
+    because both the weight and the coin are content-derived.
+
+    Determinism note: the permille threshold uses FLOOR of the identical
+    double product on both engines — a bare int cast would diverge
+    (Spark truncates, DuckDB rounds). Per-lang audit output; sampled
+    quality averages accumulate in DECIMAL."""
+    from automotive_big_data_analysis_spark.functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality_score("text")
+    thresh = F.floor(q * WEIGHT_SCALE)
+    inc = (
+        hash_bucket(F.col("doc_id").cast("string")) < thresh
+    ).cast("int")
+    marked = docs.select("lang", q.alias("q"), inc.alias("s"))
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("s").cast("long").alias("n_sampled"),
+            F.round(
+                F.sum(ex.dec(F.col("s") * F.col("q"))).cast("double")
+                / F.nullif(F.sum("s"), F.lit(0)),
+                6,
+            ).alias("avg_quality_sampled"),
+            F.round(F.sum("s") / F.count("*"), 6).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 _LI_KEY = "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
 
 ORACLE: dict[str, str] = {
@@ -136,6 +175,7 @@ ORACLE: dict[str, str] = {
                    ELSE {DEFAULT_RATE} END
         GROUP BY lang ORDER BY lang
     """,
+    "sample_weighted_documents": None,  # filled below (needs quality SQL)
     "sample_orders_split": f"""
         SELECT CASE WHEN b < 800 THEN 'train'
                     WHEN b < 900 THEN 'val'
@@ -150,8 +190,53 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def _weighted_sql() -> str:
+    from automotive_big_data_analysis_spark.functions import text as tx
+
+    stop_sql = ", ".join(f"'{w}'" for w in tx.STOPWORDS_EN + tx.STOPWORDS_ES)
+    toks = r"regexp_extract_all(text, '\S+')"
+    return rf"""
+        WITH scored AS (
+            SELECT lang, doc_id,
+                   len({toks}) AS n_tok,
+                   length(text) AS n_chars,
+                   len(list_filter({toks},
+                       x -> lower(x) IN ({stop_sql}))) AS n_stop
+            FROM documents
+        ), q AS (
+            SELECT lang, doc_id,
+                   ROUND(
+                       (CASE WHEN n_tok >= 20 AND n_tok <= 10000
+                             THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN n_tok > 0
+                             AND CAST(n_chars AS DOUBLE)/n_tok >= 3
+                             AND CAST(n_chars AS DOUBLE)/n_tok <= 12
+                            THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN n_tok > 0
+                             AND CAST(n_stop AS DOUBLE)/n_tok >= 0.05
+                            THEN 0.3 ELSE 0.0 END), 2) AS q
+            FROM scored
+        ), marked AS (
+            SELECT lang, q,
+                   CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)")}
+                             < FLOOR(q * {WEIGHT_SCALE})
+                        THEN 1 ELSE 0 END AS s
+            FROM q
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(s) AS BIGINT) AS n_sampled,
+               ROUND(CAST(SUM(CAST(s * q AS {ex.SQL_DEC})) AS DOUBLE)
+                     / NULLIF(SUM(s), 0), 6) AS avg_quality_sampled,
+               ROUND(SUM(s) / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+        FROM marked GROUP BY lang ORDER BY lang
+    """
+
+
+ORACLE["sample_weighted_documents"] = _weighted_sql()
+
 QUERIES = {
     "sample_lineitem_stats": lineitem_sample_stats,
     "sample_stratified_documents": stratified_document_sample,
+    "sample_weighted_documents": weighted_document_sample,
     "sample_orders_split": orders_sample_split,
 }

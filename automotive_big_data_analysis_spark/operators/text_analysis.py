@@ -419,6 +419,82 @@ ORACLE["text_repetition_stats"] = rf"""
     FROM r GROUP BY lang
 """
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP_K`` characteristic terms per document by TF-IDF.
+
+    IDF is the log-free rational form ``(N+1)/(df+1)`` — one IEEE
+    division on identical operands, bit-equal across engines. The
+    conventional ``ln`` form ranks identically for fixed N (ln is
+    monotone) but ln itself is only within-1-ulp accurate and differs
+    between libm implementations, which the repo's hash-gated parity
+    discipline excludes (same reason every other operator avoids
+    transcendentals except IEEE-exact sqrt).
+
+    Scale shape: tf is a (doc, word) partial-combined aggregate over the
+    exploded tokens; df reuses that already-distinct (doc, word) table
+    (one |vocab|-wide count, no second tokenization); the tf ⋈ df join
+    hash-partitions on the word; the final top-k window partitions by
+    doc_id (high cardinality). N is a one-row aggregate, broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode_outer(tx.tokens("text")).alias("w")
+        )
+        .where(F.col("w").isNotNull())
+        .select("doc_id", F.lower("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "word", F.round("score", 6).alias("score"))
+    )
+
+
+ORACLE["text_tfidf_topterms"] = f"""
+    WITH tf AS (
+        SELECT doc_id, lower(t.w) AS word, COUNT(*) AS tf
+        FROM documents, UNNEST({_TOKENS}) AS t(w)
+        GROUP BY 1, 2
+    ), df AS (
+        SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.word,
+               tf.tf * (n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE) AS score
+        FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, word, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, word
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT doc_id, rank, word, ROUND(score, 6) AS score
+    FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_scores": quality_scores,
@@ -428,4 +504,5 @@ QUERIES = {
     "text_wordpiece_stats": wordpiece_stats,
     "text_repetition_stats": repetition_stats,
     "text_fingerprint_stats": fingerprint_stats,
+    "text_tfidf_topterms": tfidf_topterms,
 }

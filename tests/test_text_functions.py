@@ -179,3 +179,43 @@ def test_repetition_stats_exact_ratio(spark, tmp_path_factory):
     assert got["en"].n_repetitive == 1  # only the cycled doc crosses 0.2
     assert got["en"].avg_repetition == round((6 / 11 + 0.0) / 2, 6)
     assert got["fr"].n_repetitive == 0 and got["fr"].avg_repetition == 0.0
+
+
+def test_tfidf_flags_distinctive_term(spark, tmp_path_factory):
+    """A term unique to one document must be its top-ranked TF-IDF term;
+    corpus-wide terms rank below it."""
+    from automotive_big_data_analysis_spark.operators import text_analysis as ta
+
+    path = str(tmp_path_factory.mktemp("tfidf"))
+    common = "the data table row value"
+    rows = [
+        (0, common + " zebra zebra", "en", "s", 30),
+        (1, common, "en", "s", 25),
+        (2, common, "en", "s", 25),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    got = {
+        (r.doc_id, r.rank): r.word
+        for r in ta.tfidf_topterms(spark, path).collect()
+    }
+    assert got[(0, 1)] == "zebra"  # unique + tf=2 beats shared words
+    # shared words tie on score in docs 1/2; word asc breaks the tie
+    assert got[(1, 1)] == got[(2, 1)]
+
+
+def test_weighted_sample_never_keeps_zero_quality(spark, tmp_path_factory):
+    """quality = 0 → keep threshold 0 → document can never be sampled."""
+    from automotive_big_data_analysis_spark.operators import sampling as sp
+
+    path = str(tmp_path_factory.mktemp("wsample"))
+    rows = [(i, "x", "en", "s", 1) for i in range(50)]  # 1 token, mean_len 1 -> q=0.0
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    row = sp.weighted_document_sample(spark, path).first()
+    assert row.n_docs == 50
+    assert row.n_sampled == 0
+    assert row.avg_quality_sampled is None
+    assert row.keep_rate == 0.0
