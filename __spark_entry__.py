@@ -89,6 +89,7 @@ _SWEEP_PRIORITY = [
     "dedup_incremental_stats",
     "text_tfidf_topterms",
     "sample_weighted_documents",
+    "docs_embedding_quality_corr",
 ]
 # Remaining window slots fill with this round's newly registered queries
 # (appended below as they land). Everything displaced past position 50 is

@@ -248,6 +248,64 @@ def doc_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal audit: per embedding label, the Pearson correlation
+    between a document's heuristic quality score and its embedding's L2
+    norm (documents ⋈ embeddings on doc_id = vec_id) — the sanity check
+    a pipeline runs before filtering one modality on the other's signal.
+
+    Determinism: both inputs are deterministic doubles (quality rounds
+    to 2 decimals; the norm — IEEE-exact sqrt of an ascending-index
+    dot fold — rounds to 6 before use); per-row products are identical
+    doubles; all five moment sums accumulate in DECIMAL(25,10)
+    (order-free); the closed-form correlation then derives from the
+    decimal-cast moments with one shared expression tree. Zero-variance
+    groups yield NULL via the same NULLIF on both engines.
+
+    Scale shape: the join co-partitions two corpus-sized tables on their
+    shared key (sort-merge at scale, no broadcast); moments aggregate
+    with map-side combine to |labels| rows."""
+    from automotive_big_data_analysis_spark.functions import text as tx
+    from automotive_big_data_analysis_spark.functions import vectors as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.quality_score("text").alias("q")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        "label",
+        F.round(V.norm(V.as_double("embedding")), 6).alias("nrm"),
+    )
+    m = (
+        docs.join(emb, "doc_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ex.dec("q")).alias("sx"),
+            F.sum(ex.dec("nrm")).alias("sy"),
+            F.sum(ex.dec(F.col("q") * F.col("q"))).alias("sxx"),
+            F.sum(ex.dec(F.col("nrm") * F.col("nrm"))).alias("syy"),
+            F.sum(ex.dec(F.col("q") * F.col("nrm"))).alias("sxy"),
+        )
+    )
+    n = F.col("n_docs")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    denom = F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        "label",
+        "n_docs",
+        F.round((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 6).alias(
+            "corr_quality_norm"
+        ),
+        F.round(sx / n, 6).alias("avg_quality"),
+        F.round(sy / n, 6).alias("avg_norm"),
+    )
+
+
 _WEEK_SQL = "CAST(FLOOR(EPOCH_US(ts) / 86400000000) AS BIGINT) // 7"
 
 ORACLE: dict[str, str] = {
@@ -340,9 +398,66 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def _corr_sql() -> str:
+    from automotive_big_data_analysis_spark.functions import text as tx
+
+    stop_sql = ", ".join(f"'{w}'" for w in tx.STOPWORDS_EN + tx.STOPWORDS_ES)
+    toks = r"regexp_extract_all(text, '\S+')"
+    dsx, dsy = "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    dsxx, dsyy = "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)"
+    return rf"""
+        WITH scored AS (
+            SELECT doc_id, len({toks}) AS n_tok, length(text) AS n_chars,
+                   len(list_filter({toks},
+                       x -> lower(x) IN ({stop_sql}))) AS n_stop
+            FROM documents
+        ), q AS (
+            SELECT doc_id,
+                   ROUND(
+                       (CASE WHEN n_tok >= 20 AND n_tok <= 10000
+                             THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN n_tok > 0
+                             AND CAST(n_chars AS DOUBLE)/n_tok >= 3
+                             AND CAST(n_chars AS DOUBLE)/n_tok <= 12
+                            THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN n_tok > 0
+                             AND CAST(n_stop AS DOUBLE)/n_tok >= 0.05
+                            THEN 0.3 ELSE 0.0 END), 2) AS q
+            FROM scored
+        ), e AS (
+            SELECT vec_id AS doc_id, label,
+                   ROUND(sqrt(list_dot_product(v, v)), 6) AS nrm
+            FROM (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            )
+        ), m AS (
+            SELECT label, COUNT(*) AS n_docs,
+                   SUM(CAST(q AS {ex.SQL_DEC})) AS sx,
+                   SUM(CAST(nrm AS {ex.SQL_DEC})) AS sy,
+                   SUM(CAST(q * q AS {ex.SQL_DEC})) AS sxx,
+                   SUM(CAST(nrm * nrm AS {ex.SQL_DEC})) AS syy,
+                   SUM(CAST(q * nrm AS {ex.SQL_DEC})) AS sxy
+            FROM q JOIN e USING (doc_id) GROUP BY label
+        )
+        SELECT label, n_docs,
+               ROUND((n_docs * CAST(sxy AS DOUBLE) - {dsx} * {dsy})
+                     / NULLIF(sqrt((n_docs * {dsxx} - {dsx} * {dsx})
+                                   * (n_docs * {dsyy} - {dsy} * {dsy})),
+                              0.0), 6) AS corr_quality_norm,
+               ROUND({dsx} / n_docs, 6) AS avg_quality,
+               ROUND({dsy} / n_docs, 6) AS avg_norm
+        FROM m
+    """
+
+
+ORACLE["docs_embedding_quality_corr"] = _corr_sql()
+
 QUERIES = {
     "events_user_retention": user_retention,
     "events_hourly_anomalies": hourly_anomalies,
     "orders_rfm_segments": rfm_segments,
     "docs_length_gate": doc_length_gate,
+    "docs_embedding_quality_corr": embedding_quality_corr,
 }

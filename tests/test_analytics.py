@@ -122,3 +122,29 @@ def test_doc_length_gate_bounds_and_counts(spark):
         # the gate keeps the bulk: at least 80% of docs fall inside P5-P95
         assert r.n_kept >= 0.8 * r.n_docs
         assert r.n_kept <= r.n_docs
+
+
+def test_embedding_quality_corr_planted(spark, tmp_path_factory):
+    """Two docs per label with norm proportional to quality -> corr = 1;
+    a constant-quality label -> NULL (zero variance)."""
+    path = str(tmp_path_factory.mktemp("corr"))
+    rich = "the data row " * 10  # 30 tokens, mean_len ~4, stopwords -> q=1.0
+    poor = "x"  # q = 0.0
+    docs = [(0, rich, "en", "s", len(rich)), (1, poor, "en", "s", 1),
+            (2, rich, "en", "s", len(rich)), (3, rich, "en", "s", len(rich))]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    embs = [
+        (0, [2.0] * 64, 0),  # label 0: big norm with q=1.0 ...
+        (1, [0.5] * 64, 0),  # ... small norm with q=0.0 -> corr +1
+        (2, [1.0] * 64, 1),  # label 1: both q=1.0 -> zero variance -> NULL
+        (3, [3.0] * 64, 1),
+    ]
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    got = {r.label: r for r in an.embedding_quality_corr(spark, path).collect()}
+    assert got[0].corr_quality_norm == 1.0
+    assert got[1].corr_quality_norm is None
+    assert got[0].n_docs == 2 and got[1].n_docs == 2
