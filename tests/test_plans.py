@@ -282,6 +282,7 @@ def test_generate_paths_keep_tokenizer_out_of_filters(spark):
     dfs = [
         dedup._shingle_df(load_table(spark, SF, "documents")),
         text_analysis.word_topk(spark, SF),
+        text_analysis.tfidf_topterms(spark, SF),
         training_prep.contamination_stats(spark, SF),
         training_prep.bpe_pair_stats(spark, SF),
     ]
