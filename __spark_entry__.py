@@ -91,10 +91,12 @@ _SWEEP_PRIORITY = [
     "sample_weighted_documents",
     "docs_embedding_quality_corr",
 ]
-# Remaining window slots fill with this round's newly registered queries
-# (appended below as they land). Everything displaced past position 50 is
-# r4 driver-hash-green AND untouched this round (see CORRECTNESS_r04.json);
-# local oracle evidence for the full set is refreshed in ORACLE_FULL_r05.
+# The window is exactly full (50 entries). Everything displaced past
+# position 50 is r4 driver-hash-green AND untouched this round (see
+# CORRECTNESS_r04.json); local oracle evidence for the full registry is
+# refreshed in ORACLE_FULL_r05.txt / ORACLE_ALT_r05.txt (both layouts,
+# 0 failures). `forecast_revenue_change` (Q6, registered after the
+# window filled) carries local evidence only — rotate it in next round.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

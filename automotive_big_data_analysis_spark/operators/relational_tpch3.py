@@ -175,7 +175,58 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FORECAST_YEAR = 1996
+FORECAST_DISC_LO, FORECAST_DISC_HI = 0.05, 0.07
+FORECAST_MAX_QTY = 24
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the revenue that would have been gained by
+    eliminating small discounts on low-quantity items in one year — a
+    pure scan-side scalar aggregate whose THREE predicates must all push
+    into the parquet scan (the plan test asserts it).
+
+    Exactness + speed: ``l_extendedprice * l_discount`` is an exact
+    scaled-integer product (both are 2-decimal values; cf.
+    ``exact.money4``) summed long per input partition and widened to
+    DECIMAL only across the |partitions|-row intermediate — order-free
+    at any scale with the per-row hot loop primitive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        F.col("l_discount") * 100
+    ).cast("long")
+    filtered = li.where(
+        (F.col("l_shipdate") >= f"{FORECAST_YEAR}-01-01")
+        & (F.col("l_shipdate") < f"{FORECAST_YEAR + 1}-01-01")
+        & (F.col("l_discount") >= FORECAST_DISC_LO)
+        & (F.col("l_discount") <= FORECAST_DISC_HI)
+        & (F.col("l_quantity") < FORECAST_MAX_QTY)
+    )
+    partials = filtered.groupBy(F.spark_partition_id().alias("_pid")).agg(
+        F.sum(c4).alias("c4"), F.count("*").alias("n")
+    )
+    return partials.agg(
+        F.round(F.sum(ex.dec("c4")).cast("double") / 10000, 2).alias(
+            "revenue_effect"
+        ),
+        F.sum("n").cast("long").alias("n_items"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "forecast_revenue_change": f"""
+        SELECT ROUND(CAST(SUM(CAST(
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * CAST(ROUND(l_discount * 100) AS BIGINT)
+               AS {ex.SQL_DEC})) AS DOUBLE) / 10000, 2) AS revenue_effect,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{FORECAST_YEAR}-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '{FORECAST_YEAR + 1}-01-01 00:00:00'
+          AND l_discount >= {FORECAST_DISC_LO}
+          AND l_discount <= {FORECAST_DISC_HI}
+          AND l_quantity < {FORECAST_MAX_QTY}
+    """,
     "cross_nation_volume": f"""
         SELECT sn.supp_nation, cn.cust_nation,
                CAST(YEAR(o_orderdate) AS INTEGER) AS ship_year,
@@ -242,6 +293,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "forecast_revenue_change": forecast_revenue_change,
     "cross_nation_volume": cross_nation_volume,
     "returned_item_revenue": returned_item_revenue,
     "sole_supplier_orders": sole_supplier_orders,

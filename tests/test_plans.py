@@ -219,6 +219,22 @@ def test_ivf_codebook_fixed_k_and_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_forecast_revenue_pushes_all_predicates(spark):
+    """Q6's whole point is scan-side evaluation: all three predicate
+    families must reach the parquet scan, and only the four referenced
+    columns may be read."""
+    from automotive_big_data_analysis_spark.operators import relational_tpch3
+
+    df = relational_tpch3.forecast_revenue_change(spark, SF)
+    pushed = " ".join(px.pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    schemas = " ".join(px.read_schemas(df))
+    assert "l_extendedprice" in schemas
+    assert "l_orderkey" not in schemas
+
+
 def test_retention_broadcasts_cohort_sizes(spark):
     """Cohort retention: the per-cohort size dimension is tiny and must
     broadcast; nothing scales with raw events past the first partial
