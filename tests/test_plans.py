@@ -305,3 +305,24 @@ def test_generate_paths_keep_tokenizer_out_of_filters(spark):
     for df in dfs:
         assert px.filters_containing(df, "regexp_extract_all") == 0
     dedup.release()
+
+
+def test_inferred_filter_detector_not_vacuous(spark):
+    """The Condition-line restriction (round-4 advice) must not blind the
+    detector: a Filter whose CONDITION evaluates the tokenizer must be
+    flagged, while a plan that merely carries a token array through its
+    Input/Output attribute lists must not."""
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    bad = docs.where(F.size(tx.tokens("text")) > 3).select("doc_id")
+    assert px.filters_containing(bad, "regexp_extract_all") >= 1
+    # attribute-list-only appearance: filter on an unrelated column while
+    # the tokenizer output is a projected attribute
+    ok = (
+        docs.select("doc_id", "n_chars", tx.tokens("text").alias("toks"))
+        .where(F.col("n_chars") > 10)
+    )
+    assert px.filters_containing(ok, "regexp_extract_all") == 0
