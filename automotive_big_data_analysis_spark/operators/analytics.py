@@ -398,6 +398,82 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix: counts and exact transition
+    probabilities for each (previous type → next type) pair — the
+    behavioral-model summary downstream sequence models train against.
+
+    Scale shape: one shuffle on ``user_id`` for the per-user ordering
+    (same single-exchange shape as ``events.sessionize``; only
+    (user, ts, id, type) is carried), a |types|²-row aggregate with
+    map-side combine, and a window over that tiny aggregate for the
+    row-normalization. Probabilities are single IEEE divisions of exact
+    integer counts — identical on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    pairs = ev.select(
+        prev.alias("prev_type"), F.col("event_type").alias("next_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    row_tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row_tot), 6).alias("p"),
+    )
+
+
+OUTLIER_TOP_K = 5
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the ``OUTLIER_TOP_K`` vectors
+    farthest (squared L2) from their own label's centroid — the
+    mislabeled-example screen a curation pipeline runs on labeled
+    embedding data.
+
+    Determinism: centroids are per-dimension DECIMAL-exact means (the
+    ``label_centroids`` arithmetic) repacked into ordered arrays;
+    distances are the codegen'd ascending-index fold; ties break on
+    vec_id. Scale shape: the centroid table is |labels| × dim —
+    broadcast; scoring is one map-side pass; the top-k window partitions
+    by label over (label, vec_id, d2) triples only."""
+    from automotive_big_data_analysis_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.as_double("embedding").alias("v")
+    )
+    centroids = (
+        emb.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg((F.sum(ex.dec("x")).cast("double") / F.count("x")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s.m,
+            ).alias("cv")
+        )
+    )
+    scored = emb.join(F.broadcast(centroids), "label").select(
+        "label",
+        "vec_id",
+        F.round(V.sq_dist_unrolled("v", "cv"), 6).alias("d2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= OUTLIER_TOP_K)
+        .select("label", "rank", "vec_id", "d2")
+    )
+
+
 def _corr_sql() -> str:
     from automotive_big_data_analysis_spark.functions import text as tx
 
@@ -454,10 +530,67 @@ def _corr_sql() -> str:
 
 ORACLE["docs_embedding_quality_corr"] = _corr_sql()
 
+ORACLE["events_markov_transitions"] = """
+    WITH ordered AS (
+        SELECT event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ), counts AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) AS p
+    FROM counts
+"""
+
+
+def _outliers_sql() -> str:
+    from automotive_big_data_analysis_spark.functions import vectors as V
+
+    diff = "list_transform(range(1, {d} + 1), i -> e.v[i] - c.cv[i])".format(
+        d=V.DIM
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), c AS (
+        SELECT label, list(m ORDER BY dim) AS cv FROM (
+            SELECT label, d.d AS dim,
+                   CAST(SUM(CAST(v[d.d + 1] AS {ex.SQL_DEC})) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM e CROSS JOIN (SELECT UNNEST(range(0, {V.DIM})) AS d) AS d
+            GROUP BY label, d.d
+        ) GROUP BY label
+    ), scored AS (
+        SELECT e.label, e.vec_id,
+               ROUND(list_dot_product({diff}, {diff}), 6) AS d2
+        FROM e JOIN c ON e.label = c.label
+    ), ranked AS (
+        SELECT label, vec_id, d2,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY label ORDER BY d2 DESC, vec_id
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT label, rank, vec_id, d2 FROM ranked WHERE rank <= {OUTLIER_TOP_K}
+"""
+
+
+ORACLE["embedding_outlier_scores"] = _outliers_sql()
+
 QUERIES = {
     "events_user_retention": user_retention,
     "events_hourly_anomalies": hourly_anomalies,
     "orders_rfm_segments": rfm_segments,
     "docs_length_gate": doc_length_gate,
     "docs_embedding_quality_corr": embedding_quality_corr,
+    "events_markov_transitions": markov_transitions,
+    "embedding_outlier_scores": embedding_outliers,
 }

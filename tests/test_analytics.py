@@ -148,3 +148,37 @@ def test_embedding_quality_corr_planted(spark, tmp_path_factory):
     assert got[0].corr_quality_norm == 1.0
     assert got[1].corr_quality_norm is None
     assert got[0].n_docs == 2 and got[1].n_docs == 2
+
+
+def test_markov_transitions_counts_and_rows_normalize(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("markov"))
+    rows = [
+        (1, T0 + timedelta(seconds=0), 1, "view", 0.0, "{}"),
+        (2, T0 + timedelta(seconds=1), 1, "click", 0.0, "{}"),
+        (3, T0 + timedelta(seconds=2), 1, "view", 0.0, "{}"),
+        (4, T0 + timedelta(seconds=3), 1, "purchase", 0.0, "{}"),
+        # user 2's single event produces no transition
+        (5, T0, 2, "view", 0.0, "{}"),
+    ]
+    _write_events(spark, path, rows)
+    got = {
+        (r.prev_type, r.next_type): r
+        for r in an.markov_transitions(spark, path).collect()
+    }
+    assert set(got) == {("view", "click"), ("click", "view"), ("view", "purchase")}
+    assert got[("view", "click")].n == 1
+    assert got[("view", "click")].p == 0.5  # view row: click + purchase
+    assert got[("click", "view")].p == 1.0
+
+
+def test_embedding_outliers_flag_planted_vector(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("outl"))
+    embs = [(i, [1.0] * 64, 0) for i in range(9)] + [(9, [9.0] * 64, 0)]
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    got = an.embedding_outliers(spark, path).collect()
+    assert got[0].rank == 1 and got[0].vec_id == 9  # the planted outlier
+    assert len(got) == min(an.OUTLIER_TOP_K, 10)
+    # everyone else is equidistant from the centroid; ties break by id
+    assert [r.vec_id for r in got[1:]] == [0, 1, 2, 3]
