@@ -95,8 +95,10 @@ _SWEEP_PRIORITY = [
 # position 50 is r4 driver-hash-green AND untouched this round (see
 # CORRECTNESS_r04.json); local oracle evidence for the full registry is
 # refreshed in ORACLE_FULL_r05.txt / ORACLE_ALT_r05.txt (both layouts,
-# 0 failures). `forecast_revenue_change` (Q6, registered after the
-# window filled) carries local evidence only — rotate it in next round.
+# 0 failures). Three queries registered after the window filled
+# (`forecast_revenue_change`, `events_markov_transitions`,
+# `embedding_outlier_scores`) carry local evidence only — rotate them
+# into the r6 window first, along with anything r6 changes.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

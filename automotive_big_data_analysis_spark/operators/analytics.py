@@ -3,12 +3,16 @@ documents.
 
 Training-data-pipeline + product-analytics extension (no reference
 analog — the reference's aggregation surface stops at per-year rollups,
-SURVEY §2.4): weekly cohort retention, hourly anomaly detection,
-RFM customer segmentation, and a percentile-based document length gate.
-Everything is built-in expressions; each oracle mirrors the exact
-arithmetic (explicit variance formula, epoch-integer week buckets,
-NTILE with total-order tiebreaks) so doubles are bit-identical across
-engines.
+SURVEY §2.4): weekly cohort retention, hourly anomaly detection (batch
+detector; the streaming twin lives in ``streaming/events_stream.py``),
+RFM customer segmentation, a percentile-based document length gate, a
+cross-modal quality/embedding-norm correlation audit, a per-user
+event-type Markov transition matrix, and a per-label embedding outlier
+screen. Everything is built-in expressions; each oracle mirrors the
+exact arithmetic (explicit variance/correlation formulas over exact
+moment sums, epoch-integer week buckets, NTILE with total-order
+tiebreaks, exact-ratio probabilities) so doubles are bit-identical
+across engines.
 """
 
 from __future__ import annotations
