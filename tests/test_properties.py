@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the exactness-critical kernels.
+
+Each property batches many generated rows into ONE Spark job per
+example (Spark jobs are too slow for per-row examples), with bounded
+example counts. The properties pin the invariants the oracle-parity
+discipline rests on:
+
+- ``exact.money4`` equals true decimal arithmetic for any 2-decimal
+  money values (the foundation of the Q6/Q8/Q11 scaled-integer sums);
+- sessionization partitions events with the gap invariant (intra-session
+  gaps ≤ 30 min, session starts follow a > 30 min silence) for ANY event
+  layout;
+- ``sampling.hash_bucket`` is deterministic and in-range for any key.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.functions import exact as ex
+from automotive_big_data_analysis_spark.operators import events as ev_ops
+from automotive_big_data_analysis_spark.operators.sampling import hash_bucket
+
+T0 = datetime(2024, 1, 1)
+
+money = st.integers(min_value=0, max_value=10_000_000).map(
+    lambda c: c / 100.0
+)  # exact 2-decimal values as doubles
+disc = st.integers(min_value=0, max_value=100).map(lambda c: c / 100.0)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(money, disc), min_size=1, max_size=200))
+def test_money4_equals_decimal_arithmetic(spark, rows):
+    """money4(price, discount) == price * (1 - discount) in TRUE decimal
+    arithmetic at scale 4, for every 2-decimal input."""
+    df = spark.createDataFrame(rows, "price double, disc double")
+    got = df.select(
+        ex.money4("price", "disc").alias("c4"), "price", "disc"
+    ).collect()
+    for r in got:
+        expected = (
+            Decimal(f"{r.price:.2f}") * (1 - Decimal(f"{r.disc:.2f}"))
+        ).scaleb(4)
+        assert r.c4 == int(expected), (r.price, r.disc, r.c4, expected)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.integers(min_value=0, max_value=400_000),  # offset seconds
+        ),
+        min_size=1,
+        max_size=120,
+        unique=True,
+    )
+)
+def test_sessionize_gap_invariants(spark, tmp_path_factory, rows):
+    """For ANY event layout: sessions partition a user's events exactly;
+    consecutive sessions of one user are separated by > GAP; and each
+    session's span only contains gaps <= GAP (verified via per-session
+    bounds: a session's start must be > GAP after the previous session's
+    end)."""
+    path = str(tmp_path_factory.mktemp("prop_sess"))
+    data = [
+        (i, T0 + timedelta(seconds=off), user, "view", 0.0, "{}")
+        for i, (user, off) in enumerate(sorted(set(rows)))
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    sess = ev_ops.sessionize(spark, path).collect()
+    gap = ev_ops.SESSION_GAP_MINUTES * 60
+    # partition: session event counts sum to the user's event total
+    per_user_events: dict[int, int] = {}
+    for _, (user, _) in enumerate(sorted(set(rows))):
+        per_user_events[user] = per_user_events.get(user, 0) + 1
+    per_user_sess: dict[int, int] = {}
+    for s in sess:
+        per_user_sess[s.user_id] = per_user_sess.get(s.user_id, 0) + s.n_events
+    assert per_user_sess == per_user_events
+    # ordering + separation: sessions are disjoint and > gap apart
+    by_user: dict[int, list] = {}
+    for s in sess:
+        by_user.setdefault(s.user_id, []).append(s)
+    for user, slist in by_user.items():
+        slist.sort(key=lambda s: s.session_seq)
+        for a, b in zip(slist, slist[1:]):
+            assert b.session_seq == a.session_seq + 1
+            silence = (b.session_start - a.session_end).total_seconds()
+            assert silence > gap, (user, a.session_seq, silence)
+        for s in slist:
+            span = (s.session_end - s.session_start).total_seconds()
+            # a session of n events has at most (n-1) gaps of <= gap secs
+            assert span <= (s.n_events - 1) * gap
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=100))
+def test_hash_bucket_deterministic_and_in_range(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = df.select(
+        hash_bucket(F.col("k")).alias("b1"),
+        hash_bucket(F.col("k")).alias("b2"),
+    ).collect()
+    for r in got:
+        assert r.b1 == r.b2
+        assert 0 <= r.b1 < 1000
