@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table
 from automotive_big_data_analysis_spark.functions import exact as ex
+from automotive_big_data_analysis_spark.functions import ranking as rk
 
 _US_PER_DAY = 86_400 * 1_000_000
 
@@ -149,18 +150,20 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     count), and Monetary (total spend), then report each (r, f, m)
     segment's size and average spend.
 
-    Determinism: every NTILE orders by (metric, custkey) — a total
+    Determinism: every quartile orders by (metric, custkey) — a total
     order, so quartile boundaries can't depend on partition layout; both
     engines fill remainder rows into the leading buckets identically.
     Monetary sums accumulate in DECIMAL(25,10).
 
     Scale shape: one orders scan → per-customer aggregate (map-side
-    combine); the three NTILE windows are unpartitioned BUT run over the
-    per-customer aggregate, not raw orders — |customers| rows through a
-    single-partition window is the textbook global-ranking bottleneck at
-    100 TB, so production would swap in the two-pass range-bucket prefix
-    sum used by ``training_prep.pack_token_shards``; at |customers| ≪
-    |orders| scale this exact global NTILE is the standard layout."""
+    combine), staged once (three consumers); each quartile is the
+    two-pass range-bucket global rank (``functions/ranking.py`` — the
+    ``pack_token_shards`` primitive generalized to arbitrary sort
+    metrics), so NO unpartitioned window ever sees the per-customer
+    relation — at 100 TB that relation is itself fact-scale and the
+    naive global NTILE (kept as the oracle formulation) would funnel it
+    through one task. Parallelism per quartile pass is the range-bucket
+    fan-out; plan-asserted in ``tests/test_plans.py``."""
     orders = load_table(spark, sf_dir, "orders")
     maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
     per_cust = (
@@ -184,26 +187,22 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("recency_days"),
         )
     )
-    r_q = F.ntile(4).over(
-        Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    # stage the per-customer aggregate once: the three ranking passes each
+    # reference it several times (boundary sample, bucket counts, rank)
+    per_cust = per_cust.localCheckpoint()
+    key = F.col("o_custkey")
+    # DESC metrics rank by the negated column (decimal/long negation is
+    # exact); each pass appends one quartile column with no unpartitioned
+    # window over the per-customer relation
+    quart = rk.with_global_ntile(
+        per_cust, 4, F.col("recency_days"), key, "r_quartile"
     )
-    f_q = F.ntile(4).over(
-        Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    )
-    m_q = F.ntile(4).over(
-        Window.orderBy(
-            F.col("monetary_dec").desc(), F.col("o_custkey")
-        )
+    quart = rk.with_global_ntile(quart, 4, -F.col("frequency"), key, "f_quartile")
+    quart = rk.with_global_ntile(
+        quart, 4, -F.col("monetary_dec"), key, "m_quartile"
     )
     return (
-        per_cust.select(
-            "o_custkey",
-            "monetary_dec",
-            r_q.alias("r_quartile"),
-            f_q.alias("f_quartile"),
-            m_q.alias("m_quartile"),
-        )
-        .groupBy("r_quartile", "f_quartile", "m_quartile")
+        quart.groupBy("r_quartile", "f_quartile", "m_quartile")
         .agg(
             F.count("*").alias("n_customers"),
             F.round(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table
 from automotive_big_data_analysis_spark.functions import exact as ex
+from automotive_big_data_analysis_spark.functions import ranking as rk
 
 LARGE_ORDER_QTY = 150  # Q18-style HAVING threshold
 SHARE_NATION = "NATION_7"  # Q8-style market-share subject nation
@@ -224,17 +225,26 @@ def daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(10) over order value: per-decile count, min/max/avg price.
 
-    A global ntile needs a total order; at 100 TB the exact form is a
-    sort-based single pass — acceptable only because the output feeds a
-    10-row summary; the approximate form is ``approx_part_stats``-style
-    t-digest quantile bucketing."""
+    A global ntile needs a total order; the naive window (kept as the
+    oracle formulation) funnels every order through ONE task. This plan
+    uses the two-pass range-bucket rank (``functions/ranking.py``):
+    sampled value boundaries bucket the scan, per-bucket ranks run
+    partition-parallel, and broadcast bucket offsets make them global —
+    the orders table is never globally sorted on a single partition. The
+    pruned 2-column scan is re-read per pass (boundary sample / bucket
+    counts / rank) — at 100 TB repeated pushed-down scans beat staging
+    the fact table; the approximate one-scan form is
+    ``approx_part_stats``-style t-digest quantile bucketing."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    deciled = rk.with_global_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        10,
+        F.col("o_totalprice"),
+        F.col("o_orderkey"),
+        "decile",
+    )
     return (
-        orders.select(
-            "o_totalprice", F.ntile(10).over(w).alias("decile")
-        )
-        .groupBy("decile")
+        deciled.groupBy("decile")
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),

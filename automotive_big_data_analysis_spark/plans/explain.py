@@ -71,6 +71,27 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"Exchange (?:hash|range|single)", physical_plan(df)))
 
 
+def window_specs(df: DataFrame) -> list[str]:
+    """Every ``windowspecdefinition(...)`` argument list in the plan."""
+    return re.findall(r"windowspecdefinition\(([^)]*)", physical_plan(df))
+
+
+def unpartitioned_window_specs(df: DataFrame) -> list[str]:
+    """Window specs with an EMPTY partition clause — the single-partition
+    global sort that kills fact-scale plans at 100 TB. In a spec's
+    argument list the partition columns come first and carry no sort
+    direction, so a spec whose FIRST argument is already a sort key
+    (``ASC``/``DESC``) has no partitioning. Specs over provably tiny
+    relations (bucket-count aggregates, per-day rollups) are legitimate —
+    callers assert on what the spec ORDERS BY to allow those."""
+    out = []
+    for spec in window_specs(df):
+        first = spec.split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            out.append(spec)
+    return out
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """True when the plan splits aggregation into partial/final (map-side
     combine before the shuffle)."""

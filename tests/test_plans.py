@@ -279,6 +279,54 @@ def test_cdc_chunks_single_wide_shuffle(spark):
     assert px.shuffle_count(df) <= 3
 
 
+def test_rfm_segments_no_global_window_over_customers(spark):
+    """Round-5 VERDICT flag: the three quartiles must come from the
+    two-pass range-bucket rank — no NTILE, and the only unpartitioned
+    window specs order by the range-bucket id (the <= N_RANGE_BUCKETS-row
+    offset aggregate), never by a customer-level metric."""
+    from automotive_big_data_analysis_spark.operators import analytics
+
+    df = analytics.rfm_segments(spark, SF)
+    plan = px.physical_plan(df)
+    assert "ntile(" not in plan
+    unpart = px.unpartitioned_window_specs(df)
+    assert unpart and all("_bk" in s.split(",")[0] for s in unpart)
+
+
+def test_order_value_deciles_no_global_window_over_orders(spark):
+    """Same flag for the decile query: orders must never funnel through
+    a single-partition sort; ranks are bucket-partitioned windows."""
+    from automotive_big_data_analysis_spark.operators import relational_tpch as rt
+
+    df = rt.order_value_deciles(spark, SF)
+    plan = px.physical_plan(df)
+    assert "ntile(" not in plan
+    unpart = px.unpartitioned_window_specs(df)
+    assert unpart and all("_bk" in s.split(",")[0] for s in unpart)
+    # the per-bucket rank window IS partitioned (by the bucket id)
+    assert any("_bk" in s.split(",")[0] for s in px.window_specs(df))
+
+
+def test_unpartitioned_window_detector_not_vacuous(spark):
+    """The detector must flag a genuinely global window and pass a
+    partitioned one."""
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF, "orders")
+    bad = orders.select(
+        F.row_number().over(Window.orderBy("o_totalprice")).alias("r")
+    )
+    assert len(px.unpartitioned_window_specs(bad)) == 1
+    ok = orders.select(
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_totalprice"))
+        .alias("r")
+    )
+    assert len(px.unpartitioned_window_specs(ok)) == 0
+
+
 def test_generate_paths_keep_tokenizer_out_of_filters(spark):
     """Regression guard for the explode inferred-filter pathology: plain
     explode over a staged array infers a size>0 filter that Catalyst
