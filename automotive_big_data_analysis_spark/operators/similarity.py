@@ -448,6 +448,57 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECALL_METHODS = ("lsh", "ivf", "pq", "ivfpq")
+
+
+def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every ANN method against the brute-force ground truth
+    — the evaluation a pipeline runs before trusting an index, and the
+    pin on the recall cost of the fixed-K codebook rework: per method,
+    how many of each query's true top-``TOP_K`` neighbors the
+    approximate search returned (micro-averaged over queries).
+
+    Scale shape: each method's result is |queries| × k rows — the
+    comparison is dimension-sized regardless of corpus size, and every
+    index structure comes from the shared memoized builders, so this
+    report costs one brute-force scan plus four tiny joins. Recall is an
+    exact integer ratio (one IEEE division, round 6) — fully oracle-able
+    because every input ranking is deterministic."""
+    import functools
+
+    bf = knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    truth = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    methods = {
+        "lsh": knn_lsh,
+        "ivf": knn_ivf,
+        "pq": knn_pq,
+        "ivfpq": knn_ivfpq,
+    }
+    per = []
+    for name in RECALL_METHODS:
+        m = methods[name](spark, sf_dir).select("query_id", "vec_id")
+        hits = (
+            bf.join(m, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        per.append(
+            truth.join(hits, "query_id", "left").select(
+                F.lit(name).alias("method"),
+                "query_id",
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                "n_true",
+            )
+        )
+    allm = functools.reduce(DataFrame.unionByName, per)
+    return allm.groupBy("method").agg(
+        F.count("*").alias("n_queries"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.sum("n_true").cast("long").alias("n_true"),
+        F.round(F.sum("n_hits") / F.sum("n_true"), 6).alias("recall_at_k"),
+    )
+
+
 N_BLOCKS = 8  # tile grid; at scale pick so a block (N/N_BLOCKS vectors)
 # fits an executor's memory — tiles grow as N_BLOCKS², work stays O(N²).
 
@@ -926,12 +977,50 @@ ORACLE["knn_ivfpq"] = f"""
     FROM ranked WHERE rank <= {TOP_K}
 """
 
+# Recall oracle: each method's full oracle SQL nests as a CTE (DuckDB
+# allows WITH inside a CTE body), so the ground truth and every
+# approximate ranking are the exact same queries the per-method gates
+# verify; the report then replays the same set-intersection counts.
+ORACLE["knn_recall_report"] = f"""
+    WITH bf AS ({ORACLE["knn_bruteforce"]}),
+    m_lsh AS ({ORACLE["knn_lsh"]}),
+    m_ivf AS ({ORACLE["knn_ivf"]}),
+    m_pq AS ({ORACLE["knn_pq"]}),
+    m_ivfpq AS ({ORACLE["knn_ivfpq"]}),
+    m AS (
+        SELECT 'lsh' AS method, query_id, vec_id FROM m_lsh
+        UNION ALL SELECT 'ivf', query_id, vec_id FROM m_ivf
+        UNION ALL SELECT 'pq', query_id, vec_id FROM m_pq
+        UNION ALL SELECT 'ivfpq', query_id, vec_id FROM m_ivfpq
+    ), truth AS (
+        SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY query_id
+    ), hits AS (
+        SELECT m.method, m.query_id, COUNT(*) AS n_hits
+        FROM m JOIN bf ON bf.query_id = m.query_id AND bf.vec_id = m.vec_id
+        GROUP BY 1, 2
+    ), per AS (
+        SELECT mm.method, t.query_id,
+               COALESCE(h.n_hits, 0) AS n_hits, t.n_true
+        FROM (VALUES {", ".join(f"('{x}')" for x in RECALL_METHODS)})
+             AS mm(method)
+        CROSS JOIN truth t
+        LEFT JOIN hits h ON h.method = mm.method AND h.query_id = t.query_id
+    )
+    SELECT method, COUNT(*) AS n_queries,
+           CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+           CAST(SUM(n_true) AS BIGINT) AS n_true,
+           ROUND(SUM(n_hits) / CAST(SUM(n_true) AS DOUBLE), 6)
+               AS recall_at_k
+    FROM per GROUP BY method
+"""
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "knn_pq": knn_pq,
     "knn_ivfpq": knn_ivfpq,
+    "knn_recall_report": knn_recall_report,
     "embedding_cosine_dups": cosine_dup_pairs,
     "embedding_kmeans": embedding_kmeans,
     "embedding_label_centroids": label_centroids,

@@ -292,3 +292,21 @@ def test_funnel_requires_ordered_stages(spark, tmp_path_factory):
     assert got["click"].avg_lag_s == 60.0
     assert got["purchase"].n_users == 1
     assert got["purchase"].avg_lag_s == 120.0
+
+
+def test_knn_recall_report_bounds_and_ground_truth(spark):
+    """Recall is a valid ratio per method; the ground-truth denominator
+    is exactly |queries| x TOP_K; IVF (data-adaptive cells) must beat
+    random-hyperplane LSH on this corpus."""
+    sim.release()
+    rows = {
+        r.method: r
+        for r in sim.knn_recall_report(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == set(sim.RECALL_METHODS)
+    for r in rows.values():
+        assert r.n_true == r.n_queries * sim.TOP_K
+        assert 0 <= r.n_hits <= r.n_true
+        assert 0.0 <= r.recall_at_k <= 1.0
+    assert rows["ivf"].n_hits > rows["lsh"].n_hits
+    sim.release()
