@@ -49,6 +49,7 @@ def salted_join(
     key: str,
     n_salts: int = 16,
     how: str = "inner",
+    hint: str | None = None,
 ) -> DataFrame:
     """Equi-join resilient to hot keys on the big side.
 
@@ -62,11 +63,19 @@ def salted_join(
     Use when AQE's skew-join split can't help: e.g. the skew is in a
     downstream aggregation keyed by the join key, or the join is
     sort-merge over a pre-bucketed layout AQE won't re-plan. The salt is
-    derived from partition id — per-row arbitrary but match-irrelevant."""
+    derived from partition id — per-row arbitrary but match-irrelevant.
+
+    ``hint`` (e.g. ``"shuffle_hash"``/``"merge"``) pins the join
+    strategy on the replicated side: a salted join only matters when the
+    planner would otherwise SHUFFLE the big side on the hot key, so
+    callers demonstrating/forcing that regime hint away the broadcast a
+    tiny test-scale dimension would get."""
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.spark_partition_id()), F.lit(n_salts))
     )
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))
+    if hint:
+        salted_small = salted_small.hint(hint)
     return salted_big.join(salted_small, [key, "_salt"], how).drop("_salt")

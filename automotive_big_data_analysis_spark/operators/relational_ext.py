@@ -185,6 +185,45 @@ def salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _severity_case():
+    return (
+        F.when(F.col("event_type") == "error", "incident")
+        .when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .otherwise("engagement")
+    )
+
+
+def salted_severity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-JOIN under the corpus's natural skew: events joined to
+    a per-type severity dimension on ``event_type`` — a 5-value key where
+    every value is hot (~20% of the table each), the worst case for a
+    hash-shuffled join (5 reducer tasks do all the work, 27 idle).
+    ``functions/skew.salted_join`` spreads each key over 16 salt values
+    (the dimension replicates 16×, still dimension-sized) so the join
+    runs across 16×|types| reducers; results are provably identical to
+    the plain join, which is exactly what the DuckDB oracle checks.
+
+    The join strategy is pinned to shuffle-hash: at test scale the 5-row
+    dimension would broadcast (making any salt moot — broadcast joins
+    never shuffle the big side); the pinned plan is the regime the salt
+    exists for — a dimension too large to broadcast at 100 TB. Plan test
+    asserts the salt reaches the exchange keys."""
+    from automotive_big_data_analysis_spark.functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    sev = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", _severity_case().alias("severity"))
+    )
+    joined = salted_join(ev, sev, "event_type", n_salts=16, hint="shuffle_hash")
+    return joined.groupBy("severity").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        ex.dsum("value", 6).alias("total_value"),
+    )
+
+
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority): every subtotal combination
     including both marginals and the grand total."""
@@ -311,6 +350,22 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["events_salted_severity_join"] = f"""
+    WITH sev AS (
+        SELECT DISTINCT event_type,
+               CASE WHEN event_type = 'error' THEN 'incident'
+                    WHEN event_type IN ('purchase', 'signup')
+                         THEN 'conversion'
+                    ELSE 'engagement' END AS severity
+        FROM events
+    )
+    SELECT severity, COUNT(*) AS n_events,
+           COUNT(DISTINCT e.event_type) AS n_types,
+           {ex.dsum_sql("value", 6)} AS total_value
+    FROM events e JOIN sev ON e.event_type = sev.event_type
+    GROUP BY severity
+"""
+
 ORACLE["salted_type_totals"] = """
     SELECT event_type,
            CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS total_k,
@@ -338,6 +393,7 @@ ORACLE["cube_order_stats"] = f"""
 QUERIES = {
     "small_quantity_revenue": small_quantity_revenue,
     "salted_type_totals": salted_type_totals,
+    "events_salted_severity_join": salted_severity_join,
     "cube_order_stats": cube_order_stats,
     "approx_part_stats": approx_part_stats,
     "priority_union": priority_union,

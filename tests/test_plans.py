@@ -374,3 +374,44 @@ def test_inferred_filter_detector_not_vacuous(spark):
         .where(F.col("n_chars") > 10)
     )
     assert px.filters_containing(ok, "regexp_extract_all") == 0
+
+
+def test_salted_severity_join_spreads_hot_key(spark):
+    """The salted join must (a) replicate the dimension via explode, (b)
+    shuffle the big side on (key, salt) — never on the bare 5-value hot
+    key — and (c) stay result-identical to the plain join."""
+    from automotive_big_data_analysis_spark.operators import relational_ext as re_
+
+    df = re_.salted_severity_join(spark, SF)
+    plan = px.physical_plan(df)
+    assert "explode" in plan.lower()
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    salted = [e for e in exchanges if "event_type" in e and "_salt" in e]
+    assert len(salted) >= 2, exchanges  # both join inputs carry the salt
+    # the join itself keys on (event_type, _salt), spreading each hot key
+    # over the salt fan-out
+    join_line = next(ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln)
+    assert "_salt" in join_line and "event_type" in join_line
+    # correctness: identical to the unsalted formulation
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.functions import exact as ex
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events").select("event_type", "value")
+    sev = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", re_._severity_case().alias("severity"))
+    )
+    plain = (
+        ev.join(sev, "event_type")
+        .groupBy("severity")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            ex.dsum("value", 6).alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
