@@ -335,6 +335,48 @@ def keep_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INCOMING_MOD = 5  # doc_id % 5 == 0 → the "incoming batch"; rest = history
 
+PAIR_INDEX_LOCATION = "/tmp/abda_dedup_pair_index"
+PAIR_INDEX_BUCKETS = 8
+
+
+def pair_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair list as a STORED bucketed table — the
+    persistent fingerprint index a nightly-batch pipeline maintains: the
+    expensive shingle/verify pipeline runs once per corpus snapshot at
+    index-build time, and every later consumer (tonight's incoming
+    batch) reads the index files, never the document bodies.
+
+    Layout: bucketed+sorted by ``doc_a`` (``sources/bucketed.py``
+    discipline) so fact-side joins against the index can co-locate.
+    Idempotent per (warehouse, corpus basename): an existing layout is
+    reused; files that outlive the in-memory catalog (a NEW session — the
+    nightly case) are re-attached via CLUSTERED BY DDL with no data
+    movement."""
+    import os
+
+    from automotive_big_data_analysis_spark.sources.bucketed import (
+        _register_existing,
+    )
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    db = f"pair_idx_{base}"
+    loc = f"{PAIR_INDEX_LOCATION}/{base}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    table = "ngram_pairs"
+    path = f"{loc}/{table}"
+    existing = {t.name for t in spark.catalog.listTables(db)}
+    if table not in existing:
+        pairs = ngram_jaccard_pairs(spark, sf_dir)
+        if os.path.exists(f"{path}/_SUCCESS"):
+            _register_existing(spark, db, table, path, pairs, "doc_a")
+        else:
+            pairs.write.bucketBy(PAIR_INDEX_BUCKETS, "doc_a").sortBy(
+                "doc_a"
+            ).option("path", path).mode("overwrite").saveAsTable(
+                f"{db}.{table}"
+            )
+    return spark.table(f"{db}.{table}")
+
 
 def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion near-dedup: the nightly-batch shape of the
@@ -348,14 +390,15 @@ def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped within-batch if a partner with a SMALLER doc_id is also
     incoming; else admitted. Per-lang accounting of all three outcomes.
 
-    Scale shape: the partner list is the (tiny) verified pair set — the
-    symmetric view broadcasts; incoming is a pure predicate on the scan.
-    In production the history side is a stored fingerprint/pair index
-    keyed like ``_shingles_cached`` — the batch never rescans history
-    bodies, exactly as here (history participates only through the pair
-    list)."""
+    Scale shape: the history side IS a stored index —
+    :func:`pair_index_table`, the bucketed pair table built once per
+    corpus snapshot — so tonight's batch reads index FILES (the plan
+    shows a bare table scan, asserted in ``tests/test_plans.py``) and
+    never recomputes shingles or rescans history bodies. The symmetric
+    partner view of the (tiny) index broadcasts; incoming is a pure
+    predicate on the documents scan."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pair_index_table(spark, sf_dir).select("doc_a", "doc_b")
     partners = pairs.select(
         F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("partner")
     ).unionByName(

@@ -415,3 +415,28 @@ def test_salted_severity_join_spreads_hot_key(spark):
         )
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_incremental_dedup_reads_stored_pair_index(spark):
+    """The nightly-batch shape: once the pair index is stored, the
+    incremental query's plan scans index FILES — no shingle recompute
+    (no tokenizer anywhere in the plan), no join against history
+    bodies."""
+    from automotive_big_data_analysis_spark.operators import dedup
+
+    dedup.pair_index_table(spark, SF)  # ensure built
+    dedup.release()  # drop session memos: the plan must not need them
+    df = dedup.incremental_dedup_stats(spark, SF)
+    plan = px.physical_plan(df)
+    assert "ngram_pairs" in plan  # the stored index scan
+    assert "regexp_extract_all" not in px.formatted_plan(df)
+    assert "shingle" not in plan
+    # result parity with the in-session pair list
+    from pyspark.sql import functions as F
+
+    stored = dedup.pair_index_table(spark, SF).select("doc_a", "doc_b")
+    fresh = dedup.ngram_jaccard_pairs(spark, SF).select("doc_a", "doc_b")
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    dedup.release()
