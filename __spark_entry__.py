@@ -25,80 +25,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness sweep checks the FIRST 50 registered queries
 # (dict order) per round, so ordering is a verification-coverage decision.
-# Round-5 policy (per round-4 VERDICT item 2): the window holds (a) the
-# 12 queries that have NEVER had a driver hash-green row (registered late
-# in r4, or — events_sessionize — failing until this round's oracle cast
-# fix), (b) every query whose Spark code or oracle changed THIS round
-# (the sessionize/session-window EPOCH_US precision move, the
-# approx_part_stats tolerance oracle, and the IVF/PQ trained fixed-K
-# codebook rework), and (c) the 28 queries whose newest driver-green row
-# is r1-r3 — they rotated out of the r4 window. Everything left past
-# position 50 is r4-green and untouched this round.
+# Round-6 policy (per round-5 VERDICT items 1-2): the window holds (a)
+# the 3 queries that have NEVER had a driver hash-green row (registered
+# in r5 after that round's window had filled), (b) the queries NEW this
+# round (ANN recall evaluation, salted hot-key join), (c) every query
+# whose Spark code changed this round (the two global-NTILE queries
+# reworked onto the distributed two-pass rank; incremental dedup moved
+# onto the stored pair index — oracles unchanged for all three), and
+# (d) the r4-green queries rotating back in (their newest driver row is
+# r4; all were re-verified locally on two layouts in r5 and r6). Four
+# [r1,r2,r3,r4]-green untouched queries (customer_running_balance,
+# price_histogram, pricing_summary, revenue_by_nation) are displaced
+# past position 50 — deepest evidence, lowest re-check value.
 _SWEEP_PRIORITY = [
-    # (a) never driver-hash-green — the hard gaps
-    "events_sessionize",             # FIXED: oracle BIGINT cast (r1-r4 fail)
-    "approx_part_stats",             # NEW tolerance oracle (was rows-only)
-    "events_funnel",                 # ordered-stage semantics (VERDICT #7)
-    "text_repetition_stats",
-    "knn_pq",                        # also: trained-codebook rework
-    "knn_ivfpq",                     # also: trained-codebook rework
-    "embedding_kmeans",              # also: shared-trainer refactor
-    "pipeline_curation_sampled",
-    "contamination_stats",
-    "pack_token_shards",
-    "temperature_rebalance",
-    "text_bpe_pairs",
-    # (b) code or oracle changed this round
-    "events_session_window",         # shared session CTE moved to EPOCH_US
-    "knn_ivf",                       # trained fixed-K codebook
-    # (c) newest driver-green row is r1-r3 — rotate back in
-    "customer_supplier_nations",
-    "events_sliding_counts",
-    "sample_stratified_documents",
-    "sample_lineitem_stats",
-    "sample_orders_split",
-    "top_parts_per_brand",
-    "order_price_delta",
-    "events_hourly_rollup",
-    "embedding_norm_stats",
-    "filtered_scan",
-    "distinct_priorities",
-    "point_lookup",
-    "top_orders",
-    "customers_without_orders",
-    "top_customer_per_nation",
-    "priority_union",
-    "idle_customers_except",
-    "events_error_bursts",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_confusion",
-    "text_fingerprint_stats",
-    "dedup_exact_stats",
-    "knn_bruteforce",
-    "knn_lsh",
-    "embedding_cosine_dups",
-    "asof_purchase_attribution",     # at-or-before tie semantics (VERDICT #7)
-    "multimodal_frame_plan",
-    # (d) NEW this round — cohort/anomaly/segmentation analytics +
-    # incremental ingestion dedup
-    "events_user_retention",
-    "events_hourly_anomalies",
+    # (a) never driver-hash-green — the last verification gaps
+    "forecast_revenue_change",
+    "events_markov_transitions",
+    "embedding_outlier_scores",
+    # (b) new this round
+    "knn_recall_report",
+    "events_salted_severity_join",
+    # (c) code changed this round (hash-identical rework, re-gate anyway)
     "orders_rfm_segments",
-    "docs_length_gate",
+    "order_value_deciles",
     "dedup_incremental_stats",
-    "text_tfidf_topterms",
-    "sample_weighted_documents",
-    "docs_embedding_quality_corr",
+    # (d) newest driver-green row is r4 — rotate back in
+    "segment_share",
+    "year_trend",
+    "rollup_order_counts",
+    "customer_order_distribution",
+    "cross_nation_volume",
+    "cube_order_stats",
+    "daily_revenue_moving_avg",
+    "disjunctive_part_revenue",
+    "idle_rich_customers",
+    "important_parts_share",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "nation_market_share",
+    "order_priority_check",
+    "parts_supplier_counts",
+    "priority_status_pivot",
+    "promo_revenue_ratio",
+    "quantity_percentiles",
+    "returned_item_revenue",
+    "salted_type_totals",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "sole_supplier_orders",
+    "supplier_customer_balance",
+    "top_revenue_suppliers",
+    "bucketed_join_revenue",
+    "dedup_components",
+    "dedup_keep_stats",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_pairs",
+    "dedup_simhash_groups",
+    "embedding_label_centroids",
+    "events_props_key_rollup",
+    "events_props_value_per_type",
+    "events_top_users",
+    "events_type_share",
+    "text_word_topk",
+    "text_wordpiece_stats",
+    "dedup_cdc_chunks",
+    "multimodal_media_features",
+    "pipeline_curation_report",
+    "text_lang_trigram_confusion",
 ]
 # The window is exactly full (50 entries). Everything displaced past
-# position 50 is r4 driver-hash-green AND untouched this round (see
-# CORRECTNESS_r04.json); local oracle evidence for the full registry is
-# refreshed in ORACLE_FULL_r05.txt / ORACLE_ALT_r05.txt (both layouts,
-# 0 failures). Three queries registered after the window filled
-# (`forecast_revenue_change`, `events_markov_transitions`,
-# `embedding_outlier_scores`) carry local evidence only — rotate them
-# into the r6 window first, along with anything r6 changes.
+# position 50 is r5-green (or [r1..r4]-green for the four noted above)
+# AND untouched this round; local oracle evidence for the full registry
+# is refreshed in ORACLE_FULL_r06.txt / ORACLE_ALT_r06.txt (both
+# layouts) plus the new scale-invariance sweep ORACLE_SF01_r06.txt at
+# sf0.1. With this rotation every registered query has at least one
+# driver-green row across r1-r6 once the r6 gate runs.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -157,32 +157,36 @@ def main() -> None:
 
     calib_before = _calibrate()
     timings: dict[str, float] = {}
-    noise_retries: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     # Ambient-noise bursts on this host are INTERMITTENT (a quiet
     # before/after probe pair brackets runs where one query measured 23 s
-    # vs a 0.57 s isolated median) — so queries in the memo-free group
-    # whose first measurement is an outlier re-run once and record the
-    # min (steady-state). The memoizing families (dedup/similarity) are
-    # excluded: their second run would hit session memos and measure the
-    # warm path, which is not what their first-run numbers mean.
+    # vs a 0.57 s isolated median) — so queries whose first measurement
+    # exceeds the threshold re-run twice more and record the MEDIAN of
+    # the three (round-5 verdict: min-of-two mildly flatters the
+    # headline; the median is the honest noise-robust estimator). Every
+    # raw run is preserved in the JSON. The memoizing families
+    # (dedup/similarity) retry COLD — memos are released before each
+    # retry — so a retry is at-least-as-cold as the in-suite first run
+    # and the median never includes a warm-path number.
     retry_threshold = 2.0
+    n_reruns = 2
     for names, release in groups:
         for name in names:
             t0 = time.time()
             queries[name](spark, sf_dir).collect()
             timings[name] = round(time.time() - t0, 3)
         if release is not None:
-            # memoizing families retry COLD (memos released first), so the
-            # retry is at-least-as-cold as the in-suite first run and min()
-            # never substitutes a warm-path number
             release()
         for name in [n for n in names if timings[n] > retry_threshold]:
-            t0 = time.time()
-            queries[name](spark, sf_dir).collect()
-            t2 = round(time.time() - t0, 3)
-            if t2 < timings[name]:
-                noise_retries[name] = timings[name]
-                timings[name] = t2
+            runs = [timings[name]]
+            for _ in range(n_reruns):
+                t0 = time.time()
+                queries[name](spark, sf_dir).collect()
+                runs.append(round(time.time() - t0, 3))
+                if release is not None:
+                    release()
+            raw_runs[name] = runs
+            timings[name] = sorted(runs)[len(runs) // 2]
         if release is not None:
             release()
     calib_after = _calibrate()
@@ -196,9 +200,9 @@ def main() -> None:
         json.dumps(
             {
                 "queries": timings,
-                # first-run seconds for queries whose outlier measurement
-                # was replaced by a steady-state re-run
-                "noise_retries": noise_retries,
+                # all raw runs (first + retries) for queries over the
+                # retry threshold; the recorded timing is their median
+                "raw_runs": raw_runs,
                 "unit": "sec",
                 "n_queries": len(timings),
                 # ambient-noise probe (~0.1 s quiet): scale a recorded
