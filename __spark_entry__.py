@@ -33,10 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # reworked onto the distributed two-pass rank; incremental dedup moved
 # onto the stored pair index — oracles unchanged for all three), and
 # (d) the r4-green queries rotating back in (their newest driver row is
-# r4; all were re-verified locally on two layouts in r5 and r6). Four
+# r4; all were re-verified locally on two layouts in r5 and r6). Five
 # [r1,r2,r3,r4]-green untouched queries (customer_running_balance,
-# price_histogram, pricing_summary, revenue_by_nation) are displaced
-# past position 50 — deepest evidence, lowest re-check value.
+# price_histogram, pricing_summary, revenue_by_nation, segment_share)
+# are displaced past position 50 — deepest evidence, lowest re-check
+# value.
 _SWEEP_PRIORITY = [
     # (a) never driver-hash-green — the last verification gaps
     "forecast_revenue_change",
@@ -45,12 +46,12 @@ _SWEEP_PRIORITY = [
     # (b) new this round
     "knn_recall_report",
     "events_salted_severity_join",
+    "text_collocation_lift",
     # (c) code changed this round (hash-identical rework, re-gate anyway)
     "orders_rfm_segments",
     "order_value_deciles",
     "dedup_incremental_stats",
     # (d) newest driver-green row is r4 — rotate back in
-    "segment_share",
     "year_trend",
     "rollup_order_counts",
     "customer_order_distribution",

@@ -495,6 +495,115 @@ ORACLE["text_tfidf_topterms"] = f"""
     FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
+COLLOC_MIN_PAIRS = 10  # bigram support floor
+COLLOC_TOP_K = 25
+
+
+def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the ``COLLOC_TOP_K`` adjacent word pairs
+    most over-represented vs independence — lift =
+    P(w1,w2) / (P(w1)·P(w2)) = c_ab·N_bi / (c_a·c_b), the log-free
+    rational core of PMI (log is monotone for fixed N, and transcendental
+    — excluded by the repo's cross-engine exactness discipline, cf.
+    ``tfidf_topterms``). This is the phrase-mining / tokenizer-vocab
+    seeding step of a text pipeline.
+
+    Determinism: all counts are exact longs; the score is one shared
+    double expression tree (every operand double-cast BEFORE multiplying
+    so neither engine's integer-overflow semantics can diverge at scale);
+    ties break on the words.
+
+    Scale shape: tokenization is staged behind a narrow exchange (the
+    ``_shingle_df`` discipline — an inlined array would re-run the
+    regexp per bigram); unigram and bigram counts are partial-combined
+    hash aggregates keyed on vocabulary-sized keys; the count joins
+    hash-partition on the word; the final top-k is a TakeOrdered over
+    the support-filtered pair vocabulary, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = spread(docs.select(tx.tokens("text").alias("toks")))
+    tk = F.col("toks")
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uni = (
+        staged.select(F.explode_outer("toks").alias("w"))
+        .where(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        staged.select(F.explode_outer(bigrams).alias("bg"))
+        .where(F.col("bg").isNotNull())
+        .groupBy("bg")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= COLLOC_MIN_PAIRS)
+    )
+    n_bi = (
+        staged.select(
+            F.greatest(F.size("toks") - 1, F.lit(0)).alias("nb")
+        ).agg(F.sum("nb").alias("n_bigrams"))
+    )
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        bi.select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c_ab",
+        )
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .join(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                (d("c_ab") * d("n_bigrams")) / (d("c_a") * d("c_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(COLLOC_TOP_K)
+    )
+
+
+ORACLE["text_collocation_lift"] = rf"""
+    WITH toks AS (
+        SELECT {_TOKENS} AS t FROM documents
+    ), uni AS (
+        SELECT w.w AS w, COUNT(*) AS c
+        FROM toks, UNNEST(t) AS w(w) GROUP BY 1
+    ), bi AS (
+        SELECT bg.bg AS bg, COUNT(*) AS c_ab
+        FROM toks, UNNEST(list_transform(
+            range(1, GREATEST(len(t) - 1, 0) + 1),
+            i -> t[i] || ' ' || t[i+1]
+        )) AS bg(bg)
+        GROUP BY 1 HAVING COUNT(*) >= {COLLOC_MIN_PAIRS}
+    ), n AS (
+        SELECT SUM(GREATEST(len(t) - 1, 0)) AS n_bigrams FROM toks
+    )
+    SELECT w1, w2, c_ab,
+           ROUND((CAST(c_ab AS DOUBLE) * CAST(n_bigrams AS DOUBLE))
+                 / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6)
+               AS lift
+    FROM (
+        SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+               c_ab
+        FROM bi
+    )
+    JOIN uni ca ON ca.w = w1
+    JOIN uni cb ON cb.w = w2
+    CROSS JOIN n
+    ORDER BY lift DESC, w1, w2
+    LIMIT {COLLOC_TOP_K}
+"""
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_scores": quality_scores,
@@ -505,4 +614,5 @@ QUERIES = {
     "text_repetition_stats": repetition_stats,
     "text_fingerprint_stats": fingerprint_stats,
     "text_tfidf_topterms": tfidf_topterms,
+    "text_collocation_lift": collocation_lift,
 }

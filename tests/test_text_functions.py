@@ -219,3 +219,34 @@ def test_weighted_sample_never_keeps_zero_quality(spark, tmp_path_factory):
     assert row.n_sampled == 0
     assert row.avg_quality_sampled is None
     assert row.keep_rate == 0.0
+
+
+def test_collocation_lift_ranks_fixed_phrase_first(spark, tmp_path_factory):
+    """A bigram that always co-occurs ("data lake") must outrank pairs of
+    independent common words; lift of a deterministic phrase equals
+    N_bi / (c_a * c_b) exactly."""
+    from automotive_big_data_analysis_spark.operators import text_analysis as ta
+
+    path = str(tmp_path_factory.mktemp("colloc"))
+    # 20 docs: "data lake" always adjacent; "the" everywhere
+    rows = [
+        (i, "the scan runs data lake the scan", "en", "s", 30)
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    old = ta.COLLOC_MIN_PAIRS
+    try:
+        ta.COLLOC_MIN_PAIRS = 2
+        out = ta.collocation_lift(spark, path).collect()
+    finally:
+        ta.COLLOC_MIN_PAIRS = old
+    assert out, "no pairs above support floor"
+    top = out[0]
+    assert (top.w1, top.w2) == ("data", "lake")
+    # N_bi = 20*6 = 120; c_data = c_lake = 20; c_ab = 20
+    assert top.c_ab == 20
+    assert abs(top.lift - (20 * 120) / (20 * 20)) < 1e-9
+    lifts = [r.lift for r in out]
+    assert lifts == sorted(lifts, reverse=True)
