@@ -28,16 +28,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-6 policy (per round-5 VERDICT items 1-2): the window holds (a)
 # the 3 queries that have NEVER had a driver hash-green row (registered
 # in r5 after that round's window had filled), (b) the queries NEW this
-# round (ANN recall evaluation, salted hot-key join), (c) every query
-# whose Spark code changed this round (the two global-NTILE queries
-# reworked onto the distributed two-pass rank; incremental dedup moved
-# onto the stored pair index — oracles unchanged for all three), and
+# round (ANN recall evaluation, salted hot-key join, collocation lift),
+# (c) every query whose Spark code changed this round (the two
+# global-NTILE queries reworked onto the distributed two-pass rank;
+# incremental dedup moved onto the stored pair index; the two
+# shared-rounding-tree tie fixes — hash-identical at sf0.01 for all),
+# and
 # (d) the r4-green queries rotating back in (their newest driver row is
 # r4; all were re-verified locally on two layouts in r5 and r6). Five
 # [r1,r2,r3,r4]-green untouched queries (customer_running_balance,
-# price_histogram, pricing_summary, revenue_by_nation, segment_share)
-# are displaced past position 50 — deepest evidence, lowest re-check
-# value.
+# price_histogram, pricing_summary, revenue_by_nation, segment_share,
+# year_trend) are displaced past position 50 — deepest evidence, lowest
+# re-check value. multimodal_media_features (the sf0.1 tie fix) and
+# embedding_cosine_dups (same fix class, defensive) are both in-window.
 _SWEEP_PRIORITY = [
     # (a) never driver-hash-green — the last verification gaps
     "forecast_revenue_change",
@@ -51,8 +54,8 @@ _SWEEP_PRIORITY = [
     "orders_rfm_segments",
     "order_value_deciles",
     "dedup_incremental_stats",
+    "embedding_cosine_dups",      # shared-rounding-tree fix (tie class)
     # (d) newest driver-green row is r4 — rotate back in
-    "year_trend",
     "rollup_order_counts",
     "customer_order_distribution",
     "cross_nation_volume",
@@ -95,7 +98,7 @@ _SWEEP_PRIORITY = [
     "text_lang_trigram_confusion",
 ]
 # The window is exactly full (50 entries). Everything displaced past
-# position 50 is r5-green (or [r1..r4]-green for the four noted above)
+# position 50 is r5-green (or [r1..r4]-green for the six noted above)
 # AND untouched this round; local oracle evidence for the full registry
 # is refreshed in ORACLE_FULL_r06.txt / ORACLE_ALT_r06.txt (both
 # layouts) plus the new scale-invariance sweep ORACLE_SF01_r06.txt at

@@ -87,13 +87,20 @@ def media_features(df: DataFrame, require_real_codec: bool = False) -> DataFrame
     The statistics are defined EXACTLY so the DuckDB oracle can replay
     them bit-for-bit over the same bytes (samples are integers):
 
-    * ``mean``  = round(s / n, 6), s the exact integer sample sum;
-    * ``std``   = round(sqrt((n·Σx² − s²) / n²), 6) — population variance
+    * ``mean``  = r6(s / n), s the exact integer sample sum;
+    * ``std``   = r6(sqrt((n·Σx² − s²) / n²)) — population variance
       with an exact integer numerator, one double division, one sqrt
       (numpy's two-pass ``.std()`` associates float additions differently
       per engine and can flip the 6th decimal);
     * ``p99``   = the nearest-rank percentile sorted[⌈0.99·n⌉ − 1] — an
-      exact sample value, no interpolation arithmetic to mismatch."""
+      exact sample value, no interpolation arithmetic to mismatch;
+    * ``r6(x)`` = floor(x·10⁶ + 0.5)/10⁶ — the SHARED rounding tree, the
+      same IEEE ops on both engines. Library round() is NOT shared at
+      exact decimal ties: s/n can be a dyadic odd/128 value whose 6th
+      decimal is a true half (first hit at sf0.1: mean 24207.2578125),
+      where Python rounds half-to-even and DuckDB half-away-from-zero —
+      the scaled-floor form has no tie case at all because both engines
+      floor the identical double."""
 
     out_schema = (
         "media_id long, kind string, n_bytes long, n_samples long, "
@@ -110,11 +117,14 @@ def media_features(df: DataFrame, require_real_codec: bool = False) -> DataFrame
             ):
                 samples = _decode_payload(bytes(payload), kind, require_real_codec)
                 n = len(samples)
+                def r6(x: float) -> float:
+                    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
                 if n:
                     s = int(samples.sum())
                     ssq = int((samples * samples).sum())
-                    mean = round(s / n, 6)
-                    std = round(math.sqrt((n * ssq - s * s) / (n * n)), 6)
+                    mean = r6(s / n)
+                    std = r6(math.sqrt((n * ssq - s * s) / (n * n)))
                     p99 = float(
                         np.sort(samples)[max(math.ceil(0.99 * n), 1) - 1]
                     )
@@ -278,14 +288,19 @@ ORACLE: dict[str, str] = {
         SELECT media_id, kind,
                CAST(n_bytes AS BIGINT) AS n_bytes,
                CAST(len(v) AS BIGINT) AS n_samples,
+               -- r6(x) = FLOOR(x*1e6 + 0.5)/1e6: the shared rounding
+               -- tree (ROUND's half-away vs Python's half-even diverge
+               -- at exact dyadic ties like odd/128 means)
                CASE WHEN len(v) > 0
-                    THEN ROUND(CAST(list_sum(v) AS DOUBLE) / len(v), 6)
+                    THEN FLOOR(CAST(list_sum(v) AS DOUBLE) / len(v)
+                               * 1000000 + 0.5) / 1000000
                     ELSE 0.0 END AS mean,
                CASE WHEN len(v) > 0
-                    THEN ROUND(sqrt(CAST(
+                    THEN FLOOR(sqrt(CAST(
                            len(v) * list_sum(list_transform(v, x -> x*x))
                            - list_sum(v) * list_sum(v) AS DOUBLE)
-                         / CAST(len(v) AS DOUBLE)**2), 6)
+                         / CAST(len(v) AS DOUBLE)**2)
+                         * 1000000 + 0.5) / 1000000
                     ELSE 0.0 END AS std,
                CASE WHEN len(v) > 0
                     THEN CAST(list_sort(v)[

@@ -566,7 +566,11 @@ def cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         mb = np.vstack(b["v"].to_numpy()).astype(np.float64)
         ma /= np.linalg.norm(ma, axis=1, keepdims=True)
         mb /= np.linalg.norm(mb, axis=1, keepdims=True)
-        sims = np.round(ma @ mb.T, 6)
+        # shared rounding tree (floor(x*1e6+0.5)/1e6), mirrored in the
+        # oracle SQL: np.round is half-to-even and DuckDB ROUND is
+        # half-away-from-zero, which diverge at exact dyadic ties (the
+        # class the sf0.1 sweep caught in multimodal_media_features)
+        sims = np.floor(ma @ mb.T * 1e6 + 0.5) / 1e6
         hot = sims >= DUP_COSINE
         if diagonal:
             # same block on both sides: keep the strict upper triangle
@@ -838,7 +842,11 @@ def _dup_sql() -> str:
         )
         SELECT * FROM (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   ROUND(list_dot_product(a.vn, b.vn), 6) AS cosine
+                   -- shared rounding tree with the Spark-side GEMM
+                   -- (np.floor(x*1e6+0.5)/1e6); ROUND's half-away and
+                   -- numpy's half-even diverge at exact dyadic ties
+                   FLOOR(list_dot_product(a.vn, b.vn) * 1000000 + 0.5)
+                       / 1000000 AS cosine
             FROM n a JOIN n b ON a.vec_id < b.vec_id
         ) WHERE cosine >= {DUP_COSINE}
     """
