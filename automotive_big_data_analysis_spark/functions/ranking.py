@@ -54,11 +54,18 @@ def with_global_ntile(
     # the final ranks are EXACTLY those of the global sort regardless of
     # where the sampled boundaries fall.
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = base.agg(
-        F.percentile_approx(F.col("_sv").cast("double"), qs, 10_000).alias(
-            "_bnds"
+    if qs:
+        bounds = base.agg(
+            F.percentile_approx(
+                F.col("_sv").cast("double"), qs, 10_000
+            ).alias("_bnds")
         )
-    )
+    else:
+        # degenerate single-bucket fan-out: no boundaries at all (the
+        # rank degrades to one partitioned-window bucket)
+        bounds = df.sparkSession.range(1).select(
+            F.array().cast("array<double>").alias("_bnds")
+        )
     withb = base.join(F.broadcast(bounds)).withColumn(
         "_bk",
         F.size(

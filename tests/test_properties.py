@@ -114,3 +114,39 @@ def test_hash_bucket_deterministic_and_in_range(spark, keys):
     for r in got:
         assert r.b1 == r.b2
         assert 0 <= r.b1 < 1000
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-1000, 1000)), min_size=1, max_size=40, unique=True
+    ),
+    n=st.integers(2, 10),
+    n_buckets=st.integers(1, 6),
+)
+def test_global_ntile_matches_native_window(spark, rows, n, n_buckets):
+    """The two-pass range-bucket rank must reproduce NTILE(n) OVER
+    (ORDER BY metric, key) EXACTLY for any data (ties, remainders,
+    N < n, negative metrics) and any bucket fan-out — the boundary
+    sampler is a monotone coarsening, so bucket choice can never change
+    a rank."""
+    from pyspark.sql import Window
+
+    from automotive_big_data_analysis_spark.functions import ranking as rk
+
+    # duplicate-heavy metric: metric = value // 7 collapses runs of keys
+    df = spark.createDataFrame(
+        [(v[0], v[0] // 7) for v in rows], "key long, metric long"
+    )
+    got = {
+        r.key: r.tile
+        for r in rk.with_global_ntile(
+            df, n, F.col("metric"), F.col("key"), "tile", n_buckets=n_buckets
+        ).collect()
+    }
+    w = Window.orderBy("metric", "key")
+    want = {
+        r.key: r.tile
+        for r in df.select("key", F.ntile(n).over(w).alias("tile")).collect()
+    }
+    assert got == want
