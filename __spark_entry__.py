@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from automotive_big_data_analysis_spark.operators import analytics, asof, dedup, events, multimodal, pipeline, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis, training_prep
-from automotive_big_data_analysis_spark.sources import bucketed
+from automotive_big_data_analysis_spark.sources import bucketed, text_formats
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -38,7 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # r4; all were re-verified locally on two layouts in r5 and r6). Five
 # [r1,r2,r3,r4]-green untouched queries (customer_running_balance,
 # price_histogram, pricing_summary, revenue_by_nation, segment_share,
-# year_trend) are displaced past position 50 — deepest evidence, lowest
+# year_trend) plus two [r1,r2,r4]-green ones (rollup_order_counts,
+# customer_order_distribution) are displaced past position 50 — deepest evidence, lowest
 # re-check value. multimodal_media_features (the sf0.1 tie fix) and
 # embedding_cosine_dups (same fix class, defensive) are both in-window.
 _SWEEP_PRIORITY = [
@@ -50,14 +51,14 @@ _SWEEP_PRIORITY = [
     "knn_recall_report",
     "events_salted_severity_join",
     "text_collocation_lift",
+    "source_jsonl_events",
+    "source_csv_events",
     # (c) code changed this round (hash-identical rework, re-gate anyway)
     "orders_rfm_segments",
     "order_value_deciles",
     "dedup_incremental_stats",
     "embedding_cosine_dups",      # shared-rounding-tree fix (tie class)
     # (d) newest driver-green row is r4 — rotate back in
-    "rollup_order_counts",
-    "customer_order_distribution",
     "cross_nation_volume",
     "cube_order_stats",
     "daily_revenue_moving_avg",
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(asof.QUERIES)
     merged.update(multimodal.QUERIES)
     merged.update(bucketed.QUERIES)
+    merged.update(text_formats.QUERIES)
     merged.update(pipeline.QUERIES)
     merged.update(training_prep.QUERIES)
     merged.update(analytics.QUERIES)
@@ -144,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(asof.ORACLE)
     out.update(multimodal.ORACLE)
     out.update(bucketed.ORACLE)
+    out.update(text_formats.ORACLE)
     out.update(pipeline.ORACLE)
     out.update(training_prep.ORACLE)
     out.update(analytics.ORACLE)

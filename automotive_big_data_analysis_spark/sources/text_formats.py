@@ -1,0 +1,135 @@
+"""JSONL / CSV ingest connectors for the events stream.
+
+A 100 TB lake's interchange tier is rarely parquet end-to-end: upstream
+producers drop newline-delimited JSON or CSV, and the engine's job is to
+ingest them CORRECTLY — explicit schema-on-read (schema inference scans
+the data twice and silently drifts when a partition's sample differs),
+lossless timestamp interchange, permissive-mode corruption isolation —
+and convert to columnar ASAP. These connectors register the same
+`events` relation from both text formats and prove equality against the
+parquet-backed oracle.
+
+Timestamps travel as **epoch microseconds (long)** in the text formats:
+ISO strings round-trip through parser/formatter pattern pairs that are
+engine- and zone-sensitive (exactly the class of silent corruption this
+repo's hash gates exist to catch), while an integer is bit-lossless on
+any engine. ``timestamp_micros`` restores the native column on read.
+
+Scale notes: text scans have NO predicate pushdown or column pruning
+(every byte of every row is parsed — visible in the plan as a bare
+FileScan json/csv with empty PushedFilters), which is WHY the ingest
+job's first act is a parquet/bucketed rewrite; compression-codec choice
+governs splittability (gzip text is unsplittable — one task per file;
+plain or zstd-framed text splits). The one-time writes here mirror the
+corpus into /tmp (idempotent per corpus basename, _SUCCESS-guarded)
+purely to exercise the read path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.functions import exact as ex
+
+TEXTFMT_LOCATION = "/tmp/abda_text_formats"
+
+# Explicit interchange schema — never inferred. ts as epoch-µs long.
+EVENTS_TEXT_SCHEMA = (
+    "event_id long, ts_us long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _interchange_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def _ensure_written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write the events interchange files once per (corpus, format)."""
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"{TEXTFMT_LOCATION}/{base}/events_{fmt}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        writer = _interchange_frame(spark, sf_dir).write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", "true").csv(path)
+        else:
+            writer.json(path)
+    return path
+
+
+def _read_events_text(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """events from the text interchange tier, schema-on-read, native ts
+    restored. FAILFAST: a malformed interchange row is a producer bug to
+    surface, not a null to smuggle into aggregates (PERMISSIVE +
+    _corrupt_record column is the quarantine-pipeline variant)."""
+    path = _ensure_written(spark, sf_dir, fmt)
+    reader = spark.read.schema(EVENTS_TEXT_SCHEMA).option("mode", "FAILFAST")
+    raw = (
+        reader.option("header", "true").csv(path)
+        if fmt == "csv"
+        else reader.json(path)
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def _summary(ev: DataFrame) -> DataFrame:
+    """Per-type summary exercising every interchange column class:
+    counts (ids), distinct hour buckets (timestamp survived), exact
+    value sums (doubles round-tripped bit-for-bit)."""
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.date_trunc("hour", "ts")).alias("n_hours"),
+        ex.dsum("value", 6).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def jsonl_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the summary over the JSONL-ingested events.
+    The oracle computes the identical summary from the PARQUET table —
+    equality proves the text round-trip lost nothing (ids, timestamps,
+    doubles, strings)."""
+    return _summary(_read_events_text(spark, sf_dir, "jsonl"))
+
+
+def csv_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: same contract over the CSV-ingested events."""
+    return _summary(_read_events_text(spark, sf_dir, "csv"))
+
+
+_SUMMARY_SQL = f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours,
+           {ex.dsum_sql("value", 6)} AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+ORACLE: dict[str, str] = {
+    "source_jsonl_events": _SUMMARY_SQL,
+    "source_csv_events": _SUMMARY_SQL,
+}
+
+QUERIES = {
+    "source_jsonl_events": jsonl_events_summary,
+    "source_csv_events": csv_events_summary,
+}

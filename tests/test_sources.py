@@ -152,3 +152,31 @@ def test_write_path_roundtrip(spark, tmp_path):
     plan = pruned.explain(mode="formatted") or ""
     got = {r.car_brand for r in back.collect()}
     assert got == {"A", "B"}
+
+
+def test_text_format_sources_roundtrip_and_failfast(spark, tmp_path):
+    """JSONL and CSV ingest must reproduce the parquet relation exactly
+    (ids, timestamps via epoch-us, doubles, strings), and a malformed
+    interchange row must FAIL the read, not leak nulls into aggregates."""
+    import pytest as _pytest
+
+    from automotive_big_data_analysis_spark.sources import text_formats as tf
+
+    sf = "/root/testdata/sf0.001"
+    want = sorted(
+        map(tuple, tf._summary(
+            __import__(
+                "automotive_big_data_analysis_spark.catalog", fromlist=["load_table"]
+            ).load_table(spark, sf, "events")
+        ).collect())
+    )
+    got_jsonl = sorted(map(tuple, tf.jsonl_events_summary(spark, sf).collect()))
+    got_csv = sorted(map(tuple, tf.csv_events_summary(spark, sf).collect()))
+    assert got_jsonl == want
+    assert got_csv == want
+    # corruption isolation: FAILFAST surfaces the bad row
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"event_id": 1, "ts_us": "not-a-long"}\n')
+    reader = spark.read.schema(tf.EVENTS_TEXT_SCHEMA).option("mode", "FAILFAST")
+    with _pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
+        reader.json(str(bad)).collect()
