@@ -61,6 +61,33 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     return stream.select([f.name for f in EVENT_SCHEMA.fields])
 
 
+def read_event_stream_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming ingest of the JSONL interchange tier
+    (``sources/text_formats.py``): producers drop newline-delimited JSON
+    into a landing directory and the stream picks each file up exactly
+    once (file-source bookkeeping). Same discipline as the batch
+    connector — declared schema (streaming sources REQUIRE one),
+    epoch-µs timestamp interchange restored to a native ``ts`` so every
+    downstream watermark/window operator is source-agnostic."""
+    from automotive_big_data_analysis_spark.sources.text_formats import (
+        EVENTS_TEXT_SCHEMA,
+    )
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 8)
+        .schema(EVENTS_TEXT_SCHEMA)
+        .json(path)
+    )
+    return stream.select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def hourly_rollup_stream(
     events: DataFrame, watermark: str = DEFAULT_WATERMARK
 ) -> DataFrame:

@@ -297,3 +297,27 @@ def test_streaming_curated_partitioned_sink(spark, doc_stream_dir, tmp_path):
         .count()
     )
     assert written.count() == batch_n
+
+
+def test_streaming_jsonl_ingest_matches_batch(spark, stream_dir):
+    """The JSONL landing-directory stream must produce the same hourly
+    rollup as the batch pipeline over the parquet table — source format
+    and execution mode are both transparent to the operator."""
+    from automotive_big_data_analysis_spark.sources import text_formats as tf
+
+    path = tf._ensure_written(spark, stream_dir, "jsonl")
+    stream = st.read_event_stream_jsonl(spark, path)
+    got = st.run_to_memory(
+        st.hourly_rollup_stream(stream), "jsonl_hourly_out", output_mode="append"
+    )
+    batch = batch_ev.hourly_rollup(spark, stream_dir)
+    got_set = {
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in got.collect()
+    }
+    batch_set = {
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got_set <= batch_set
+    assert len(got_set) >= len(batch_set) - 4
