@@ -440,3 +440,16 @@ def test_incremental_dedup_reads_stored_pair_index(spark):
         map(tuple, fresh.collect())
     )
     dedup.release()
+
+
+def test_collocation_reads_only_text(spark):
+    """Collocation tokenizes one column — the scan must never read
+    doc_id/lang/source payloads, and counts must combine map-side."""
+    from automotive_big_data_analysis_spark.operators import text_analysis as ta
+
+    df = ta.collocation_lift(spark, SF)
+    schemas = " ".join(px.read_schemas(df))
+    assert "text" in schemas
+    assert "lang" not in schemas and "source" not in schemas
+    assert px.has_partial_aggregation(df)
+    assert px.filters_containing(df, "regexp_extract_all") == 0
