@@ -358,7 +358,12 @@ def pair_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_existing,
     )
 
-    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # the index path encodes the pair-generation semantics: a change to
+    # the threshold or shingle width produces a FRESH index instead of
+    # silently serving pairs computed under the old definition (the
+    # _SUCCESS guard alone would never invalidate)
+    tag = f"j{int(JACCARD_THRESHOLD * 100)}w3"
+    base = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{tag}"
     db = f"pair_idx_{base}"
     loc = f"{PAIR_INDEX_LOCATION}/{base}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")

@@ -56,10 +56,15 @@ def _interchange_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERCHANGE_VERSION = 1  # bump when EVENTS_TEXT_SCHEMA changes
+
+
 def _ensure_written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    """Write the events interchange files once per (corpus, format)."""
+    """Write the events interchange files once per (corpus, format).
+    The path carries the interchange version so a schema change never
+    reads stale files written under the old layout."""
     base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = f"{TEXTFMT_LOCATION}/{base}/events_{fmt}"
+    path = f"{TEXTFMT_LOCATION}/{base}/events_{fmt}_v{INTERCHANGE_VERSION}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         writer = _interchange_frame(spark, sf_dir).write.mode("overwrite")
         if fmt == "csv":
