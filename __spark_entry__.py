@@ -53,13 +53,13 @@ _SWEEP_PRIORITY = [
     "text_collocation_lift",
     "source_jsonl_events",
     "source_csv_events",
+    "embedding_projection_quality",
     # (c) code changed this round (hash-identical rework, re-gate anyway)
     "orders_rfm_segments",
     "order_value_deciles",
     "dedup_incremental_stats",
     "embedding_cosine_dups",      # shared-rounding-tree fix (tie class)
     # (d) newest driver-green row is r4 — rotate back in
-    "cross_nation_volume",
     "cube_order_stats",
     "daily_revenue_moving_avg",
     "disjunctive_part_revenue",

@@ -28,6 +28,39 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
+PROJ_SEED = 11
+PROJ_DIM = 16  # JL target dimensionality for the reduction stage
+
+# Random-projection matrix R (PROJ_DIM × DIM): N(0,1) entries pre-scaled
+# by 1/sqrt(PROJ_DIM) = 0.25 (exactly dyadic, so the scale costs no
+# precision) and rounded to 5 decimals so the literals inlined into both
+# engines are identical. y = R·x approximately preserves norms/distances
+# (Johnson–Lindenstrauss) — the reduction stage run before ANN indexing.
+_prng = np.random.RandomState(PROJ_SEED)
+PROJECTION: list[list[float]] = [
+    [round(float(x) * 0.25, 5) for x in row]
+    for row in _prng.standard_normal((PROJ_DIM, DIM))
+]
+
+
+def project(a: Column) -> list[Column]:
+    """The PROJ_DIM projected components y_j = dot(a, R_j), each the
+    seeded ascending fold (bit-equal to DuckDB's list_dot_product)."""
+    return [
+        dot(a, F.array(*[F.lit(v) for v in row])) for row in PROJECTION
+    ]
+
+
+def projection_sql(vec_expr: str) -> list[str]:
+    """The identical projected components as DuckDB SQL."""
+    return [
+        f"list_dot_product({vec_expr}, ["
+        + ", ".join(str(v) for v in row)
+        + "])"
+        for row in PROJECTION
+    ]
+
+
 def as_double(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))

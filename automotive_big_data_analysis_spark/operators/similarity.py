@@ -499,6 +499,40 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def projection_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection audit: per label, how well the
+    fixed random projection to ``vectors.PROJ_DIM`` dims preserves
+    vector norms (ratio ‖Rx‖/‖x‖ — ≈1 when the reduction is safe to
+    index on). This is the evaluation run before switching the ANN
+    index to reduced vectors; with ``knn_recall_report`` it bounds the
+    reduction's recall cost.
+
+    Determinism: the projection matrix is a shared literal (seeded,
+    pre-scaled by the dyadic 1/sqrt(k), rounded) inlined into both
+    engines; each component is the seeded ascending dot fold; the norm
+    ratio is one shared expression tree rounded to 6.
+
+    Scale shape: pure map-side arithmetic over one scan (the matrix is
+    a compile-time literal — nothing is broadcast or joined), then a
+    |labels|-row partial-combined aggregate."""
+    emb = _emb(spark, sf_dir)
+    comps = V.project(F.col("v"))
+    pn2 = comps[0] * comps[0]
+    for y in comps[1:]:
+        pn2 = pn2 + y * y  # squares: seedless ascending chain is safe
+    ratio = F.round(F.sqrt(pn2) / F.sqrt(V.dot(F.col("v"), F.col("v"))), 6)
+    return (
+        emb.select("label", ratio.alias("r"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            ex.davg("r").alias("avg_norm_ratio"),
+            F.round(F.min("r"), 6).alias("min_norm_ratio"),
+            F.round(F.max("r"), 6).alias("max_norm_ratio"),
+        )
+    )
+
+
 N_BLOCKS = 8  # tile grid; at scale pick so a block (N/N_BLOCKS vectors)
 # fits an executor's memory — tiles grow as N_BLOCKS², work stays O(N²).
 
@@ -1022,6 +1056,28 @@ ORACLE["knn_recall_report"] = f"""
     FROM per GROUP BY method
 """
 
+def _projection_quality_sql() -> str:
+    comps = V.projection_sql("v")
+    pn2 = " + ".join(f"({c}) * ({c})" for c in comps)
+    return f"""
+        WITH e AS (
+            SELECT label, {_V} AS v FROM embeddings
+        ), r AS (
+            SELECT label,
+                   ROUND(sqrt({pn2})
+                         / sqrt(list_dot_product(v, v)), 6) AS r
+            FROM e
+        )
+        SELECT label, COUNT(*) AS n_vectors,
+               {ex.davg_sql("r")} AS avg_norm_ratio,
+               ROUND(MIN(r), 6) AS min_norm_ratio,
+               ROUND(MAX(r), 6) AS max_norm_ratio
+        FROM r GROUP BY label
+    """
+
+
+ORACLE["embedding_projection_quality"] = _projection_quality_sql()
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
@@ -1029,6 +1085,7 @@ QUERIES = {
     "knn_pq": knn_pq,
     "knn_ivfpq": knn_ivfpq,
     "knn_recall_report": knn_recall_report,
+    "embedding_projection_quality": projection_quality,
     "embedding_cosine_dups": cosine_dup_pairs,
     "embedding_kmeans": embedding_kmeans,
     "embedding_label_centroids": label_centroids,

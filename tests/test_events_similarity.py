@@ -310,3 +310,13 @@ def test_knn_recall_report_bounds_and_ground_truth(spark):
         assert 0.0 <= r.recall_at_k <= 1.0
     assert rows["ivf"].n_hits > rows["lsh"].n_hits
     sim.release()
+
+
+def test_projection_preserves_norms_approximately(spark):
+    """JL property on real data: per-label mean norm ratio within 20% of
+    1.0 for a 64->16 projection, and ratios strictly positive."""
+    rows = sim.projection_quality(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.8 <= r.avg_norm_ratio <= 1.2
+        assert 0 < r.min_norm_ratio <= r.max_norm_ratio
