@@ -59,8 +59,8 @@ _SWEEP_PRIORITY = [
     "order_value_deciles",
     "dedup_incremental_stats",
     "embedding_cosine_dups",      # shared-rounding-tree fix (tie class)
+    "pipeline_curation_sampled",  # pair list now read from stored index
     # (d) newest driver-green row is r4 — rotate back in
-    "cube_order_stats",
     "daily_revenue_moving_avg",
     "disjunctive_part_revenue",
     "idle_rich_customers",

@@ -150,17 +150,26 @@ def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by word-3-gram Jaccard ≥ 0.6.
+    """Near-duplicate pairs by word-3-gram Jaccard ≥ 0.6 — read from the
+    STORED pair index (:func:`pair_index_table`), which builds
+    write-through on first touch of a corpus snapshot.
 
-    Pipeline: shingle sets → self-equi-join on shingle (doc_a < doc_b) →
-    per-pair intersection counts → join per-doc set sizes → Jaccard.
-    The shingle join is hash-partitioned on the shingle; hot shingles (high
-    document frequency) are the skew risk at scale — AQE skew-join splits
-    them, and the MinHash variant below avoids them entirely.
+    Every consumer (pair listing, keep-first, connected components, the
+    curation pipeline, incremental dedup) therefore reads index FILES;
+    the shingle self-join runs once per corpus snapshot at index-build
+    time — the staged-table lifecycle the docstrings always described,
+    now actual I/O shape."""
+    return pair_index_table(spark, sf_dir)
 
-    The verified pair list is memoized (tiny, reused by keep-first and
-    connected components) so downstream consumers don't re-run the
-    shingle self-join."""
+
+def _computed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair COMPUTATION (index build): shingle sets → self-equi-join
+    on shingle (doc_a < doc_b) → per-pair intersection counts → join
+    per-doc set sizes → Jaccard. The shingle join is hash-partitioned on
+    the shingle; hot shingles (high document frequency) are the skew
+    risk at scale — AQE skew-join splits them, and the MinHash variant
+    below avoids them entirely. Memoized per (session, corpus) so a
+    rebuild within one session never re-runs the self-join."""
     key = (spark.sparkContext.applicationId, sf_dir, "ngram_pairs")
     if key in _SHARED:
         return _SHARED[key]
@@ -371,7 +380,7 @@ def pair_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{loc}/{table}"
     existing = {t.name for t in spark.catalog.listTables(db)}
     if table not in existing:
-        pairs = ngram_jaccard_pairs(spark, sf_dir)
+        pairs = _computed_pairs(spark, sf_dir)
         if os.path.exists(f"{path}/_SUCCESS"):
             _register_existing(spark, db, table, path, pairs, "doc_a")
         else:

@@ -161,14 +161,25 @@ def test_cdc_short_and_empty_docs(spark, tmp_path_factory):
 # --- shared-intermediate lifecycle -------------------------------------------
 
 
-def test_release_then_reuse_rebuilds(spark, doc_dir):
-    """release() drops the staged intermediates; consumers lazily rebuild
-    identical results afterwards."""
-    before = dedup.ngram_jaccard_pairs(spark, doc_dir).collect()
-    assert dedup.release(doc_dir) >= 1
-    assert not any(k[1] == doc_dir for k in dedup._SHARED)
-    after = dedup.ngram_jaccard_pairs(spark, doc_dir).collect()
+def test_release_then_reuse_rebuilds(spark, doc_dir, tmp_path_factory):
+    """Index-build memos are session-scoped: building a FRESH corpus's
+    index populates them, release() drops them, and consumers keep
+    serving identical results afterwards (now from the stored index —
+    no recompute needed)."""
+    import shutil
+
+    fresh = str(tmp_path_factory.mktemp("fresh_docs"))
+    shutil.copytree(
+        f"{doc_dir}/documents.parquet", f"{fresh}/documents.parquet"
+    )
+    before = dedup.ngram_jaccard_pairs(spark, fresh).collect()
+    # the build pass staged shingles (+ pair memo) for this corpus
+    assert dedup.release(fresh) >= 1
+    assert not any(k[1] == fresh for k in dedup._SHARED)
+    after = dedup.ngram_jaccard_pairs(spark, fresh).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # the re-read came from the store, not a rebuild: no memo repopulated
+    assert not any(k[1] == fresh for k in dedup._SHARED)
 
 
 def test_cache_evicts_on_corpus_change(spark, doc_dir, tmp_path_factory):
