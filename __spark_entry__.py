@@ -60,9 +60,9 @@ _SWEEP_PRIORITY = [
     "dedup_incremental_stats",
     "embedding_cosine_dups",      # shared-rounding-tree fix (tie class)
     "pipeline_curation_sampled",  # pair list now read from stored index
+    "knn_pq",                     # struct-min code assignment (argmin swap)
+    "knn_ivfpq",                  # struct-min code assignment (argmin swap)
     # (d) newest driver-green row is r4 — rotate back in
-    "daily_revenue_moving_avg",
-    "disjunctive_part_revenue",
     "idle_rich_customers",
     "important_parts_share",
     "large_volume_customers",

@@ -344,13 +344,15 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-free — they arrive via a groupBy) and ranking orders by the
     exact decimal before rounding for display."""
     dists = _pq_dists(spark, sf_dir)
-    w_code = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d2").asc(), F.col("cell_id")
-    )
+    # argmin via struct-min groupBy, NOT a row_number window: the window
+    # shuffles the full |corpus|×K×M encode table unreduced, while the
+    # partial-combined aggregate collapses to one row per (vec, m)
+    # map-side before the exchange. Struct comparison is lexicographic
+    # (d2, then cell_id) — the identical tie rule as the ordered window.
     codes = (
-        dists.withColumn("r", F.row_number().over(w_code))
-        .where(F.col("r") == 1)
-        .select("vec_id", "m", F.col("cell_id").alias("code"))
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cell_id")).alias("s"))
+        .select("vec_id", "m", F.col("s.cell_id").alias("code"))
     )
     qdists = dists.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -402,13 +404,12 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "cell_id"
     )
     dists = _pq_dists(spark, sf_dir).withColumnRenamed("cell_id", "dcell")
-    w_code = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d2").asc(), F.col("dcell")
-    )
+    # struct-min argmin (cf. knn_pq): map-side collapse beats shuffling
+    # the full encode table through a row_number window
     codes = (
-        dists.withColumn("cr", F.row_number().over(w_code))
-        .where(F.col("cr") == 1)
-        .select("vec_id", "m", F.col("dcell").alias("code"))
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "dcell")).alias("s"))
+        .select("vec_id", "m", F.col("s.dcell").alias("code"))
     )
     qdists = dists.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qq"),
