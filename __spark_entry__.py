@@ -62,8 +62,8 @@ _SWEEP_PRIORITY = [
     "pipeline_curation_sampled",  # pair list now read from stored index
     "knn_pq",                     # struct-min code assignment (argmin swap)
     "knn_ivfpq",                  # struct-min code assignment (argmin swap)
+    "top_customer_per_nation",    # struct-min argmax swap
     # (d) newest driver-green row is r4 — rotate back in
-    "idle_rich_customers",
     "important_parts_share",
     "large_volume_customers",
     "local_supplier_volume",

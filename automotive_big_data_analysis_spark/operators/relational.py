@@ -324,19 +324,31 @@ def customer_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference op A9 (argmax) generalized per group: the highest-balance
-    customer of each nation, deterministic tie-break on custkey."""
+    customer of each nation, deterministic tie-break on custkey.
+
+    Struct-min aggregate, not a ranked window: the window shuffles every
+    customer row unreduced through a per-nation sort, while the
+    partial-combined aggregate carries one candidate row per (partition,
+    nation) across the exchange. Lexicographic struct order (-balance,
+    custkey) is exactly the window's (balance DESC, custkey ASC)."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
-    )
     return (
-        cust.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("c_acctbal")).alias("nb"),
+                    "c_custkey",
+                    "c_name",
+                    "c_acctbal",
+                )
+            ).alias("s")
+        )
         .select(
             "c_nationkey",
-            "c_custkey",
-            "c_name",
-            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.col("s.c_custkey").alias("c_custkey"),
+            F.col("s.c_name").alias("c_name"),
+            F.round("s.c_acctbal", 2).alias("c_acctbal"),
         )
     )
 

@@ -156,13 +156,13 @@ def lang_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "plang")
         .agg(F.count("*").alias("hits"))
     )
-    w_best = Window.partitionBy("doc_id").orderBy(
-        F.col("hits").desc(), F.col("plang")
-    )
+    # per-doc argmax via struct-min (map-side collapse; the ranked-window
+    # form re-shuffles the hits relation unreduced); (-hits, plang) is
+    # the window's (hits DESC, plang ASC) tie rule
     best = (
-        hits.withColumn("r", F.row_number().over(w_best))
-        .where(F.col("r") == 1)
-        .select("doc_id", "plang")
+        hits.groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("hits")).alias("nh"), "plang")).alias("s"))
+        .select("doc_id", F.col("s.plang").alias("plang"))
     )
     return (
         staged.select("doc_id", "lang")
