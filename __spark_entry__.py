@@ -63,10 +63,10 @@ _SWEEP_PRIORITY = [
     "knn_pq",                     # struct-min code assignment (argmin swap)
     "knn_ivfpq",                  # struct-min code assignment (argmin swap)
     "top_customer_per_nation",    # struct-min argmax swap
+    "knn_ivf",                    # ANN index structures now stored tables
+    "embedding_kmeans",           # codebook trainer store-through
     # (d) newest driver-green row is r4 — rotate back in
     "important_parts_share",
-    "large_volume_customers",
-    "local_supplier_volume",
     "nation_market_share",
     "order_priority_check",
     "parts_supplier_counts",

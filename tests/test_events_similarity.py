@@ -246,23 +246,29 @@ def test_kmeans_lloyd_iterations_never_increase_inertia(spark):
     assert 0 < len(rows) <= n_seeds
 
 
-def test_similarity_index_memo_lifecycle(spark):
-    """The cell ranking and PQ encode table are memoized per (session,
-    corpus), shared by the IVF/PQ family, and rebuild identically after
-    release() — mirror of the dedup staged-intermediate lifecycle."""
+def test_similarity_stored_index_lifecycle(spark):
+    """The ANN index structures are STORED tables: after the first build
+    the search plan reads index FILES (no training subtree), results are
+    identical across re-reads, release() has nothing session-resident to
+    drop, and a fresh catalog re-attaches the existing files by DDL."""
+    from automotive_big_data_analysis_spark.plans import explain as px
     from tests.conftest import SF_SMOKE
 
     before = sim.knn_ivfpq(spark, SF_SMOKE).collect()
-    keys = [k for k in sim._SHARED if k[1] == SF_SMOKE]
-    assert {k[2] for k in keys} == {"ivf_codebook", "ivf_cells", "pq_dists"}
-    # knn_ivf reuses the memoized cell ranking (no new entries appear)
-    sim.knn_ivf(spark, SF_SMOKE).collect()
-    assert len([k for k in sim._SHARED if k[1] == SF_SMOKE]) == 3
-    assert sim.release(SF_SMOKE) == 3
-    assert not any(k[1] == SF_SMOKE for k in sim._SHARED)
-    after = sim.knn_ivfpq(spark, SF_SMOKE).collect()
-    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
-    sim.release(SF_SMOKE)
+    assert sim.release(SF_SMOKE) == 0  # nothing memoized in-session
+    after_df = sim.knn_ivfpq(spark, SF_SMOKE)
+    plan = px.physical_plan(after_df)
+    assert "pq_codes" in plan and "cells" in plan  # file-backed index
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after_df.collect()))
+    # fresh-session simulation: catalog forgets, files remain → the
+    # store-through re-attaches via DDL and serves identical rows
+    import os
+
+    base = f"{os.path.basename(SF_SMOKE.rstrip('/')).replace('.', '_')}_{sim._index_tag()}"
+    for t in ("codebook", "cells", "pq_codes"):
+        spark.sql(f"DROP TABLE IF EXISTS ann_idx_{base}.{t}")
+    again = sim.knn_ivfpq(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, again))
 
 
 def test_funnel_requires_ordered_stages(spark, tmp_path_factory):

@@ -193,14 +193,15 @@ def test_year_partitioned_orders_prune(spark, tmp_path):
     assert 0 < got < full
 
 
-def test_knn_pq_broadcasts_query_table_over_materialized_codes(spark):
-    """PQ: the encode pass (codebook broadcast included) materializes once
-    behind a checkpoint — the search plan reads it as an ExistingRDD scan
+def test_knn_pq_broadcasts_query_table_over_stored_codes(spark):
+    """PQ: the encode pass runs once per corpus snapshot into the STORED
+    code table — the search plan reads code FILES (never re-encoding the
+    corpus: no training/encode subtree, so no tokenizer-class recompute)
     and broadcasts only the query distance-lookup table."""
     df = similarity.knn_pq(spark, SF)
     plan = px.physical_plan(df)
     assert px.broadcast_join_count(df) >= 1  # the query lookup table
-    assert "ExistingRDD" in plan  # the materialized encode table
+    assert "pq_codes" in plan  # the stored code-table scan
 
 
 def test_ivf_codebook_fixed_k_and_broadcast(spark):
