@@ -82,17 +82,14 @@ def _shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-# Shared materialized intermediates, keyed by (application, corpus dir).
-# The shingle table and the verified pair list feed FOUR downstream
-# operators (pair listing, MinHash verification, keep-first, connected
-# components); in a production pipeline they are staged tables written
-# once per corpus snapshot, not recomputed per consumer. The memo gives
-# the same sharing within one SparkSession — tests with per-fixture dirs
-# get distinct keys, and a new session (new applicationId) starts clean.
-# Retention is bounded: entries for any OTHER (application, corpus) pair
-# are unpersisted and dropped when a new corpus is first touched, so a
-# long-lived session serving many corpus dirs holds at most one corpus's
-# intermediates in executor memory.
+# Build-time intermediates, keyed by (application, corpus dir). Since
+# round 6 the long-lived artifacts (shingle fingerprint table, verified
+# pair list, MinHash candidate list) are STORED tables
+# (``sources/stored.py``) read as files by every consumer; this memo now
+# caches only the pair computation WHILE an index build is in flight, so
+# a build never runs the shingle self-join twice. Retention is bounded:
+# entries for any OTHER (application, corpus) pair are unpersisted when
+# a new corpus is first touched; release() drops everything.
 _SHARED: dict[tuple, DataFrame] = {}
 
 
@@ -107,15 +104,13 @@ def _shared_put(key: tuple, df: DataFrame) -> DataFrame:
 
 
 def release(sf_dir: str | None = None) -> int:
-    """Unpersist the family's staged intermediates (all corpora, or one).
+    """Unpersist any build-time intermediates (all corpora, or one).
 
-    The shingle table and verified pair list stay resident only while the
-    dedup family is actively consuming them; callers that interleave other
-    workloads in the same session (bench harness, a long-lived service)
-    call this once the family's last consumer finishes, so cached blocks
-    don't occupy executor storage — and tax every later query with
-    eviction/GC pressure — for session lifetime. Returns the number of
-    entries dropped; safe to call at any time (consumers lazily rebuild)."""
+    Consumers read the stored index tables, so after an index build
+    completes nothing needs to stay resident; the bench harness and
+    long-lived services call this between workload families so cached
+    build blocks never tax later queries with eviction/GC pressure.
+    Returns the number of entries dropped; safe to call at any time."""
     dropped = 0
     for key in [k for k in _SHARED if sf_dir is None or k[1] == sf_dir]:
         try:
@@ -127,11 +122,22 @@ def release(sf_dir: str | None = None) -> int:
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "shingles")
-    if key not in _SHARED:
-        docs = load_table(spark, sf_dir, "documents")
-        _shared_put(key, _shingle_df(docs).cache())
-    return _SHARED[key]
+    """The shingle FINGERPRINT table (doc_id, word-3-gram) — a stored
+    index artifact since round 6: tokenization runs once per corpus
+    snapshot; pair generation, MinHash signatures, and candidate
+    verification all read fingerprint files bucketed by doc_id."""
+    from automotive_big_data_analysis_spark.sources.stored import stored_table
+
+    return stored_table(
+        spark,
+        PAIR_INDEX_LOCATION,
+        "pair_idx",
+        sf_dir,
+        _index_tag(),
+        "shingles",
+        "doc_id",
+        lambda: _shingle_df(load_table(spark, sf_dir, "documents")),
+    )
 
 
 def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,57 +227,69 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidate generation touches only (doc, band, bucket) tuples —
     shuffles are keyed on the bucket hash, never pairwise. Verification
-    joins shingles only for candidate docs (semi-join pushdown)."""
-    cand_key = (spark.sparkContext.applicationId, sf_dir, "minhash_candidates")
-    if cand_key in _SHARED:
-        sh = _shingles_cached(spark, sf_dir)
-        candidates = _SHARED[cand_key]
-        return _verify_candidates(sh, candidates)
+    joins shingles only for candidate docs (semi-join pushdown). Both
+    the candidate list and the shingle table are STORED index artifacts
+    (built once per corpus snapshot; the banded self-join — the
+    expensive subtree, referenced four times by verification — is paid
+    at build time, and every search/verify pass reads files)."""
+    from automotive_big_data_analysis_spark.sources.stored import stored_table
+
     sh = _shingles_cached(spark, sf_dir)
-    sig = _minhash_signatures(sh)
-    bands = sig.select(
-        "doc_id",
-        *[
-            F.md5(
-                F.concat_ws("|", *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)])
-            ).alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
-    )
-    stacked = bands.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bucket")
+
+    def build() -> DataFrame:
+        sig = _minhash_signatures(sh)
+        bands = sig.select(
+            "doc_id",
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)],
                     )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", "e.band_id", "e.bucket")
-    left = stacked.alias("x")
-    right = stacked.alias("y")
-    candidates = (
-        left.join(
-            right,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+                ).alias(f"band{b}")
+                for b in range(N_BANDS)
+            ],
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-        # materialize once, eagerly: the banded self-join is the expensive
-        # subtree and FOUR consumers reference it (the pair list, plus the
-        # pruned shingle table's three uses in _verify_candidates). A lazy
-        # .cache() measured ~2× worse here — concurrent stages race to
-        # compute the uncached InMemoryRelation — while the checkpoint
-        # pays the subtree exactly once. Memoized for reuse across calls;
-        # release()/corpus-change eviction applies.
-        .localCheckpoint()
+        stacked = bands.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.col(f"band{b}").alias("bucket"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("e"),
+        ).select("doc_id", "e.band_id", "e.bucket")
+        left = stacked.alias("x")
+        right = stacked.alias("y")
+        return (
+            left.join(
+                right,
+                (F.col("x.band_id") == F.col("y.band_id"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+
+    candidates = stored_table(
+        spark,
+        PAIR_INDEX_LOCATION,
+        "pair_idx",
+        sf_dir,
+        _index_tag(),
+        "minhash_candidates",
+        "doc_a",
+        build,
+        n_buckets=PAIR_INDEX_BUCKETS,
     )
-    _shared_put(cand_key, candidates)
     return _verify_candidates(sh, candidates)
 
 
@@ -348,6 +366,13 @@ PAIR_INDEX_LOCATION = "/tmp/abda_dedup_pair_index"
 PAIR_INDEX_BUCKETS = 8
 
 
+def _index_tag() -> str:
+    """Index paths encode every parameter that shapes the stored
+    structures — a semantics change builds a fresh index instead of
+    silently reading files computed under the old definition."""
+    return f"j{int(JACCARD_THRESHOLD * 100)}w3mh{N_MINHASH}b{BAND_SIZE}"
+
+
 def pair_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified near-dup pair list as a STORED bucketed table — the
     persistent fingerprint index a nightly-batch pipeline maintains: the
@@ -357,39 +382,23 @@ def pair_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Layout: bucketed+sorted by ``doc_a`` (``sources/bucketed.py``
     discipline) so fact-side joins against the index can co-locate.
-    Idempotent per (warehouse, corpus basename): an existing layout is
-    reused; files that outlive the in-memory catalog (a NEW session — the
-    nightly case) are re-attached via CLUSTERED BY DDL with no data
-    movement."""
-    import os
+    Idempotent per (warehouse, corpus basename, semantics tag): an
+    existing layout is reused; files that outlive the in-memory catalog
+    (a NEW session — the nightly case) are re-attached via CLUSTERED BY
+    DDL with no data movement (``sources/stored.py``)."""
+    from automotive_big_data_analysis_spark.sources.stored import stored_table
 
-    from automotive_big_data_analysis_spark.sources.bucketed import (
-        _register_existing,
+    return stored_table(
+        spark,
+        PAIR_INDEX_LOCATION,
+        "pair_idx",
+        sf_dir,
+        _index_tag(),
+        "ngram_pairs",
+        "doc_a",
+        lambda: _computed_pairs(spark, sf_dir),
+        n_buckets=PAIR_INDEX_BUCKETS,
     )
-
-    # the index path encodes the pair-generation semantics: a change to
-    # the threshold or shingle width produces a FRESH index instead of
-    # silently serving pairs computed under the old definition (the
-    # _SUCCESS guard alone would never invalidate)
-    tag = f"j{int(JACCARD_THRESHOLD * 100)}w3"
-    base = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{tag}"
-    db = f"pair_idx_{base}"
-    loc = f"{PAIR_INDEX_LOCATION}/{base}"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
-    table = "ngram_pairs"
-    path = f"{loc}/{table}"
-    existing = {t.name for t in spark.catalog.listTables(db)}
-    if table not in existing:
-        pairs = _computed_pairs(spark, sf_dir)
-        if os.path.exists(f"{path}/_SUCCESS"):
-            _register_existing(spark, db, table, path, pairs, "doc_a")
-        else:
-            pairs.write.bucketBy(PAIR_INDEX_BUCKETS, "doc_a").sortBy(
-                "doc_a"
-            ).option("path", path).mode("overwrite").saveAsTable(
-                f"{db}.{table}"
-            )
-    return spark.table(f"{db}.{table}")
 
 
 def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

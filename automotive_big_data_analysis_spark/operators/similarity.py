@@ -186,31 +186,21 @@ def _stored_index(spark: SparkSession, sf_dir: str, name: str, bucket_col: str, 
     """Store-through ANN index table — the production lifecycle: index
     structures (coarse codebook, cell assignment, PQ codes) are TRAINED
     once per corpus snapshot and persisted; every search reads index
-    FILES. Idempotent per (corpus, parameter tag); files that outlive
-    the in-memory catalog re-attach via CLUSTERED BY DDL."""
-    import os
+    FILES (``sources/stored.py`` — parameter-tagged paths, bucketed
+    layout, DDL re-attach across sessions)."""
+    from automotive_big_data_analysis_spark.sources.stored import stored_table
 
-    from automotive_big_data_analysis_spark.sources.bucketed import (
-        _register_existing,
+    return stored_table(
+        spark,
+        ANN_INDEX_LOCATION,
+        "ann_idx",
+        sf_dir,
+        _index_tag(),
+        name,
+        bucket_col,
+        build,
+        n_buckets=ANN_INDEX_BUCKETS,
     )
-
-    base = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{_index_tag()}"
-    db = f"ann_idx_{base}"
-    loc = f"{ANN_INDEX_LOCATION}/{base}"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
-    path = f"{loc}/{name}"
-    existing = {t.name for t in spark.catalog.listTables(db)}
-    if name not in existing:
-        df = build()
-        if os.path.exists(f"{path}/_SUCCESS"):
-            _register_existing(spark, db, name, path, df, bucket_col)
-        else:
-            df.write.bucketBy(ANN_INDEX_BUCKETS, bucket_col).sortBy(
-                bucket_col
-            ).option("path", path).mode("overwrite").saveAsTable(
-                f"{db}.{name}"
-            )
-    return spark.table(f"{db}.{name}")
 
 
 def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,61 @@
+"""Store-through staged tables: the persisted-index lifecycle.
+
+A training-data pipeline's expensive derived structures — near-dup pair
+lists, shingle fingerprint tables, ANN codebooks/cells/codes — are built
+ONCE per corpus snapshot and persisted; every consumer reads index
+FILES. This helper gives that lifecycle to any builder:
+
+* idempotent per (corpus basename, parameter tag): an existing table is
+  reused, never rebuilt;
+* the parameter tag is part of the path, so changing the semantics that
+  shaped a structure (thresholds, K, band widths) builds a FRESH index
+  instead of silently serving files computed under the old definition;
+* bucketed+sorted by the consumer-side join key (``sources/bucketed.py``
+  discipline) so fact-side joins against the index can co-locate;
+* files that outlive the in-memory session catalog (a NEW session — the
+  nightly-batch case) are re-attached via CLUSTERED BY DDL with no data
+  movement.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automotive_big_data_analysis_spark.sources.bucketed import (
+    _register_existing,
+)
+
+DEFAULT_BUCKETS = 8
+
+
+def stored_table(
+    spark: SparkSession,
+    location: str,
+    db_prefix: str,
+    sf_dir: str,
+    tag: str,
+    name: str,
+    bucket_col: str,
+    build: Callable[[], DataFrame],
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Return the stored table ``name`` for (corpus, tag), building it
+    write-through from ``build()`` on first touch."""
+    base = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{tag}"
+    db = f"{db_prefix}_{base}"
+    loc = f"{location}/{base}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    path = f"{loc}/{name}"
+    existing = {t.name for t in spark.catalog.listTables(db)}
+    if name not in existing:
+        df = build()
+        if os.path.exists(f"{path}/_SUCCESS"):
+            _register_existing(spark, db, name, path, df, bucket_col)
+        else:
+            df.write.bucketBy(n_buckets, bucket_col).sortBy(bucket_col).option(
+                "path", path
+            ).mode("overwrite").saveAsTable(f"{db}.{name}")
+    return spark.table(f"{db}.{name}")
