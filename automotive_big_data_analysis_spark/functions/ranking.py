@@ -33,6 +33,80 @@ from pyspark.sql import functions as F
 N_RANGE_BUCKETS = 32  # range-partition fan-out; widen at scale
 
 
+def with_global_ntiles(
+    df: DataFrame,
+    n: int,
+    metrics: dict[str, Column],
+    tiebreak: Column,
+    n_buckets: int = N_RANGE_BUCKETS,
+) -> DataFrame:
+    """Append one NTILE(n) column per ``metrics`` entry (out-col →
+    ascending sort metric), sharing a SINGLE boundary-sampling pass and
+    a single frame across all metrics — for multi-metric segmentations
+    (RFM-style) this replaces M independent rank passes (each re-scanning
+    and re-joining the input) with one boundary aggregate, M tiny
+    bucket-count aggregates, and M bucket-partitioned rank windows over
+    the same frame. Same exact-NTILE guarantee as
+    :func:`with_global_ntile` per metric."""
+    base = df.withColumn("_tb", tiebreak)
+    for out, sv in metrics.items():
+        base = base.withColumn(f"_sv_{out}", sv)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    agg_exprs = [F.count("*").alias("_N")]
+    if qs:
+        agg_exprs += [
+            F.percentile_approx(
+                F.col(f"_sv_{out}").cast("double"), qs, 10_000
+            ).alias(f"_bnds_{out}")
+            for out in metrics
+        ]
+    bounds = base.agg(*agg_exprs)
+    withb = base.join(F.broadcast(bounds))
+    for out in metrics:
+        bnds = (
+            F.col(f"_bnds_{out}")
+            if qs
+            else F.array().cast("array<double>")
+        )
+        withb = withb.withColumn(
+            f"_bk_{out}",
+            F.size(
+                F.filter(bnds, lambda b: b <= F.col(f"_sv_{out}").cast("double"))
+            ),
+        )
+    out_df = withb
+    base_sz = F.floor(F.col("_N") / n)
+    rem = F.col("_N") % n
+    big = rem * (base_sz + 1)
+    for out in metrics:
+        counts = withb.groupBy(f"_bk_{out}").agg(F.count("*").alias("_c"))
+        w_off = Window.orderBy(f"_bk_{out}").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        offs = counts.select(
+            f"_bk_{out}",
+            (F.sum("_c").over(w_off) - F.col("_c")).alias(f"_off_{out}"),
+        )
+        w_in = Window.partitionBy(f"_bk_{out}").orderBy(f"_sv_{out}", "_tb")
+        out_df = out_df.join(F.broadcast(offs), f"_bk_{out}").withColumn(
+            f"_rank_{out}",
+            F.col(f"_off_{out}") + F.row_number().over(w_in),
+        )
+        rank = F.col(f"_rank_{out}")
+        tile = F.when(
+            rank <= big, F.floor((rank - 1) / (base_sz + 1)) + 1
+        ).otherwise(
+            rem + F.floor((rank - big - 1) / F.greatest(base_sz, F.lit(1))) + 1
+        )
+        out_df = out_df.withColumn(out, tile.cast("int"))
+    drops = ["_tb", "_N"]
+    for out in metrics:
+        drops += [f"_sv_{out}", f"_bk_{out}", f"_off_{out}", f"_rank_{out}"]
+        if qs:
+            drops.append(f"_bnds_{out}")
+    return out_df.drop(*drops)
+
+
 def with_global_ntile(
     df: DataFrame,
     n: int,

@@ -192,23 +192,20 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = per_cust.localCheckpoint()
     key = F.col("o_custkey")
     # DESC metrics rank by the negated column (decimal/long negation is
-    # exact). Each quartile pass runs INDEPENDENTLY against the staged
-    # table and yields a slim (custkey, tile) relation; the three results
-    # join back on the customer key (co-partitioned shuffles). Chaining
-    # the passes instead would re-reference each prior pass's join tree
-    # ~3x (boundary sample / bucket counts / rank), compounding to ~9x
-    # recomputation of pass one — measured 3x slower end-to-end.
-    metrics = {
-        "r_quartile": F.col("recency_days"),
-        "f_quartile": -F.col("frequency"),
-        "m_quartile": -F.col("monetary_dec"),
-    }
-    quart = per_cust
-    for out, metric in metrics.items():
-        tiles = rk.with_global_ntile(per_cust, 4, metric, key, out).select(
-            "o_custkey", out
-        )
-        quart = quart.join(tiles, "o_custkey")
+    # exact). All three quartiles come from ONE multi-metric rank pass
+    # (shared boundary-sampling aggregate, one frame, three
+    # bucket-partitioned rank windows) — M independent passes would
+    # re-scan and re-join the staged table per metric.
+    quart = rk.with_global_ntiles(
+        per_cust,
+        4,
+        {
+            "r_quartile": F.col("recency_days"),
+            "f_quartile": -F.col("frequency"),
+            "m_quartile": -F.col("monetary_dec"),
+        },
+        key,
+    )
     return (
         quart.groupBy("r_quartile", "f_quartile", "m_quartile")
         .agg(

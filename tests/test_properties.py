@@ -150,3 +150,41 @@ def test_global_ntile_matches_native_window(spark, rows, n, n_buckets):
         for r in df.select("key", F.ntile(n).over(w).alias("tile")).collect()
     }
     assert got == want
+
+
+def test_multi_metric_ntiles_match_native_windows(spark):
+    """The shared-pass multi-metric variant must agree with independent
+    native NTILE windows on every metric (including a constant metric —
+    all ties — and a descending one via negation)."""
+    from pyspark.sql import Window
+
+    from automotive_big_data_analysis_spark.functions import ranking as rk
+
+    rows = [(k, (k * 7919) % 13, 5) for k in range(37)]
+    df = spark.createDataFrame(rows, "key long, a long, c long")
+    got = {
+        r.key: (r.t_a, r.t_neg, r.t_const)
+        for r in rk.with_global_ntiles(
+            df,
+            4,
+            {
+                "t_a": F.col("a"),
+                "t_neg": -F.col("a"),
+                "t_const": F.col("c"),
+            },
+            F.col("key"),
+            n_buckets=5,
+        ).collect()
+    }
+    want = {
+        r.key: (r.t_a, r.t_neg, r.t_const)
+        for r in df.select(
+            "key",
+            F.ntile(4).over(Window.orderBy("a", "key")).alias("t_a"),
+            F.ntile(4)
+            .over(Window.orderBy(F.col("a").desc(), "key"))
+            .alias("t_neg"),
+            F.ntile(4).over(Window.orderBy("c", "key")).alias("t_const"),
+        ).collect()
+    }
+    assert got == want
