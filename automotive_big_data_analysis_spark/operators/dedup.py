@@ -137,6 +137,7 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shingles",
         "doc_id",
         lambda: _shingle_df(load_table(spark, sf_dir, "documents")),
+        src_table="documents",
     )
 
 
@@ -289,6 +290,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         build,
         n_buckets=PAIR_INDEX_BUCKETS,
+        src_table="documents",
     )
     return _verify_candidates(sh, candidates)
 
@@ -398,6 +400,7 @@ def pair_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         lambda: _computed_pairs(spark, sf_dir),
         n_buckets=PAIR_INDEX_BUCKETS,
+        src_table="documents",
     )
 
 

@@ -200,6 +200,7 @@ def _stored_index(spark: SparkSession, sf_dir: str, name: str, bucket_col: str, 
         bucket_col,
         build,
         n_buckets=ANN_INDEX_BUCKETS,
+        src_table="embeddings",
     )
 
 

@@ -31,6 +31,26 @@ from automotive_big_data_analysis_spark.sources.bucketed import (
 DEFAULT_BUCKETS = 8
 
 
+def source_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap content fingerprint of a source table: a hash of every file's
+    (relative name, size, mtime). An index path carrying this can never
+    serve structures built from a PREVIOUS corpus generation that reused
+    the same directory names — the staleness the parameter tag alone
+    cannot see. Metadata-only: no data is read."""
+    import hashlib
+
+    path = f"{sf_dir}/{table}.parquet"
+    parts = []
+    if os.path.isdir(path):
+        for fn in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def stored_table(
     spark: SparkSession,
     location: str,
@@ -41,9 +61,15 @@ def stored_table(
     bucket_col: str,
     build: Callable[[], DataFrame],
     n_buckets: int = DEFAULT_BUCKETS,
+    src_table: str | None = None,
 ) -> DataFrame:
     """Return the stored table ``name`` for (corpus, tag), building it
-    write-through from ``build()`` on first touch."""
+    write-through from ``build()`` on first touch. Pass ``src_table``
+    (the corpus table the structure derives from) to fold its content
+    fingerprint into the path — regenerated source data then forces a
+    fresh build instead of reading a stale index."""
+    if src_table:
+        tag = f"{tag}_{source_fingerprint(sf_dir, src_table)}"
     base = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{tag}"
     db = f"{db_prefix}_{base}"
     loc = f"{location}/{base}"

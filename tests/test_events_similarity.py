@@ -264,9 +264,19 @@ def test_similarity_stored_index_lifecycle(spark):
     # store-through re-attaches via DDL and serves identical rows
     import os
 
-    base = f"{os.path.basename(SF_SMOKE.rstrip('/')).replace('.', '_')}_{sim._index_tag()}"
+    from automotive_big_data_analysis_spark.sources.stored import (
+        source_fingerprint,
+    )
+
+    tag = f"{sim._index_tag()}_{source_fingerprint(SF_SMOKE, 'embeddings')}"
+    base = f"{os.path.basename(SF_SMOKE.rstrip('/')).replace('.', '_')}_{tag}"
+    dropped = 0
     for t in ("codebook", "cells", "pq_codes"):
         spark.sql(f"DROP TABLE IF EXISTS ann_idx_{base}.{t}")
+        dropped += 1
+    # the db must actually exist (guards against a silent name mismatch
+    # that would no-op the drops and leave the re-attach path untested)
+    assert any(d.name == f"ann_idx_{base}" for d in spark.catalog.listDatabases())
     again = sim.knn_ivfpq(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, again))
 

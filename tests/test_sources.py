@@ -180,3 +180,36 @@ def test_text_format_sources_roundtrip_and_failfast(spark, tmp_path):
     reader = spark.read.schema(tf.EVENTS_TEXT_SCHEMA).option("mode", "FAILFAST")
     with _pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
         reader.json(str(bad)).collect()
+
+
+def test_stored_table_rebuilds_on_source_change(spark, tmp_path):
+    """The content fingerprint must change when the source table is
+    regenerated, so a stored index can never serve structures built from
+    a previous corpus generation under the same directory names."""
+    from automotive_big_data_analysis_spark.sources import stored
+
+    src = str(tmp_path / "corpus")
+    spark.range(5).toDF("doc_id").write.parquet(f"{src}/documents.parquet")
+    fp1 = stored.source_fingerprint(src, "documents")
+
+    def build():
+        return spark.read.parquet(f"{src}/documents.parquet").selectExpr(
+            "doc_id", "doc_id * 2 AS v"
+        )
+
+    t1 = stored.stored_table(
+        spark, str(tmp_path / "wh"), "fp_test", src, "t1", "idx",
+        "doc_id", build, src_table="documents",
+    )
+    assert t1.count() == 5
+    # regenerate the source with different content, same paths
+    spark.range(9).toDF("doc_id").write.mode("overwrite").parquet(
+        f"{src}/documents.parquet"
+    )
+    fp2 = stored.source_fingerprint(src, "documents")
+    assert fp1 != fp2
+    t2 = stored.stored_table(
+        spark, str(tmp_path / "wh"), "fp_test", src, "t1", "idx",
+        "doc_id", build, src_table="documents",
+    )
+    assert t2.count() == 9  # fresh build, not the stale 5-row index
