@@ -454,3 +454,19 @@ def test_collocation_reads_only_text(spark):
     assert "lang" not in schemas and "source" not in schemas
     assert px.has_partial_aggregation(df)
     assert px.filters_containing(df, "regexp_extract_all") == 0
+
+
+def test_minhash_reads_stored_fingerprints_no_tokenizer(spark):
+    """Once the shingle fingerprint table and banded candidate list are
+    stored, a MinHash verification pass reads index FILES — no tokenizer
+    anywhere in the plan, candidates scanned from the stored table."""
+    from automotive_big_data_analysis_spark.operators import dedup
+
+    dedup.pair_index_table(spark, SF)  # ensures the family's index exists
+    df = dedup.minhash_lsh_pairs(spark, SF)  # builds candidates if absent
+    dedup.release()
+    df = dedup.minhash_lsh_pairs(spark, SF)
+    plan = px.physical_plan(df)
+    assert "minhash_candidates" in plan and "shingles" in plan
+    assert px.filters_containing(df, "regexp_extract_all") == 0
+    assert "regexp_extract_all" not in px.formatted_plan(df)
