@@ -34,18 +34,47 @@ DEFAULT_LOCATION = "/tmp/abda_bucketed_warehouse"
 
 
 def _register_existing(
-    spark: SparkSession, database: str, table: str, path: str, df, key: str
+    spark: SparkSession,
+    database: str,
+    table: str,
+    path: str,
+    df,
+    key: str,
+    n_buckets: int = N_BUCKETS,
 ) -> None:
     """Attach already-written bucket files as an external bucketed table.
 
     The session catalog is in-memory, so a new session forgets the table
     even though the files (and their bucket-id filenames) persist. The
     CLUSTERED BY DDL re-declares the layout over the existing LOCATION —
-    no data movement, and scans regain the no-shuffle bucket guarantee."""
+    no data movement, and scans regain the no-shuffle bucket guarantee.
+
+    ``n_buckets`` MUST match the count the files were written with: the
+    DDL is a declaration Spark trusts (co-location guarantees for
+    sort-merge joins ride on it), so a mismatch would silently mis-route
+    bucket pruning. The filename check below makes a wrong declaration a
+    loud error instead."""
+    import os as _os
+    import re as _re
+
+    # bucketed part files are named part-...._00007.c000... — the
+    # trailing _NNNNN group is the bucket id. Assert the declared count
+    # strictly exceeds every observed id (ids are 0-based).
+    if _os.path.isdir(path):
+        ids = [
+            int(m.group(1))
+            for fn in _os.listdir(path)
+            if (m := _re.search(r"_(\d{5})(?:\.|$)", fn)) and fn.startswith("part-")
+        ]
+        if ids and max(ids) >= n_buckets:
+            raise ValueError(
+                f"bucket files at {path} carry bucket id {max(ids)} but the "
+                f"re-attach DDL declares only {n_buckets} buckets"
+            )
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {database}.{table} ({cols}) USING PARQUET"
-        f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS"
+        f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS"
         f" LOCATION '{path}'"
     )
 

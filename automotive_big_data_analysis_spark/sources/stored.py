@@ -79,7 +79,9 @@ def stored_table(
     if name not in existing:
         df = build()
         if os.path.exists(f"{path}/_SUCCESS"):
-            _register_existing(spark, db, name, path, df, bucket_col)
+            _register_existing(
+                spark, db, name, path, df, bucket_col, n_buckets=n_buckets
+            )
         else:
             df.write.bucketBy(n_buckets, bucket_col).sortBy(bucket_col).option(
                 "path", path

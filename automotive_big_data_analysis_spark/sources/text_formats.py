@@ -61,10 +61,21 @@ INTERCHANGE_VERSION = 1  # bump when EVENTS_TEXT_SCHEMA changes
 
 def _ensure_written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write the events interchange files once per (corpus, format).
-    The path carries the interchange version so a schema change never
-    reads stale files written under the old layout."""
+    The path carries the interchange version (a schema change never
+    reads stale files written under the old layout) AND the source
+    table's content fingerprint (``sources/stored.py`` discipline) — a
+    regenerated parquet corpus in the same directory forces a fresh
+    mirror instead of comparing stale text data against the new oracle."""
+    from automotive_big_data_analysis_spark.sources.stored import (
+        source_fingerprint,
+    )
+
     base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = f"{TEXTFMT_LOCATION}/{base}/events_{fmt}_v{INTERCHANGE_VERSION}"
+    fp = source_fingerprint(sf_dir, "events")
+    path = (
+        f"{TEXTFMT_LOCATION}/{base}/events_{fmt}"
+        f"_v{INTERCHANGE_VERSION}_{fp}"
+    )
     if not os.path.exists(f"{path}/_SUCCESS"):
         writer = _interchange_frame(spark, sf_dir).write.mode("overwrite")
         if fmt == "csv":

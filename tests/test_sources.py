@@ -213,3 +213,85 @@ def test_stored_table_rebuilds_on_source_change(spark, tmp_path):
         "doc_id", build, src_table="documents",
     )
     assert t2.count() == 9  # fresh build, not the stale 5-row index
+
+
+def test_stored_table_reattaches_across_sessions_without_rebuild(
+    spark, tmp_path
+):
+    """The nightly-batch lifecycle (``stored.py`` re-attach path): index
+    FILES outlive the in-memory session catalog. When a fresh catalog
+    (simulated by dropping the database — the tables are external, so
+    files persist) touches the same (corpus, tag) again, the table must
+    be re-attached via DDL with NO data movement, under the bucket count
+    the files were written with — and a source mtime change must still
+    force a fresh build."""
+    import time
+
+    from automotive_big_data_analysis_spark.sources import stored
+
+    src = str(tmp_path / "corpus")
+    spark.range(20).toDF("doc_id").write.parquet(f"{src}/documents.parquet")
+
+    def build():
+        return spark.read.parquet(f"{src}/documents.parquet").selectExpr(
+            "doc_id", "doc_id * 3 AS v"
+        )
+
+    def make():
+        return stored.stored_table(
+            spark, str(tmp_path / "wh"), "lc_test", src, "t1", "idx",
+            "doc_id", build, n_buckets=4, src_table="documents",
+        )
+
+    t1 = make()
+    assert t1.count() == 20
+    fp = stored.source_fingerprint(src, "documents")
+    base = os.path.basename(src)
+    db = f"lc_test_{base}_t1_{fp}"
+    path = f"{tmp_path}/wh/{base}_t1_{fp}/idx"
+    before = {
+        fn: os.stat(os.path.join(path, fn)).st_mtime_ns
+        for fn in os.listdir(path)
+    }
+    # simulate a NEW session's empty in-memory catalog: drop the TABLE
+    # entry (external → files stay; DROP DATABASE would recursively
+    # delete the db LOCATION the files nest under). A fresh session's
+    # CREATE DATABASE IF NOT EXISTS is a no-op, so the table lookup is
+    # the only catalog state the re-attach path consults.
+    spark.sql(f"DROP TABLE {db}.idx")
+    assert os.path.exists(f"{path}/_SUCCESS")
+
+    t2 = make()
+    assert t2.count() == 20
+    after = {
+        fn: os.stat(os.path.join(path, fn)).st_mtime_ns
+        for fn in os.listdir(path)
+    }
+    assert before == after  # re-attach moved no data
+    # the DDL must declare the bucket count the files were written with
+    # (round-6 ADVICE: _register_existing hard-coded 8)
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED {db}.idx").collect()
+    nb = [r.data_type for r in detail if r.col_name == "Num Buckets"]
+    assert nb == ["4"]
+
+    # a wrong declared count must be a loud error, not a silent
+    # co-location lie
+    from automotive_big_data_analysis_spark.sources.bucketed import (
+        _register_existing,
+    )
+
+    spark.sql(f"DROP TABLE {db}.idx")
+    with pytest.raises(ValueError, match="bucket id"):
+        _register_existing(
+            spark, db, "idx", path, build(), "doc_id", n_buckets=2
+        )
+    _register_existing(spark, db, "idx", path, build(), "doc_id", n_buckets=4)
+
+    # touching the source (new mtime, same bytes is enough — the
+    # fingerprint is metadata-based) must route to a FRESH build
+    time.sleep(0.01)
+    for fn in os.listdir(f"{src}/documents.parquet"):
+        os.utime(os.path.join(f"{src}/documents.parquet", fn))
+    t3 = make()
+    assert t3.count() == 20
+    assert stored.source_fingerprint(src, "documents") != fp
