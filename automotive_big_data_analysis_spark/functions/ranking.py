@@ -7,30 +7,148 @@ The scale-safe equivalent is the classic two-pass range-partitioned rank
 (what ``repartitionByRange`` + TeraSort do, and what
 ``training_prep.pack_token_shards`` already uses with a hash-prefix key):
 
-1. pick ``n_buckets`` range boundaries for the sort metric (sampled
-   quantiles — any *monotone* coarsening of the sort key yields the same
-   global ranks, so the boundary estimator does not need to be exact or
-   even deterministic);
-2. bucket every row by boundary count — bucket order IS global order;
-3. per-bucket counts → cumulative offsets via a window over the
-   |buckets|-row aggregate (tiny, broadcast back);
+1. ONE aggregate pass samples range boundaries for every sort metric
+   (approximate quantiles) and the exact row count; the boundaries are
+   collected to the driver (one dimension-sized row) and inlined as
+   LITERAL arrays — every consumer then sees the *same* boundaries by
+   construction, instead of re-evaluating a duplicated (and potentially
+   nondeterministic) estimator subtree in separate plan branches;
+2. bucket every row by boundary count — bucket order IS global order
+   (any *monotone* coarsening of the sort key yields the same global
+   ranks, so sampled boundaries never have to be exact);
+3. ONE tiny aggregate per metric counts rows per bucket (≤ fan-out
+   rows, collected); cumulative offsets are computed driver-side and
+   inlined as another literal array — no join, no window at all on the
+   offsets path;
 4. within-bucket ``row_number`` PARTITIONED by bucket (parallel across
-   buckets) + offset = exact global rank;
+   buckets) + literal offset = exact global rank;
 5. the SQL NTILE bucket formula (first ``N % n`` tiles get the extra
-   row) maps rank → tile.
+   row) maps rank → tile, with N a literal from step 1.
 
-Parallelism is ``n_buckets`` — widen it at scale (boundaries stay a
-sub-kilobyte broadcast). Results are bit-identical to the global-window
-NTILE for any boundary choice, which is what the DuckDB oracles (which
-keep the naive single-window formulation) verify.
+The final plan therefore contains NO unpartitioned window anywhere —
+not even the |buckets|-row one earlier revisions ran — and no join: a
+map-side bucket probe plus one bucket-partitioned rank window.
+
+Fan-out sizing: parallelism equals the bucket count, and each bucket is
+sorted by one task, so buckets must fit a task's memory. With no
+explicit ``n_buckets`` the fan-out is derived from the counted N as
+``clamp(ceil(N / TARGET_BUCKET_ROWS), N_RANGE_BUCKETS, MAX_FANOUT)`` —
+≤10M rows per within-bucket sort at any scale, floored at 32 so small
+inputs keep real parallelism, capped at 4096 (a 40-billion-row input
+saturates the cap; past that buckets grow, which degrades parallelism
+smoothly, never correctness). Boundary probing is one literal-array
+binary-search-free scan per row, so the cap also bounds per-row work
+and plan size.
+
+Input stability: the boundary pass, the count pass, and the final pass
+scan ``df`` independently, so ``df`` must produce the same multiset of
+rows on re-evaluation (file scans and checkpointed aggregates do; a
+nondeterministic source must be checkpointed first) — the usual
+contract for any multi-pass algorithm over a DataFrame.
+
+Results are bit-identical to the global-window NTILE for any boundary
+choice, which is what the DuckDB oracles (which keep the naive
+single-window formulation) verify.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-N_RANGE_BUCKETS = 32  # range-partition fan-out; widen at scale
+N_RANGE_BUCKETS = 32  # minimum fan-out (small inputs keep parallelism)
+MAX_FANOUT = 4096  # boundary-array cap: bounds per-row probe + plan size
+TARGET_BUCKET_ROWS = 10_000_000  # per-bucket sort sized for task memory
+_PCT_ACCURACY = 10_000
+
+
+def _collect_bounds(
+    base: DataFrame, metric_cols: list[str], n_buckets: int | None
+) -> tuple[int, int, dict[str, list[float]]]:
+    """ONE aggregate pass over ``base``: exact row count + per-metric
+    approximate-quantile boundary arrays, collected to the driver (a
+    single dimension-sized row) so every downstream consumer shares
+    identical literal boundaries.
+
+    With ``n_buckets=None`` the quantile grid is sampled at
+    ``MAX_FANOUT`` resolution and subsampled to the N-derived fan-out;
+    an explicit ``n_buckets`` samples exactly its grid (property tests
+    parametrize it). Returns (N, fan_out, {metric: boundaries})."""
+    grid = n_buckets if n_buckets is not None else MAX_FANOUT
+    qs = [i / grid for i in range(1, grid)]
+    agg_exprs = [F.count("*").alias("_N")]
+    if qs:
+        agg_exprs += [
+            F.percentile_approx(
+                F.col(c).cast("double"), qs, _PCT_ACCURACY
+            ).alias(f"_q_{c}")
+            for c in metric_cols
+        ]
+    row = base.agg(*agg_exprs).collect()[0]
+    n = row["_N"]
+    if n_buckets is None:
+        fan_out = min(
+            MAX_FANOUT,
+            max(N_RANGE_BUCKETS, math.ceil(n / TARGET_BUCKET_ROWS) if n else 1),
+        )
+    else:
+        fan_out = n_buckets
+    bounds: dict[str, list[float]] = {}
+    for c in metric_cols:
+        full = (row[f"_q_{c}"] if qs else None) or []
+        if n_buckets is None and full:
+            # subsample the fine grid to fan_out-1 monotone boundaries
+            # (exactness is not required — any monotone coarsening of
+            # the sort key preserves global ranks)
+            idx = [
+                min(len(full) - 1, max(0, round(i * grid / fan_out) - 1))
+                for i in range(1, fan_out)
+            ]
+            bounds[c] = [full[j] for j in idx]
+        else:
+            bounds[c] = list(full)
+    return n, fan_out, bounds
+
+
+def _bucket_col(sv: str, bounds: list[float]) -> Column:
+    """Bucket id = number of literal boundaries ≤ the metric's double
+    image. The double cast is monotone (ties may widen, never reorder),
+    so bucket order is a monotone coarsening of the sort order."""
+    if not bounds:
+        return F.lit(0)
+    arr = F.lit([float(b) for b in bounds])
+    return F.size(F.filter(arr, lambda b: b <= F.col(sv).cast("double")))
+
+
+def _offsets_literal(
+    withb: DataFrame, bk: str, fan_out: int
+) -> tuple[Column, int]:
+    """Per-bucket cumulative offsets, computed from a collected ≤fan-out
+    row aggregate and inlined as ONE literal array indexed by bucket id.
+    Returns (offset column, total rows)."""
+    counts = {
+        r[bk]: r["_c"]
+        for r in withb.groupBy(bk).agg(F.count("*").alias("_c")).collect()
+    }
+    offs, acc = [], 0
+    for b in range(fan_out):
+        offs.append(acc)
+        acc += counts.get(b, 0)
+    return F.element_at(F.lit(offs), F.col(bk) + 1), acc
+
+
+def _tile_expr(rank: Column, n: int, total: int) -> Column:
+    """SQL NTILE over a literal total: base = N div n rows per tile, the
+    first N mod n tiles take one extra. Integral operands (< 2^53), so
+    the double divisions inside floor() are exact."""
+    base_sz = total // n
+    rem = total % n
+    big = rem * (base_sz + 1)
+    return F.when(
+        rank <= big, F.floor((rank - 1) / (base_sz + 1)) + 1
+    ).otherwise(rem + F.floor((rank - big - 1) / max(base_sz, 1)) + 1)
 
 
 def with_global_ntiles(
@@ -38,72 +156,47 @@ def with_global_ntiles(
     n: int,
     metrics: dict[str, Column],
     tiebreak: Column,
-    n_buckets: int = N_RANGE_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Append one NTILE(n) column per ``metrics`` entry (out-col →
-    ascending sort metric), sharing a SINGLE boundary-sampling pass and
-    a single frame across all metrics — for multi-metric segmentations
-    (RFM-style) this replaces M independent rank passes (each re-scanning
-    and re-joining the input) with one boundary aggregate, M tiny
+    ascending sort metric), sharing a SINGLE boundary-sampling pass
+    across all metrics — for multi-metric segmentations (RFM-style)
+    this replaces M independent rank passes (each re-scanning and
+    re-joining the input) with one boundary aggregate, M tiny collected
     bucket-count aggregates, and M bucket-partitioned rank windows over
     the same frame. Same exact-NTILE guarantee as
-    :func:`with_global_ntile` per metric."""
+    :func:`with_global_ntile` per metric.
+
+    Note: the boundary and count passes run eagerly when this is CALLED
+    (1 + M Spark jobs, each collecting ≤ fan-out rows) — callers
+    compose the returned frame lazily as usual."""
     base = df.withColumn("_tb", tiebreak)
     for out, sv in metrics.items():
         base = base.withColumn(f"_sv_{out}", sv)
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    agg_exprs = [F.count("*").alias("_N")]
-    if qs:
-        agg_exprs += [
-            F.percentile_approx(
-                F.col(f"_sv_{out}").cast("double"), qs, 10_000
-            ).alias(f"_bnds_{out}")
-            for out in metrics
-        ]
-    bounds = base.agg(*agg_exprs)
-    withb = base.join(F.broadcast(bounds))
+    total, fan_out, bounds = _collect_bounds(
+        base, [f"_sv_{out}" for out in metrics], n_buckets
+    )
+    withb = base
     for out in metrics:
-        bnds = (
-            F.col(f"_bnds_{out}")
-            if qs
-            else F.array().cast("array<double>")
-        )
         withb = withb.withColumn(
-            f"_bk_{out}",
-            F.size(
-                F.filter(bnds, lambda b: b <= F.col(f"_sv_{out}").cast("double"))
-            ),
+            f"_bk_{out}", _bucket_col(f"_sv_{out}", bounds[f"_sv_{out}"])
         )
     out_df = withb
-    base_sz = F.floor(F.col("_N") / n)
-    rem = F.col("_N") % n
-    big = rem * (base_sz + 1)
     for out in metrics:
-        counts = withb.groupBy(f"_bk_{out}").agg(F.count("*").alias("_c"))
-        w_off = Window.orderBy(f"_bk_{out}").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        offs = counts.select(
-            f"_bk_{out}",
-            (F.sum("_c").over(w_off) - F.col("_c")).alias(f"_off_{out}"),
-        )
+        off_col, counted = _offsets_literal(withb, f"_bk_{out}", fan_out)
+        if counted != total:
+            raise RuntimeError(
+                f"unstable input: boundary pass saw {total} rows, count "
+                f"pass saw {counted} — checkpoint the input first"
+            )
         w_in = Window.partitionBy(f"_bk_{out}").orderBy(f"_sv_{out}", "_tb")
-        out_df = out_df.join(F.broadcast(offs), f"_bk_{out}").withColumn(
-            f"_rank_{out}",
-            F.col(f"_off_{out}") + F.row_number().over(w_in),
+        rank = off_col + F.row_number().over(w_in)
+        out_df = out_df.withColumn(
+            out, _tile_expr(rank, n, total).cast("int")
         )
-        rank = F.col(f"_rank_{out}")
-        tile = F.when(
-            rank <= big, F.floor((rank - 1) / (base_sz + 1)) + 1
-        ).otherwise(
-            rem + F.floor((rank - big - 1) / F.greatest(base_sz, F.lit(1))) + 1
-        )
-        out_df = out_df.withColumn(out, tile.cast("int"))
-    drops = ["_tb", "_N"]
+    drops = ["_tb"]
     for out in metrics:
-        drops += [f"_sv_{out}", f"_bk_{out}", f"_off_{out}", f"_rank_{out}"]
-        if qs:
-            drops.append(f"_bnds_{out}")
+        drops += [f"_sv_{out}", f"_bk_{out}"]
     return out_df.drop(*drops)
 
 
@@ -113,71 +206,16 @@ def with_global_ntile(
     sortval: Column,
     tiebreak: Column,
     out: str,
-    n_buckets: int = N_RANGE_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Append ``out`` = NTILE(n) OVER (ORDER BY sortval, tiebreak) ASC,
     computed with the two-pass range-bucket rank (no unpartitioned window
-    over ``df``-scale input). For a DESC metric pass the negated column.
+    anywhere in the plan). For a DESC metric pass the negated column.
 
     ``(sortval, tiebreak)`` must be unique per row (the usual NTILE
-    determinism requirement); both must be non-null."""
-    base = df.withColumn("_sv", sortval).withColumn("_tb", tiebreak)
-    # Sampled range boundaries on the double image of the metric. The
-    # double cast is monotone (ties may widen, never reorder), so
-    # "boundaries <= value" is a monotone coarsening of the sort key and
-    # the final ranks are EXACTLY those of the global sort regardless of
-    # where the sampled boundaries fall.
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    if qs:
-        bounds = base.agg(
-            F.percentile_approx(
-                F.col("_sv").cast("double"), qs, 10_000
-            ).alias("_bnds")
-        )
-    else:
-        # degenerate single-bucket fan-out: no boundaries at all (the
-        # rank degrades to one partitioned-window bucket)
-        bounds = df.sparkSession.range(1).select(
-            F.array().cast("array<double>").alias("_bnds")
-        )
-    withb = base.join(F.broadcast(bounds)).withColumn(
-        "_bk",
-        F.size(
-            F.filter(F.col("_bnds"), lambda b: b <= F.col("_sv").cast("double"))
-        ),
-    )
-    counts = withb.groupBy("_bk").agg(F.count("*").alias("_c"))
-    w_off = Window.orderBy("_bk").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    # the ONLY unpartitioned window runs over the <= n_buckets-row count
-    # aggregate — plan tests key on the _bk ordering to allow it
-    offs = counts.select(
-        "_bk", (F.sum("_c").over(w_off) - F.col("_c")).alias("_off")
-    )
-    total = counts.agg(F.sum("_c").alias("_N"))
-    w_in = Window.partitionBy("_bk").orderBy("_sv", "_tb")
-    ranked = (
-        withb.join(F.broadcast(offs), "_bk")
-        .join(F.broadcast(total))
-        .withColumn("_rank", F.col("_off") + F.row_number().over(w_in))
-    )
-    # SQL NTILE: base = N div n rows per tile, the first N mod n tiles
-    # take one extra. All operands stay integral (< 2^53), so the double
-    # divisions inside floor() are exact.
-    base_sz = F.floor(F.col("_N") / n)
-    rem = F.col("_N") % n
-    big = rem * (base_sz + 1)
-    tile = F.when(
-        F.col("_rank") <= big,
-        F.floor((F.col("_rank") - 1) / (base_sz + 1)) + 1,
-    ).otherwise(
-        rem
-        + F.floor(
-            (F.col("_rank") - big - 1) / F.greatest(base_sz, F.lit(1))
-        )
-        + 1
-    )
-    return ranked.withColumn(out, tile.cast("int")).drop(
-        "_sv", "_tb", "_bnds", "_bk", "_c", "_off", "_N", "_rank"
+    determinism requirement); both must be non-null. ``n_buckets=None``
+    derives the fan-out from the counted N (module docstring sizing
+    rule); the boundary/count passes run eagerly at call time."""
+    return with_global_ntiles(
+        df, n, {out: sortval}, tiebreak, n_buckets=n_buckets
     )

@@ -282,28 +282,29 @@ def test_cdc_chunks_single_wide_shuffle(spark):
 
 def test_rfm_segments_no_global_window_over_customers(spark):
     """Round-5 VERDICT flag: the three quartiles must come from the
-    two-pass range-bucket rank — no NTILE, and the only unpartitioned
-    window specs order by the range-bucket id (the <= N_RANGE_BUCKETS-row
-    offset aggregate), never by a customer-level metric."""
+    two-pass range-bucket rank — no NTILE, and (since the round-7
+    literal-offsets rework) NO unpartitioned window at all: the offset
+    aggregate is collected driver-side and inlined, so the only windows
+    left are the bucket-PARTITIONED ranks."""
     from automotive_big_data_analysis_spark.operators import analytics
 
     df = analytics.rfm_segments(spark, SF)
     plan = px.physical_plan(df)
     assert "ntile(" not in plan
-    unpart = px.unpartitioned_window_specs(df)
-    assert unpart and all("_bk" in s.split(",")[0] for s in unpart)
+    assert px.unpartitioned_window_specs(df) == []
+    assert any("_bk" in s.split(",")[0] for s in px.window_specs(df))
 
 
 def test_order_value_deciles_no_global_window_over_orders(spark):
     """Same flag for the decile query: orders must never funnel through
-    a single-partition sort; ranks are bucket-partitioned windows."""
+    a single-partition sort; ranks are bucket-partitioned windows and
+    the offsets are literals (no unpartitioned window anywhere)."""
     from automotive_big_data_analysis_spark.operators import relational_tpch as rt
 
     df = rt.order_value_deciles(spark, SF)
     plan = px.physical_plan(df)
     assert "ntile(" not in plan
-    unpart = px.unpartitioned_window_specs(df)
-    assert unpart and all("_bk" in s.split(",")[0] for s in unpart)
+    assert px.unpartitioned_window_specs(df) == []
     # the per-bucket rank window IS partitioned (by the bucket id)
     assert any("_bk" in s.split(",")[0] for s in px.window_specs(df))
 
