@@ -112,7 +112,16 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_SEED_MOD = 97  # every 97th vec_id is an initializer candidate
 IVF_K = 64  # max coarse cells — FIXED, independent of corpus size
-NPROBE = 2  # cells probed per query
+# Default search operating point, chosen from the knn_recall_tradeoff
+# frontier (round 7, sf0.01): nprobe=2 gave IVF recall@5 = 0.56 — too
+# low to ship; nprobe=4 reaches 0.82 for ~2× the scanned rows (still
+# ~6× cheaper than brute force); nprobe=8 reaches 1.00 at ~4× cheaper.
+# 4 balances the frontier's knee; the sweep itself stays the tool for
+# re-deriving this per corpus. (IVF-PQ recall is capped ~0.1-0.2 by PQ
+# code distortion REGARDLESS of nprobe — the fix there is finer
+# subquantizers, not more probes; see COVERAGE.md.)
+NPROBE = 4
+MAX_NPROBE = 8  # stored-postings truncation: searches may probe up to this
 
 # Initializer: the first IVF_K candidates of the deterministic seed rule.
 # The cap is the scale fix for the round-4 flagged flaw — uncapped
@@ -178,8 +187,11 @@ ANN_INDEX_BUCKETS = 8
 def _index_tag() -> str:
     """Index paths encode every parameter that shapes the structures, so
     a constant change builds a fresh index instead of silently reading
-    one trained under the old definition (cf. dedup.pair_index_table)."""
-    return f"k{IVF_K}s{IVF_SEED_MOD}i{KM_ITERS}m{PQ_M}"
+    one trained under the old definition (cf. dedup.pair_index_table).
+    ``MAX_NPROBE`` is part of the tag because the stored cells table is
+    truncated to r ≤ MAX_NPROBE at build time — widening it must build
+    fresh postings, never serve the old truncated ones (round-6 ADVICE)."""
+    return f"k{IVF_K}s{IVF_SEED_MOD}i{KM_ITERS}m{PQ_M}p{MAX_NPROBE}"
 
 
 def _stored_index(spark: SparkSession, sf_dir: str, name: str, bucket_col: str, build) -> DataFrame:
@@ -221,10 +233,13 @@ def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cell_id, r≤NPROBE): each vector's nearest coarse cells —
-    the stored coarse-quantizer assignment (the IVF postings-list
-    skeleton), bucketed by vec_id. Slim build: the ranking window
-    shuffles (id, cell, score) triples only, once per corpus snapshot."""
+    """(vec_id, cell_id, r≤MAX_NPROBE): each vector's nearest coarse
+    cells — the stored coarse-quantizer assignment (the IVF
+    postings-list skeleton), bucketed by vec_id. Stored to MAX_NPROBE
+    depth so the probe count is a QUERY-time knob (searches filter
+    r ≤ nprobe) — sweeping the recall/cost frontier never retrains.
+    Slim build: the ranking window shuffles (id, cell, score) triples
+    only, once per corpus snapshot."""
 
     def build() -> DataFrame:
         emb = _emb(spark, sf_dir)
@@ -239,14 +254,16 @@ def _ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (
             cell_rank.withColumn("r", F.row_number().over(w_cell))
-            .where(F.col("r") <= NPROBE)
+            .where(F.col("r") <= MAX_NPROBE)
             .select("vec_id", "cell_id", "r")
         )
 
     return _stored_index(spark, sf_dir, "cells", "vec_id", build)
 
 
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+) -> DataFrame:
     """ANN top-5 via an IVF coarse quantizer: a TRAINED fixed-K codebook
     (``_codebook`` — Lloyd's algorithm from the capped deterministic
     initializer) defines cells; every vector is assigned to its nearest
@@ -268,9 +285,11 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb, "vec_id")
         .select("vec_id", "v", "cell_id")
     )
-    probes = ranked_cells.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "cell_id"
-    )
+    # probe depth is a query-time filter over the MAX_NPROBE-deep stored
+    # postings skeleton
+    probes = ranked_cells.where(
+        (F.col("vec_id") < N_QUERIES) & (F.col("r") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -402,7 +421,9 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_ivfpq(
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+) -> DataFrame:
     """ANN top-5 via IVF-PQ — the production ANN layout: the IVF coarse
     quantizer prunes the candidate set to the query's NPROBE nearest
     cells, and PQ/ADC scores the survivors from their 8 codebook ids —
@@ -421,9 +442,9 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_assign = ranked_cells.where(F.col("r") == 1).select(
         "vec_id", F.col("cell_id").alias("vcell")
     )
-    probes = ranked_cells.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "cell_id"
-    )
+    probes = ranked_cells.where(
+        (F.col("vec_id") < N_QUERIES) & (F.col("r") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
     codes = _pq_codes(spark, sf_dir)
     qdists = _pq_query_dists(spark, sf_dir).select(
         F.col("query_id").alias("qq"),
@@ -512,6 +533,198 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_true").cast("long").alias("n_true"),
         F.round(F.sum("n_hits") / F.sum("n_true"), 6).alias("recall_at_k"),
     )
+
+
+TRADEOFF_NPROBES = (1, 2, 4, 8)  # IVF / IVF-PQ probe depths swept
+TRADEOFF_RADII = (0, 1, 2)  # LSH Hamming multi-probe radii swept
+assert max(TRADEOFF_NPROBES) <= MAX_NPROBE  # stored postings depth
+
+
+def _probe_levels(levels: tuple[int, ...]):
+    return F.explode(F.array(*[F.lit(int(x)) for x in levels])).alias("probe")
+
+
+def _recall_frontier_rows(
+    scored: DataFrame,
+    bf: DataFrame,
+    truth: DataFrame,
+    levels: tuple[int, ...],
+    method: str,
+    order_cols: list,
+) -> DataFrame:
+    """One frontier row per probe level from leveled scored candidates
+    (query_id, vec_id, pr, score...): rank within (probe, query) over
+    the candidates discovered at depth ≤ probe, count ground-truth hits,
+    and count the scanned candidate rows — recall vs cost, per level,
+    from ONE scoring pass (the level dimension is an explode+filter over
+    the already-scored pairs, never a re-search)."""
+    s = scored.select("*", _probe_levels(levels)).where(
+        F.col("pr") <= F.col("probe")
+    )
+    cand_rows = s.groupBy("probe").agg(F.count("*").alias("cand_rows"))
+    w = Window.partitionBy("probe", "query_id").orderBy(*order_cols, "vec_id")
+    topk = s.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= TOP_K
+    )
+    hits = (
+        topk.join(bf, ["query_id", "vec_id"], "left_semi")
+        .groupBy("probe", "query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    grid = truth.select("*", _probe_levels(levels))
+    per = grid.join(hits, ["probe", "query_id"], "left").select(
+        "probe",
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        "n_true",
+    )
+    return (
+        per.groupBy("probe")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum("n_hits").cast("long").alias("n_hits"),
+            F.sum("n_true").cast("long").alias("n_true"),
+            F.round(F.sum("n_hits") / F.sum("n_true"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .join(cand_rows, "probe", "left")
+        .select(
+            F.lit(method).alias("method"),
+            "probe",
+            "n_queries",
+            "n_hits",
+            "n_true",
+            "recall_at_k",
+            F.coalesce("cand_rows", F.lit(0)).cast("long").alias("cand_rows"),
+        )
+    )
+
+
+def _lsh_probe_masks() -> list[tuple[int, int]]:
+    """All (xor-mask, Hamming distance) pairs up to the swept radius —
+    37 masks for 8 planes at radius ≤ 2. Multi-probe LSH: a query also
+    scans the buckets whose signature differs in ≤ radius bits, the
+    standard recall lever that needs no extra tables."""
+    return [
+        (m, bin(m).count("1"))
+        for m in range(2**V.N_PLANES)
+        if bin(m).count("1") <= max(TRADEOFF_RADII)
+    ]
+
+
+def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-scanned-rows frontier for every tunable ANN method
+    — the evaluation that picks an operating point (round-6 recall
+    report: LSH recall@5 0.04, IVF-PQ 0.10 at the defaults — too low to
+    ship, so sweep the knobs): IVF and IVF-PQ over nprobe ∈
+    ``TRADEOFF_NPROBES``, LSH over Hamming multi-probe radius ∈
+    ``TRADEOFF_RADII``. Output per (method, probe): micro-averaged
+    recall@k against the brute-force ground truth plus the scanned
+    candidate-row count — the cost axis of the frontier.
+
+    Scale shape: every level reuses ONE scoring pass per method (each
+    candidate pair carries the probe depth that discovered it: the
+    stored postings rank for IVF, the mask's Hamming distance for LSH),
+    so the sweep costs one max-depth search per method, not one search
+    per level. All index structures come from the STORED builders —
+    sweeping never retrains. Deterministic end-to-end, so DuckDB
+    replays the whole frontier exactly."""
+    emb = _emb(spark, sf_dir)
+    bf = knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    truth = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    # —— IVF / IVF-PQ: shared candidate set with postings-rank depth ——
+    ranked_cells = _ranked_cells(spark, sf_dir)
+    assign = (
+        ranked_cells.where(F.col("r") == 1)
+        .join(emb, "vec_id")
+        .select("vec_id", "v", "cell_id")
+    )
+    probes = ranked_cells.where(
+        (F.col("vec_id") < N_QUERIES)
+        & (F.col("r") <= max(TRADEOFF_NPROBES))
+    ).select(F.col("vec_id").alias("query_id"), "cell_id", F.col("r").alias("pr"))
+    cand = (
+        assign.join(F.broadcast(probes), "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "pr", "v")
+    )
+    ivf_scored = cand.join(F.broadcast(queries), "query_id").select(
+        "query_id",
+        "vec_id",
+        "pr",
+        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    ivf = _recall_frontier_rows(
+        ivf_scored, bf, truth, TRADEOFF_NPROBES, "ivf", [F.col("cos").desc()]
+    )
+
+    codes = _pq_codes(spark, sf_dir)
+    qdists = _pq_query_dists(spark, sf_dir).select(
+        F.col("query_id").alias("qq"),
+        F.col("m").alias("qm"),
+        F.col("cell_id").alias("qcell"),
+        "qd2",
+    )
+    pq_scored = (
+        cand.select("query_id", "vec_id", "pr")
+        .join(codes, "vec_id")
+        .join(
+            F.broadcast(qdists),
+            (F.col("query_id") == F.col("qq"))
+            & (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("qcell")),
+        )
+        .groupBy("query_id", "vec_id", "pr")
+        .agg(F.sum(ex.dec("qd2")).alias("adec"))
+    )
+    ivfpq = _recall_frontier_rows(
+        pq_scored, bf, truth, TRADEOFF_NPROBES, "ivfpq", [F.col("adec").asc()]
+    )
+
+    # —— LSH: Hamming multi-probe; depth = the discovering mask's radius —
+    sigged = emb.withColumn("sig", V.lsh_signature(F.col("v")))
+    mask_arr = F.array(
+        *[
+            F.struct(F.lit(m).alias("mask"), F.lit(d).alias("d"))
+            for m, d in _lsh_probe_masks()
+        ]
+    )
+    qsigs = sigged.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("sig").alias("qsig"),
+    )
+    probe_sigs = qsigs.select(
+        "query_id", "qv", "qsig", F.explode(mask_arr).alias("e")
+    ).select(
+        "query_id",
+        "qv",
+        F.col("qsig").bitwiseXOR(F.col("e.mask")).alias("psig"),
+        F.col("e.d").alias("pr"),
+    )
+    lsh_scored = (
+        sigged.join(
+            F.broadcast(probe_sigs),
+            (F.col("sig") == F.col("psig"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "pr",
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    lsh = _recall_frontier_rows(
+        lsh_scored, bf, truth, TRADEOFF_RADII, "lsh", [F.col("cos").desc()]
+    )
+
+    return lsh.unionByName(ivf).unionByName(ivfpq)
 
 
 def projection_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1071,6 +1284,172 @@ ORACLE["knn_recall_report"] = f"""
     FROM per GROUP BY method
 """
 
+def _frontier_sql(method: str, scored: str, levels: str, order: str) -> str:
+    """CTE chain for one method's frontier rows: level the scored
+    candidates (pr ≤ probe), rank within (probe, query), count hits vs
+    the ground truth and scanned candidate rows — the SQL mirror of
+    ``_recall_frontier_rows``."""
+    return f"""
+    , {method}_lv AS (
+        SELECT l.probe, s.* FROM {scored} s
+        JOIN {levels} l ON s.pr <= l.probe
+    ), {method}_cr AS (
+        SELECT probe, COUNT(*) AS cand_rows FROM {method}_lv GROUP BY probe
+    ), {method}_tk AS (
+        SELECT probe, query_id, vec_id FROM (
+            SELECT probe, query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY probe, query_id
+                       ORDER BY {order}, vec_id
+                   ) AS rk
+            FROM {method}_lv
+        ) WHERE rk <= {TOP_K}
+    ), {method}_h AS (
+        SELECT t.probe, t.query_id, COUNT(*) AS n_hits
+        FROM {method}_tk t
+        JOIN bf ON bf.query_id = t.query_id AND bf.vec_id = t.vec_id
+        GROUP BY 1, 2
+    ), {method}_p AS (
+        SELECT l.probe, t.query_id, t.n_true, COALESCE(h.n_hits, 0) AS n_hits
+        FROM {levels} l CROSS JOIN truth t
+        LEFT JOIN {method}_h h
+             ON h.probe = l.probe AND h.query_id = t.query_id
+    ), {method}_out AS (
+        SELECT '{method}' AS method, p.probe,
+               COUNT(*) AS n_queries,
+               CAST(SUM(p.n_hits) AS BIGINT) AS n_hits,
+               CAST(SUM(p.n_true) AS BIGINT) AS n_true,
+               ROUND(SUM(p.n_hits) / CAST(SUM(p.n_true) AS DOUBLE), 6)
+                   AS recall_at_k,
+               CAST(COALESCE(MIN(c.cand_rows), 0) AS BIGINT) AS cand_rows
+        FROM {method}_p p LEFT JOIN {method}_cr c ON c.probe = p.probe
+        GROUP BY 1, 2
+    )"""
+
+
+def _tradeoff_sql() -> str:
+    """The full recall-vs-cost frontier replayed in DuckDB: every index
+    structure (trained codebook, postings ranks, PQ codes, LSH
+    signatures and probe masks) is recomputed from the same
+    deterministic definitions, so the Spark result is verified
+    value-for-value including the scanned-row counts."""
+    from automotive_big_data_analysis_spark.functions.vectors import (
+        lsh_signature_sql,
+    )
+
+    max_np = max(TRADEOFF_NPROBES)
+    np_vals = ", ".join(f"({x})" for x in TRADEOFF_NPROBES)
+    rd_vals = ", ".join(f"({x})" for x in TRADEOFF_RADII)
+    mask_vals = ", ".join(f"({m}, {d})" for m, d in _lsh_probe_masks())
+    cosev = (
+        "ROUND(list_dot_product(q.qv, {v}) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * "
+        "sqrt(list_dot_product({v}, {v}))), 6)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, {_V} AS v, {lsh_signature_sql(_V)} AS sig
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, sig AS qsig FROM e
+        WHERE vec_id < {N_QUERIES}
+    ), bf_sc AS (
+        SELECT q.query_id, e.vec_id, {cosev.format(v="e.v")} AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+    ), bf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                   ) AS rk
+            FROM bf_sc
+        ) WHERE rk <= {TOP_K}
+    ), truth AS (
+        SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY query_id
+    ){_TRAIN_CTES}, cr AS (
+        SELECT e.vec_id, s.cell_id,
+               ROUND(list_dot_product(e.v, s.cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(s.cv, s.cv))), 6) AS cell_cos
+        FROM e CROSS JOIN seeds s
+    ), rc AS (
+        SELECT vec_id, cell_id, r FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS r
+            FROM cr
+        ) WHERE r <= {max_np}
+    ), ca AS (
+        SELECT rc.vec_id, rc.cell_id AS vcell, e.v
+        FROM rc JOIN e ON e.vec_id = rc.vec_id WHERE rc.r = 1
+    ), iprobes AS (
+        SELECT vec_id AS query_id, cell_id, r AS pr FROM rc
+        WHERE vec_id < {N_QUERIES}
+    ), icand AS (
+        SELECT p.query_id, a.vec_id, p.pr, a.v
+        FROM iprobes p
+        JOIN ca a ON a.vcell = p.cell_id AND a.vec_id != p.query_id
+    ), ivf_scored AS (
+        SELECT c.query_id, c.vec_id, c.pr, {cosev.format(v="c.v")} AS cos
+        FROM icand c JOIN q ON q.query_id = c.query_id
+    ), subs AS (
+        SELECT vec_id, m.m AS m,
+               v[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sv
+        FROM e CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
+    ), sseeds AS (
+        SELECT cell_id, m.m AS m,
+               cv[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sc
+        FROM seeds CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
+    ), dists AS (
+        SELECT s.vec_id, s.m, ss.cell_id AS dcell,
+               list_dot_product(
+                   list_transform(range(1, {PQ_SUBDIM} + 1),
+                                  i -> s.sv[i] - ss.sc[i]),
+                   list_transform(range(1, {PQ_SUBDIM} + 1),
+                                  i -> s.sv[i] - ss.sc[i])) AS d2
+        FROM subs s JOIN sseeds ss ON s.m = ss.m
+    ), codes AS (
+        SELECT vec_id, m, dcell AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, dcell) AS cr2
+            FROM dists
+        ) WHERE cr2 = 1
+    ), qdists AS (
+        SELECT vec_id AS query_id, m, dcell, d2 AS qd2
+        FROM dists WHERE vec_id < {N_QUERIES}
+    ), pq_scored AS (
+        SELECT c.query_id, c.vec_id, c.pr,
+               SUM(CAST(qd.qd2 AS {ex.SQL_DEC})) AS adec
+        FROM icand c
+        JOIN codes k ON k.vec_id = c.vec_id
+        JOIN qdists qd ON qd.query_id = c.query_id
+             AND qd.m = k.m AND qd.dcell = k.code
+        GROUP BY 1, 2, 3
+    ), masks AS (
+        SELECT * FROM (VALUES {mask_vals}) AS m(mask, d)
+    ), psigs AS (
+        SELECT q.query_id, q.qv, xor(q.qsig, m.mask) AS psig, m.d AS pr
+        FROM q CROSS JOIN masks m
+    ), lsh_scored AS (
+        SELECT p.query_id, e.vec_id, p.pr,
+               ROUND(list_dot_product(p.qv, e.v) /
+                     (sqrt(list_dot_product(p.qv, p.qv)) *
+                      sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+        FROM e JOIN psigs p
+             ON e.sig = p.psig AND e.vec_id != p.query_id
+    ), np AS (SELECT * FROM (VALUES {np_vals}) AS l(probe)
+    ), rd AS (SELECT * FROM (VALUES {rd_vals}) AS l(probe)
+    ){_frontier_sql("lsh", "lsh_scored", "rd", "cos DESC")}
+    {_frontier_sql("ivf", "ivf_scored", "np", "cos DESC")}
+    {_frontier_sql("ivfpq", "pq_scored", "np", "adec ASC")}
+    SELECT * FROM lsh_out
+    UNION ALL SELECT * FROM ivf_out
+    UNION ALL SELECT * FROM ivfpq_out
+"""
+
+
+ORACLE["knn_recall_tradeoff"] = _tradeoff_sql()
+
+
 def _projection_quality_sql() -> str:
     comps = V.projection_sql("v")
     pn2 = " + ".join(f"({c}) * ({c})" for c in comps)
@@ -1100,6 +1479,7 @@ QUERIES = {
     "knn_pq": knn_pq,
     "knn_ivfpq": knn_ivfpq,
     "knn_recall_report": knn_recall_report,
+    "knn_recall_tradeoff": knn_recall_tradeoff,
     "embedding_projection_quality": projection_quality,
     "embedding_cosine_dups": cosine_dup_pairs,
     "embedding_kmeans": embedding_kmeans,

@@ -336,3 +336,41 @@ def test_projection_preserves_norms_approximately(spark):
     for r in rows:
         assert 0.8 <= r.avg_norm_ratio <= 1.2
         assert 0 < r.min_norm_ratio <= r.max_norm_ratio
+
+
+def test_knn_recall_tradeoff_frontier_consistent(spark):
+    """The frontier must be internally consistent and agree with the
+    point evaluations: recall and scanned rows are non-decreasing in
+    the probe depth (a deeper probe only ADDS candidates, and top-k over
+    a superset can only gain ground-truth hits... recall monotonicity
+    actually isn't guaranteed for PQ-distorted scores, so assert it only
+    for the exact-scored methods), every configured level is present,
+    and the IVF/IVF-PQ rows at probe=NPROBE reproduce the
+    knn_recall_report numbers (same index, same operating point)."""
+    from automotive_big_data_analysis_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        (r.method, r.probe): r
+        for r in sim.knn_recall_tradeoff(spark, sf).collect()
+    }
+    assert {m for m, _ in rows} == {"lsh", "ivf", "ivfpq"}
+    for m, levels in (
+        ("ivf", sim.TRADEOFF_NPROBES),
+        ("ivfpq", sim.TRADEOFF_NPROBES),
+        ("lsh", sim.TRADEOFF_RADII),
+    ):
+        assert [p for mm, p in sorted(rows) if mm == m] == sorted(levels)
+        cand = [rows[(m, p)].cand_rows for p in sorted(levels)]
+        assert cand == sorted(cand)  # deeper probe scans at least as much
+    # exact-scored methods: recall non-decreasing in depth
+    for m, levels in (("ivf", sim.TRADEOFF_NPROBES), ("lsh", sim.TRADEOFF_RADII)):
+        rec = [rows[(m, p)].recall_at_k for p in sorted(levels)]
+        assert rec == sorted(rec)
+    report = {
+        r.method: r.recall_at_k
+        for r in sim.knn_recall_report(spark, sf).collect()
+    }
+    assert rows[("ivf", sim.NPROBE)].recall_at_k == report["ivf"]
+    assert rows[("ivfpq", sim.NPROBE)].recall_at_k == report["ivfpq"]
+    assert rows[("lsh", 0)].recall_at_k == report["lsh"]
