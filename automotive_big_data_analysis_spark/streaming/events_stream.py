@@ -282,3 +282,54 @@ def run_to_memory(
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the JSONL landing-directory STREAM
+    (``read_event_stream_jsonl``) driven through the watermarked
+    tumbling-hour rollup to completion, returned as the batch DataFrame
+    of results — so the streaming layer answers to the same DuckDB
+    value-hash gate as every batch operator (the oracle computes the
+    identical rollup from the parquet ``events`` table; equality proves
+    ingest, the epoch-µs restore, windowing, and the exact-decimal sum
+    all agree with the batch engine).
+
+    ``complete`` output mode: a bounded replay's final windows are
+    within the watermark and would be withheld forever under ``append``
+    — the classic bounded-stream pitfall. In production this query runs
+    ``update``/``append`` into a keyed sink with windows finalizing as
+    the watermark passes; the memory sink here is the test-scale
+    harness (results collect to the driver), not the production sink.
+
+    Determinism: micro-batch boundaries (``maxFilesPerTrigger``) change
+    WHEN state updates, never the final aggregate values — counts and
+    DECIMAL-exact sums are order- and batching-independent."""
+    import uuid
+
+    from automotive_big_data_analysis_spark.sources.text_formats import (
+        _ensure_written,
+    )
+
+    path = _ensure_written(spark, sf_dir, "jsonl")
+    rolled = hourly_rollup_stream(read_event_stream_jsonl(spark, path))
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory(rolled, name, output_mode="complete")
+    # project through a plain select so the result is self-contained
+    # even after the temp view is replaced by a later run
+    return out.select("window_start", "event_type", "n_events", "total_value")
+
+
+ORACLE: dict[str, str] = {
+    # identical rollup from the PARQUET events table — the stream must
+    # reproduce it exactly (same grouping, same exact-decimal sum)
+    "stream_hourly_rollup": f"""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               {ex.dsum_sql("value")} AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "stream_hourly_rollup": stream_hourly_rollup,
+}

@@ -321,3 +321,22 @@ def test_streaming_jsonl_ingest_matches_batch(spark, stream_dir):
     }
     assert got_set <= batch_set
     assert len(got_set) >= len(batch_set) - 4
+
+
+def test_stream_hourly_rollup_driver_gate_matches_batch(spark):
+    """The driver-gated streaming query (JSONL landing stream -> complete
+    -mode rollup) must reproduce the batch rollup from the parquet table
+    exactly — the same agreement the DuckDB gate checks."""
+    from automotive_big_data_analysis_spark.operators import events as ev
+    from automotive_big_data_analysis_spark.streaming import events_stream as es
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in es.stream_hourly_rollup(spark, sf).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in ev.hourly_rollup(spark, sf).collect()
+    }
+    assert got == want
