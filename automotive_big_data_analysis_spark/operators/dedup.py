@@ -233,6 +233,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (built once per corpus snapshot; the banded self-join — the
     expensive subtree, referenced four times by verification — is paid
     at build time, and every search/verify pass reads files)."""
+    sh = _shingles_cached(spark, sf_dir)
+    return _verify_candidates(sh, _minhash_candidates_table(spark, sf_dir))
+
+
+def _minhash_candidates_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored banded-LSH candidate pair list (see
+    :func:`minhash_lsh_pairs` for the semantics) — split out so the
+    bench harness can time the index build separately from searches."""
     from automotive_big_data_analysis_spark.sources.stored import stored_table
 
     sh = _shingles_cached(spark, sf_dir)
@@ -280,7 +288,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    candidates = stored_table(
+    return stored_table(
         spark,
         PAIR_INDEX_LOCATION,
         "pair_idx",
@@ -292,7 +300,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=PAIR_INDEX_BUCKETS,
         src_table="documents",
     )
-    return _verify_candidates(sh, candidates)
+
+
+def build_indexes(spark: SparkSession, sf_dir: str) -> None:
+    """Force-build every stored dedup index artifact for the corpus
+    (shingle fingerprints, banded MinHash candidates, the verified
+    n-gram pair list). The nightly-batch step the bench harness times
+    as ``index_build_s`` — consumers then measure warm-index reads."""
+    _shingles_cached(spark, sf_dir)
+    _minhash_candidates_table(spark, sf_dir)
+    pair_index_table(spark, sf_dir)
 
 
 def _verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:

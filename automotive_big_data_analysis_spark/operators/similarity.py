@@ -535,6 +535,17 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_indexes(spark: SparkSession, sf_dir: str) -> None:
+    """Force-build every stored ANN index artifact for the corpus (the
+    trained coarse codebook, the MAX_NPROBE-deep postings skeleton, the
+    PQ code table). The once-per-corpus-snapshot training step the
+    bench harness times as ``index_build_s`` — searches then measure
+    warm-index reads, which is the production steady state."""
+    _codebook(spark, sf_dir)
+    _ranked_cells(spark, sf_dir)
+    _pq_codes(spark, sf_dir)
+
+
 TRADEOFF_NPROBES = (1, 2, 4, 8)  # IVF / IVF-PQ probe depths swept
 TRADEOFF_RADII = (0, 1, 2)  # LSH Hamming multi-probe radii swept
 assert max(TRADEOFF_NPROBES) <= MAX_NPROBE  # stored postings depth

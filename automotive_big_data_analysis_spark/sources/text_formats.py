@@ -85,6 +85,14 @@ def _ensure_written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     return path
 
 
+def ensure_mirrors(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize both text-interchange mirrors for the corpus — the
+    upstream-producer scaffolding the bench harness pre-writes (and
+    times separately) so connector queries measure the READ path only."""
+    for fmt in ("jsonl", "csv"):
+        _ensure_written(spark, sf_dir, fmt)
+
+
 def _read_events_text(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     """events from the text interchange tier, schema-on-read, native ts
     restored. FAILFAST: a malformed interchange row is a producer bug to

@@ -155,6 +155,45 @@ def main() -> None:
                     pass
     corpus_preread = round(time.time() - t0, 3)
 
+    # Stored-index build cost, ON the books (round-6 verdict): the
+    # dedup/ANN index tables, the bucketed layout, and the text-mirror
+    # scaffolding persist in /tmp across runs, so without this step the
+    # one-time build would be charged to whichever historical run first
+    # touched the corpus — and every per-query number would silently be
+    # a warm-index read. Instead: wipe the derived stores, rebuild each
+    # family explicitly, and report the build seconds per family as
+    # index_build_s. Per-query numbers are then DOCUMENTED warm-index
+    # measurements — the production steady state, with the build cost
+    # visible next to them instead of vanishing.
+    import shutil
+
+    from automotive_big_data_analysis_spark.operators import (
+        dedup as _dd,
+        similarity as _sim,
+    )
+    from automotive_big_data_analysis_spark.sources import (
+        bucketed as _bk,
+        text_formats as _tf,
+    )
+
+    for d in (
+        _dd.PAIR_INDEX_LOCATION,
+        _sim.ANN_INDEX_LOCATION,
+        _bk.DEFAULT_LOCATION,
+        _tf.TEXTFMT_LOCATION,
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+    index_build: dict[str, float] = {}
+    for fam, build in (
+        ("text_mirror", lambda: _tf.ensure_mirrors(spark, sf_dir)),
+        ("bucketed_layout", lambda: _bk.ensure_layout(spark, sf_dir)),
+        ("dedup_pair_index", lambda: _dd.build_indexes(spark, sf_dir)),
+        ("ann_index", lambda: _sim.build_indexes(spark, sf_dir)),
+    ):
+        t0 = time.time()
+        build()
+        index_build[fam] = round(time.time() - t0, 3)
+
     calib_before = _calibrate()
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
@@ -164,10 +203,13 @@ def main() -> None:
     # exceeds the threshold re-run twice more and record the MEDIAN of
     # the three (round-5 verdict: min-of-two mildly flatters the
     # headline; the median is the honest noise-robust estimator). Every
-    # raw run is preserved in the JSON. The memoizing families
-    # (dedup/similarity) retry COLD — memos are released before each
-    # retry — so a retry is at-least-as-cold as the in-suite first run
-    # and the median never includes a warm-path number.
+    # raw run is preserved in the JSON. Since the stored-index migration
+    # EVERY run of an index-consuming query — first or retry — is a
+    # warm-index read by design (the build happened above and is billed
+    # in index_build_s), so first runs and retries measure the same
+    # thing and the median is estimator-consistent. release() between
+    # family groups still drops any session-resident build memos so
+    # resident blocks never tax later groups.
     retry_threshold = 2.0
     n_reruns = 2
     for names, release in groups:
@@ -210,6 +252,9 @@ def main() -> None:
                 "calib_probe_before": calib_before,
                 "calib_probe_after": calib_after,
                 "corpus_preread_s": corpus_preread,
+                # one-time per-corpus-snapshot builds (wiped + rebuilt
+                # every run); per-query numbers are warm-index reads
+                "index_build_s": index_build,
                 "metric": "total_wall_clock_headline_queries",
                 "value": total,
                 "sf": sf,
