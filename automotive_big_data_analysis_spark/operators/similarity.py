@@ -191,7 +191,10 @@ def _index_tag() -> str:
     ``MAX_NPROBE`` is part of the tag because the stored cells table is
     truncated to r ≤ MAX_NPROBE at build time — widening it must build
     fresh postings, never serve the old truncated ones (round-6 ADVICE)."""
-    return f"k{IVF_K}s{IVF_SEED_MOD}i{KM_ITERS}m{PQ_M}p{MAX_NPROBE}"
+    return (
+        f"k{IVF_K}s{IVF_SEED_MOD}i{KM_ITERS}m{PQ_M}p{MAX_NPROBE}"
+        f"q{PQ_SUBK}e{PQ_SEED_MOD}"
+    )
 
 
 def _stored_index(spark: SparkSession, sf_dir: str, name: str, bucket_col: str, build) -> DataFrame:
@@ -315,26 +318,102 @@ def knn_ivf(
 
 PQ_M = 8  # subspaces; PQ code = M small ids instead of DIM floats
 PQ_SUBDIM = V.DIM // PQ_M
+PQ_SUBK = 32  # sub-centroids per subspace (classic PQ: 256 at scale)
+PQ_SEED_MOD = 29  # deterministic sub-codebook initializer stride
+
+
+def _pq_seed_cond():
+    """Capped deterministic initializer for the sub-codebooks — the
+    ``_seed_cond`` pattern with its own stride so the sub-quantizers
+    decorrelate from the coarse cells (the round-7 recall frontier
+    showed IVF-PQ capped at ~0.1-0.2 recall REGARDLESS of probe depth —
+    the shared-codebook slices were the distortion floor, so the
+    sub-codebooks are now TRAINED per subspace like classic PQ)."""
+    return (F.col("vec_id") % PQ_SEED_MOD == 0) & (
+        F.col("vec_id") < PQ_SEED_MOD * PQ_SUBK
+    )
+
+
+def _subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): every vector L2-NORMALIZED, then sliced into its
+    PQ_M subspaces. Normalizing first makes the ADC's squared-L2 ranking
+    order-equivalent to the cosine ground truth (‖a−b‖² = 2 − 2·cos for
+    unit vectors) — without it PQ approximates a metric the evaluation
+    doesn't ask about, which the recall frontier exposed as a hard
+    ceiling no probe depth could lift."""
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    nrm = F.sqrt(V.dot(F.col("v"), F.col("v")))
+    return (
+        emb.select(
+            "vec_id",
+            F.transform("v", lambda x: x / nrm).alias("vn"),
+        )
+        .select("vec_id", ms, "vn")
+        .select(
+            "vec_id",
+            "m",
+            F.slice("vn", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        )
+    )
+
+
+def _pq_subcodebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, cell_id, sc): per-subspace TRAINED sub-codebooks — classic PQ
+    training: KM_ITERS Lloyd rounds over each subspace's own subvector
+    distribution (all PQ_M subspaces train in ONE pass per round; ``m``
+    is just another grouping column). Stored index artifact like the
+    coarse codebook; always tiny (≤ PQ_M × PQ_SUBK rows) and broadcast.
+
+    Same determinism discipline as ``_train_centroids``: ascending-index
+    distance folds, (d2, cid) tiebreak via struct-min, DECIMAL(25,10)
+    per-dimension means, localCheckpoint per round."""
+
+    def build() -> DataFrame:
+        subs = _subvectors(_emb(spark, sf_dir))
+        cents = subs.where(_pq_seed_cond()).select(
+            "m", F.col("vec_id").alias("cid"), F.col("sv").alias("sc")
+        )
+        for _ in range(KM_ITERS):
+            d2 = V.sq_dist_unrolled("sv", "sc", PQ_SUBDIM)
+            assigned = (
+                subs.join(F.broadcast(cents), "m")
+                .groupBy("vec_id", "m")
+                .agg(
+                    F.min(F.struct(d2.alias("d2"), F.col("cid"))).alias("s"),
+                    F.first("sv").alias("sv"),
+                )
+            )
+            cents = (
+                assigned.select("m", F.col("s.cid").alias("cid"), "sv")
+                .select("m", "cid", F.posexplode("sv").alias("dim", "x"))
+                .groupBy("m", "cid", "dim")
+                .agg(
+                    (F.sum(ex.dec("x")).cast("double") / F.count("x")).alias(
+                        "mu"
+                    )
+                )
+                .groupBy("m", "cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                        lambda s: s.mu,
+                    ).alias("sc")
+                )
+                .localCheckpoint()
+            )
+        return cents.select("m", F.col("cid").alias("cell_id"), "sc")
+
+    return _stored_index(spark, sf_dir, "pq_subcodebook", "m", build)
 
 
 def _pq_dist_rows(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
     """(vec_id, m, cell_id, d2): per-subspace squared distances of the
-    given vectors to every codebook entry. The sub-distance is the
-    codegen'd unrolled chain (``vectors.sq_dist_unrolled``) — the
-    interpreted fold ran the |rows|×|cells|×M pass ~2× slower."""
-    seeds = _codebook(spark, sf_dir)
-    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
-    subs = emb.select("vec_id", ms, "v").select(
-        "vec_id",
-        "m",
-        F.slice("v", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
-    )
-    sseeds = seeds.select("cell_id", ms, "cv").select(
-        "cell_id",
-        "m",
-        F.slice("cv", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sc"),
-    )
-    return subs.join(F.broadcast(sseeds), "m").select(
+    given vectors to every TRAINED sub-centroid of that subspace. The
+    sub-distance is the codegen'd unrolled chain
+    (``vectors.sq_dist_unrolled``) — the interpreted fold ran the
+    |rows|×|sub-centroids|×M pass ~2× slower."""
+    sseeds = _pq_subcodebook(spark, sf_dir)
+    return _subvectors(emb).join(F.broadcast(sseeds), "m").select(
         "vec_id",
         "m",
         "cell_id",
@@ -378,10 +457,10 @@ def _pq_query_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via product quantization with asymmetric distance
     computation (ADC) — the memory-side ANN method: each vector compresses
-    to ``PQ_M`` codebook ids (one per 8-dim subspace; sub-codebooks are
-    the trained coarse centroids' subvectors — a shared-codebook
-    simplification of classic per-subspace PQ training that keeps the
-    encode pass |corpus| × K × M with K fixed), and a query scores a vector
+    to ``PQ_M`` codebook ids (one per 8-dim subspace; sub-codebooks
+    are TRAINED per subspace — classic PQ, ``_pq_subcodebook``; the
+    encode pass stays |corpus| × PQ_SUBK × M with PQ_SUBK fixed), and a
+    query scores a vector
     by summing its PRECOMPUTED query→centroid sub-distances for the
     vector's codes — the scan touches 8 small ints per vector, never the
     floats.
@@ -438,6 +517,25 @@ def knn_ivfpq(
     (``_ranked_cells`` / ``_pq_codes``) — one coarse assignment and one
     encode pass per corpus snapshot serve knn_ivf, knn_pq, and this
     composition, and every search reads index files."""
+    scored = _ivfpq_adc_scored(spark, sf_dir, nprobe)
+    w = Window.partitionBy("query_id").orderBy(F.col("adec").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            F.round(F.col("adec").cast("double"), 6).alias("approx_d2"),
+        )
+    )
+
+
+def _ivfpq_adc_scored(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    """(query_id, vec_id, adec): the IVF-pruned, ADC-scored candidate
+    relation shared by :func:`knn_ivfpq` and the re-ranked variant."""
     ranked_cells = _ranked_cells(spark, sf_dir)
     cell_assign = ranked_cells.where(F.col("r") == 1).select(
         "vec_id", F.col("cell_id").alias("vcell")
@@ -460,7 +558,7 @@ def knn_ivfpq(
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    scored = (
+    return (
         cand.join(codes, "vec_id")
         .join(
             F.broadcast(qdists),
@@ -471,20 +569,64 @@ def knn_ivfpq(
         .groupBy("query_id", "vec_id")
         .agg(F.sum(ex.dec("qd2")).alias("adec"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adec").asc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+
+
+RERANK_R = 150  # exact-rescored shortlist per query (30×k — at this
+# R the rerank recovers the FULL IVF candidate ceiling: measured
+# recall@5 0.62/0.76/0.82 at R=50/100/150 vs the 0.82 ceiling; the
+# residual gap to 1.0 is governed by nprobe, not R)
+
+
+def knn_ivfpq_rerank(
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+) -> DataFrame:
+    """ANN top-5 via the full production three-stage pipeline: IVF
+    prunes to NPROBE cells, PQ/ADC shortlists the top ``RERANK_R``
+    candidates from codes alone, and an EXACT cosine pass re-ranks only
+    those R full vectors per query. This is the standard answer to the
+    PQ distortion ceiling the round-7 frontier exposed (ADC-only recall
+    saturates ~0.32-0.36 for ANY sub-codebook size/iterations on this
+    corpus — measured 32/64/128/256 sub-centroids, 2-8 Lloyd rounds):
+    re-ranking recovers recall up to the IVF candidate ceiling while
+    reading just R × DIM floats per query instead of a full scan.
+
+    Scale shape: stages 1-2 are the stored-index scans of
+    :func:`knn_ivfpq`; stage 3 reads R full vectors per query via a
+    bucketed join on vec_id — per-query I/O is bounded by R, not the
+    corpus."""
+    shortlist_w = Window.partitionBy("query_id").orderBy(
+        F.col("adec").asc(), F.col("vec_id")
+    )
+    shortlist = (
+        _ivfpq_adc_scored(spark, sf_dir, nprobe)
+        .withColumn("rr", F.row_number().over(shortlist_w))
+        .where(F.col("rr") <= RERANK_R)
+        .select("query_id", "vec_id")
+    )
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",
-            "rank",
             "vec_id",
-            F.round(F.col("adec").cast("double"), 6).alias("approx_d2"),
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cosine")
     )
 
 
-RECALL_METHODS = ("lsh", "ivf", "pq", "ivfpq")
+RECALL_METHODS = ("lsh", "ivf", "pq", "ivfpq", "ivfpq_rr")
 
 
 def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,6 +651,7 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf": knn_ivf,
         "pq": knn_pq,
         "ivfpq": knn_ivfpq,
+        "ivfpq_rr": knn_ivfpq_rerank,
     }
     per = []
     for name in RECALL_METHODS:
@@ -543,6 +686,7 @@ def build_indexes(spark: SparkSession, sf_dir: str) -> None:
     warm-index reads, which is the production steady state."""
     _codebook(spark, sf_dir)
     _ranked_cells(spark, sf_dir)
+    _pq_subcodebook(spark, sf_dir)
     _pq_codes(spark, sf_dir)
 
 
@@ -1142,18 +1286,74 @@ ORACLE["embedding_kmeans"] = (
 """
 )
 
-ORACLE["knn_pq"] = f"""
-    WITH e AS (
-        SELECT vec_id, {_V} AS v FROM embeddings
-    ){_TRAIN_CTES}, subs AS (
+# L2-normalized double image of the embedding (unit-safe for PQ: for
+# unit vectors ADC's squared-L2 ordering equals the cosine ordering)
+_VN = "list_transform(v, x -> x / sqrt(list_dot_product(v, v)))"
+
+_PQ_SEED_WHERE = (
+    f"vec_id % {PQ_SEED_MOD} = 0 AND vec_id < {PQ_SEED_MOD * PQ_SUBK}"
+)
+
+
+def _pq_assign_sql(cent: str, out: str) -> str:
+    """One per-subspace Lloyd assignment round: nearest sub-centroid by
+    squared L2 with a (d2, cid) tiebreak — ``m`` rides along as a plain
+    grouping column, so one CTE trains all PQ_M subspaces."""
+    diff = (
+        f"list_transform(range(1, {PQ_SUBDIM} + 1), i -> s.sv[i] - c.sc[i])"
+    )
+    return f"""
+    , {out} AS (
+        SELECT vec_id, m, sv, cid FROM (
+            SELECT s.vec_id, s.m, s.sv, c.cid,
+                   list_dot_product({diff}, {diff}) AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.m ORDER BY d2, c.cid) AS r
+            FROM subs s JOIN {cent} c ON c.m = s.m
+        ) WHERE r = 1
+    )"""
+
+
+def _pq_update_sql(assigned: str, out: str) -> str:
+    """Per-subspace sub-centroid update: DECIMAL-exact per-dimension
+    mean, repacked into a dim-ordered list (mirror of the Spark
+    trainer's posexplode → mean → array_sort collect)."""
+    return f"""
+    , {out} AS (
+        SELECT m, cid, list(mu ORDER BY dim) AS sc FROM (
+            SELECT m, cid, d.d AS dim,
+                   CAST(SUM(CAST(sv[d.d + 1] AS {ex.SQL_DEC})) AS DOUBLE)
+                       / COUNT(*) AS mu
+            FROM {assigned} CROSS JOIN
+                 (SELECT UNNEST(range(0, {PQ_SUBDIM})) AS d) AS d
+            GROUP BY m, cid, d.d
+        ) GROUP BY m, cid
+    )"""
+
+
+# Shared PQ CTE block (expects an ``e(vec_id, v, ...)`` CTE): normalized
+# subvectors → KM_ITERS=2 unrolled per-subspace training rounds → the
+# trained sub-codebooks → encode distances / codes / query ADC table.
+# The exact SQL mirror of _subvectors / _pq_subcodebook / _pq_codes /
+# _pq_query_dists.
+_PQ_CTES = (
+    f"""
+    , subs AS (
         SELECT vec_id, m.m AS m,
-               v[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sv
+               ({_VN})[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}]
+                   AS sv
         FROM e CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
-    ), sseeds AS (
-        SELECT cell_id, m.m AS m,
-               cv[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sc
-        FROM seeds CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
-    ), dists AS (
+    ), sc0 AS (
+        SELECT m, vec_id AS cid, sv AS sc FROM subs
+        WHERE {_PQ_SEED_WHERE}
+    )"""
+    + _pq_assign_sql("sc0", "sa0")
+    + _pq_update_sql("sa0", "sc1")
+    + _pq_assign_sql("sc1", "sa1")
+    + _pq_update_sql("sa1", "sc2")
+    + f"""
+    , sseeds AS (SELECT m, cid AS cell_id, sc FROM sc2)
+    , dists AS (
         SELECT s.vec_id, s.m, ss.cell_id,
                list_dot_product(
                    list_transform(range(1, {PQ_SUBDIM} + 1),
@@ -1164,13 +1364,19 @@ ORACLE["knn_pq"] = f"""
     ), codes AS (
         SELECT vec_id, m, cell_id AS code FROM (
             SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY vec_id, m ORDER BY d2, cell_id) AS r
+                PARTITION BY vec_id, m ORDER BY d2, cell_id) AS rk2
             FROM dists
-        ) WHERE r = 1
+        ) WHERE rk2 = 1
     ), qdists AS (
         SELECT vec_id AS query_id, m, cell_id, d2 AS qd2
         FROM dists WHERE vec_id < {N_QUERIES}
-    ), scored AS (
+    )"""
+)
+
+ORACLE["knn_pq"] = f"""
+    WITH e AS (
+        SELECT vec_id, {_V} AS v FROM embeddings
+    ){_PQ_CTES}, scored AS (
         SELECT q.query_id, c.vec_id,
                SUM(CAST(q.qd2 AS {ex.SQL_DEC})) AS adec
         FROM codes c
@@ -1189,7 +1395,11 @@ ORACLE["knn_pq"] = f"""
     FROM ranked WHERE rank <= {TOP_K}
 """
 
-ORACLE["knn_ivfpq"] = f"""
+
+def _ivfpq_sql(rerank: bool) -> str:
+    """IVF-PQ oracle, optionally with the exact-rerank third stage (the
+    SQL mirror of :func:`knn_ivfpq` / :func:`knn_ivfpq_rerank`)."""
+    prefix = f"""
     WITH e AS (
         SELECT vec_id, {_V} AS v FROM embeddings
     ){_TRAIN_CTES}, cr AS (
@@ -1209,32 +1419,7 @@ ORACLE["knn_ivfpq"] = f"""
     ), probes AS (
         SELECT vec_id AS query_id, cell_id FROM rc
         WHERE vec_id < {N_QUERIES}
-    ), subs AS (
-        SELECT vec_id, m.m AS m,
-               v[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sv
-        FROM e CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
-    ), sseeds AS (
-        SELECT cell_id, m.m AS m,
-               cv[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sc
-        FROM seeds CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
-    ), dists AS (
-        SELECT s.vec_id, s.m, ss.cell_id AS dcell,
-               list_dot_product(
-                   list_transform(range(1, {PQ_SUBDIM} + 1),
-                                  i -> s.sv[i] - ss.sc[i]),
-                   list_transform(range(1, {PQ_SUBDIM} + 1),
-                                  i -> s.sv[i] - ss.sc[i])) AS d2
-        FROM subs s JOIN sseeds ss ON s.m = ss.m
-    ), codes AS (
-        SELECT vec_id, m, dcell AS code FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY vec_id, m ORDER BY d2, dcell) AS cr
-            FROM dists
-        ) WHERE cr = 1
-    ), qdists AS (
-        SELECT vec_id AS query_id, m, dcell, d2 AS qd2
-        FROM dists WHERE vec_id < {N_QUERIES}
-    ), cand AS (
+    ){_PQ_CTES}, cand AS (
         SELECT p.query_id, ca.vec_id
         FROM ca JOIN probes p ON ca.vcell = p.cell_id
         WHERE ca.vec_id != p.query_id
@@ -1244,9 +1429,13 @@ ORACLE["knn_ivfpq"] = f"""
         FROM cand c
         JOIN codes k ON k.vec_id = c.vec_id
         JOIN qdists q ON q.query_id = c.query_id
-             AND q.m = k.m AND q.dcell = k.code
+             AND q.m = k.m AND q.cell_id = k.code
         GROUP BY 1, 2
-    ), ranked AS (
+    )"""
+    if not rerank:
+        return (
+            prefix
+            + f""", ranked AS (
         SELECT query_id, vec_id, adec,
                CAST(ROW_NUMBER() OVER (
                    PARTITION BY query_id ORDER BY adec, vec_id
@@ -1257,6 +1446,43 @@ ORACLE["knn_ivfpq"] = f"""
            ROUND(CAST(adec AS DOUBLE), 6) AS approx_d2
     FROM ranked WHERE rank <= {TOP_K}
 """
+        )
+    return (
+        prefix
+        + f""", shortlist AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY adec, vec_id
+                   ) AS rr
+            FROM scored
+        ) WHERE rr <= {RERANK_R}
+    ), qv AS (
+        SELECT vec_id AS query_id, v AS qv FROM e
+        WHERE vec_id < {N_QUERIES}
+    ), exact AS (
+        SELECT s.query_id, s.vec_id,
+               ROUND(list_dot_product(q.qv, e.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+        FROM shortlist s
+        JOIN e ON e.vec_id = s.vec_id
+        JOIN qv q ON q.query_id = s.query_id
+    ), rranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id
+               ) AS INTEGER) AS rank
+        FROM exact
+    )
+    SELECT query_id, rank, vec_id, cosine
+    FROM rranked WHERE rank <= {TOP_K}
+"""
+    )
+
+
+ORACLE["knn_ivfpq"] = _ivfpq_sql(rerank=False)
+ORACLE["knn_ivfpq_rerank"] = _ivfpq_sql(rerank=True)
 
 # Recall oracle: each method's full oracle SQL nests as a CTE (DuckDB
 # allows WITH inside a CTE body), so the ground truth and every
@@ -1268,11 +1494,13 @@ ORACLE["knn_recall_report"] = f"""
     m_ivf AS ({ORACLE["knn_ivf"]}),
     m_pq AS ({ORACLE["knn_pq"]}),
     m_ivfpq AS ({ORACLE["knn_ivfpq"]}),
+    m_ivfpq_rr AS ({ORACLE["knn_ivfpq_rerank"]}),
     m AS (
         SELECT 'lsh' AS method, query_id, vec_id FROM m_lsh
         UNION ALL SELECT 'ivf', query_id, vec_id FROM m_ivf
         UNION ALL SELECT 'pq', query_id, vec_id FROM m_pq
         UNION ALL SELECT 'ivfpq', query_id, vec_id FROM m_ivfpq
+        UNION ALL SELECT 'ivfpq_rr', query_id, vec_id FROM m_ivfpq_rr
     ), truth AS (
         SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY query_id
     ), hits AS (
@@ -1402,38 +1630,13 @@ def _tradeoff_sql() -> str:
     ), ivf_scored AS (
         SELECT c.query_id, c.vec_id, c.pr, {cosev.format(v="c.v")} AS cos
         FROM icand c JOIN q ON q.query_id = c.query_id
-    ), subs AS (
-        SELECT vec_id, m.m AS m,
-               v[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sv
-        FROM e CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
-    ), sseeds AS (
-        SELECT cell_id, m.m AS m,
-               cv[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sc
-        FROM seeds CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
-    ), dists AS (
-        SELECT s.vec_id, s.m, ss.cell_id AS dcell,
-               list_dot_product(
-                   list_transform(range(1, {PQ_SUBDIM} + 1),
-                                  i -> s.sv[i] - ss.sc[i]),
-                   list_transform(range(1, {PQ_SUBDIM} + 1),
-                                  i -> s.sv[i] - ss.sc[i])) AS d2
-        FROM subs s JOIN sseeds ss ON s.m = ss.m
-    ), codes AS (
-        SELECT vec_id, m, dcell AS code FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY vec_id, m ORDER BY d2, dcell) AS cr2
-            FROM dists
-        ) WHERE cr2 = 1
-    ), qdists AS (
-        SELECT vec_id AS query_id, m, dcell, d2 AS qd2
-        FROM dists WHERE vec_id < {N_QUERIES}
-    ), pq_scored AS (
+    ){_PQ_CTES}, pq_scored AS (
         SELECT c.query_id, c.vec_id, c.pr,
                SUM(CAST(qd.qd2 AS {ex.SQL_DEC})) AS adec
         FROM icand c
         JOIN codes k ON k.vec_id = c.vec_id
         JOIN qdists qd ON qd.query_id = c.query_id
-             AND qd.m = k.m AND qd.dcell = k.code
+             AND qd.m = k.m AND qd.cell_id = k.code
         GROUP BY 1, 2, 3
     ), masks AS (
         SELECT * FROM (VALUES {mask_vals}) AS m(mask, d)
@@ -1489,6 +1692,7 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "knn_pq": knn_pq,
     "knn_ivfpq": knn_ivfpq,
+    "knn_ivfpq_rerank": knn_ivfpq_rerank,
     "knn_recall_report": knn_recall_report,
     "knn_recall_tradeoff": knn_recall_tradeoff,
     "embedding_projection_quality": projection_quality,

@@ -374,3 +374,35 @@ def test_knn_recall_tradeoff_frontier_consistent(spark):
     assert rows[("ivf", sim.NPROBE)].recall_at_k == report["ivf"]
     assert rows[("ivfpq", sim.NPROBE)].recall_at_k == report["ivfpq"]
     assert rows[("lsh", 0)].recall_at_k == report["lsh"]
+
+
+def test_ivfpq_rerank_recovers_ivf_exactly_at_saturating_r(spark):
+    """Cross-check of the three-stage pipeline: rerank scores the ADC
+    shortlist with EXACT cosine over the same IVF candidate set, so
+    when RERANK_R covers every per-query candidate the result must
+    equal knn_ivf row-for-row — any divergence means the shortlist
+    ranking or the exact pass is wrong. At the shipped R (a real
+    truncation at this SF: ~330 candidates vs R=150) rerank must still
+    beat-or-match raw ADC on ground-truth hits."""
+    sf = "/root/testdata/sf0.001"
+    bf = {(r.query_id, r.vec_id) for r in sim.knn_bruteforce(spark, sf).collect()}
+    orig = sim.RERANK_R
+    try:
+        sim.RERANK_R = 10_000  # saturate: shortlist = all candidates
+        rr_sat = [
+            (r.query_id, r.rank, r.vec_id, r.cosine)
+            for r in sim.knn_ivfpq_rerank(spark, sf).collect()
+        ]
+    finally:
+        sim.RERANK_R = orig
+    ivf = [
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in sim.knn_ivf(spark, sf).collect()
+    ]
+    assert sorted(rr_sat) == sorted(ivf)
+    rr = {
+        (r.query_id, r.vec_id)
+        for r in sim.knn_ivfpq_rerank(spark, sf).collect()
+    }
+    adc = {(r.query_id, r.vec_id) for r in sim.knn_ivfpq(spark, sf).collect()}
+    assert len(bf & rr) >= len(bf & adc)
