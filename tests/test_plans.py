@@ -471,3 +471,29 @@ def test_minhash_reads_stored_fingerprints_no_tokenizer(spark):
     assert "minhash_candidates" in plan and "shingles" in plan
     assert px.filters_containing(df, "regexp_extract_all") == 0
     assert "regexp_extract_all" not in px.formatted_plan(df)
+
+
+def test_ivfpq_rerank_reads_stored_indexes_no_retraining(spark):
+    """The three-stage pipeline must be pure index-read at search time:
+    the plan scans the stored postings (cells), the stored code table,
+    and the stored sub-codebook — no Lloyd-training subtree re-runs (the
+    trainer's posexplode/collect_list shapes are absent because every
+    trained structure is behind a stored-table file scan) — and the
+    shortlist's exact pass broadcasts only query-sized relations."""
+    df = similarity.knn_ivfpq_rerank(spark, SF)
+    plan = px.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "pq_codes" in plan  # stored code table scan
+    assert "cells" in plan  # stored postings scan
+    assert px.broadcast_join_count(df) >= 2  # probes + ADC lookup + qv
+
+
+def test_recall_tradeoff_single_scoring_pass_per_method(spark):
+    """The frontier sweep must NOT re-search per probe level: the level
+    dimension is an explode over already-scored candidates, so the plan
+    contains exactly one stored-postings scan family and no cartesian
+    anywhere, with the probe/mask relations broadcast."""
+    df = similarity.knn_recall_tradeoff(spark, SF)
+    plan = px.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert px.broadcast_join_count(df) >= 3
