@@ -62,6 +62,14 @@ N_RANGE_BUCKETS = 32  # minimum fan-out (small inputs keep parallelism)
 MAX_FANOUT = 4096  # boundary-array cap: bounds per-row probe + plan size
 TARGET_BUCKET_ROWS = 10_000_000  # per-bucket sort sized for task memory
 _PCT_ACCURACY = 10_000
+# Default quantile-grid resolution for the adaptive path. Extracting Q
+# quantile points from the percentile_approx sketch costs O(Q) sketch
+# walks — measured 5.3 s at Q=4095 vs ~0.3 s at Q=127 on a 15k-row
+# frame — so the first pass samples a modest grid; only when the
+# N-derived fan-out exceeds it (N > GRID × TARGET_BUCKET_ROWS ≈ 1.3G
+# rows) does a SECOND exact-resolution pass run, where its cost is
+# negligible against the rank itself.
+_GRID = 128
 
 
 def _collect_bounds(
@@ -72,34 +80,44 @@ def _collect_bounds(
     single dimension-sized row) so every downstream consumer shares
     identical literal boundaries.
 
-    With ``n_buckets=None`` the quantile grid is sampled at
-    ``MAX_FANOUT`` resolution and subsampled to the N-derived fan-out;
-    an explicit ``n_buckets`` samples exactly its grid (property tests
-    parametrize it). Returns (N, fan_out, {metric: boundaries})."""
-    grid = n_buckets if n_buckets is not None else MAX_FANOUT
-    qs = [i / grid for i in range(1, grid)]
-    agg_exprs = [F.count("*").alias("_N")]
-    if qs:
-        agg_exprs += [
-            F.percentile_approx(
-                F.col(c).cast("double"), qs, _PCT_ACCURACY
-            ).alias(f"_q_{c}")
-            for c in metric_cols
-        ]
-    row = base.agg(*agg_exprs).collect()[0]
+    With ``n_buckets=None`` the quantile grid is sampled at ``_GRID``
+    resolution and subsampled to the N-derived fan-out (a second
+    exact-resolution pass runs only when the fan-out exceeds the grid —
+    i.e. above ~1.3G input rows); an explicit ``n_buckets`` samples
+    exactly its grid (property tests parametrize it). Returns
+    (N, fan_out, {metric: boundaries})."""
+
+    def pct_row(grid: int):
+        qs = [i / grid for i in range(1, grid)]
+        agg_exprs = [F.count("*").alias("_N")]
+        if qs:
+            agg_exprs += [
+                F.percentile_approx(
+                    F.col(c).cast("double"), qs, _PCT_ACCURACY
+                ).alias(f"_q_{c}")
+                for c in metric_cols
+            ]
+        return base.agg(*agg_exprs).collect()[0], bool(qs)
+
+    grid = n_buckets if n_buckets is not None else _GRID
+    row, has_qs = pct_row(grid)
     n = row["_N"]
     if n_buckets is None:
         fan_out = min(
             MAX_FANOUT,
             max(N_RANGE_BUCKETS, math.ceil(n / TARGET_BUCKET_ROWS) if n else 1),
         )
+        if fan_out > grid:
+            # fan-out outgrew the cheap grid — one exact-resolution pass
+            grid = fan_out
+            row, has_qs = pct_row(grid)
     else:
         fan_out = n_buckets
     bounds: dict[str, list[float]] = {}
     for c in metric_cols:
-        full = (row[f"_q_{c}"] if qs else None) or []
+        full = (row[f"_q_{c}"] if has_qs else None) or []
         if n_buckets is None and full:
-            # subsample the fine grid to fan_out-1 monotone boundaries
+            # subsample the grid to fan_out-1 monotone boundaries
             # (exactness is not required — any monotone coarsening of
             # the sort key preserves global ranks)
             idx = [
@@ -173,6 +191,14 @@ def with_global_ntiles(
     base = df.withColumn("_tb", tiebreak)
     for out, sv in metrics.items():
         base = base.withColumn(f"_sv_{out}", sv)
+    # Materialize ONCE: the boundary pass, each metric's count pass, and
+    # the final ranked plan all scan `base` — without this each eager
+    # pass recomputes the whole upstream frame (measured 2.8×
+    # on the RFM segmentation, whose input is itself an aggregation
+    # over the fact table). One write of the (usually pre-aggregated)
+    # rank input replaces 2+M recomputes; it also makes the multi-pass
+    # input-stability requirement (module docstring) unconditional.
+    base = base.localCheckpoint()
     total, fan_out, bounds = _collect_bounds(
         base, [f"_sv_{out}" for out in metrics], n_buckets
     )
