@@ -82,11 +82,20 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sigged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, v, sig): the corpus joined to its STORED LSH
+    signature table (``_lsh_signatures``) — searches read bucket ids
+    from index files instead of re-hashing every vector per query."""
+    return _emb(spark, sf_dir).join(_lsh_signatures(spark, sf_dir), "vec_id")
+
+
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via random-hyperplane LSH: candidates share the query's
     8-bit signature bucket; exact cosine ranks within the bucket. Trades
-    recall for a |bucket|-bounded candidate set — the 100 TB path."""
-    emb = _emb(spark, sf_dir).withColumn("sig", V.lsh_signature(F.col("v")))
+    recall for a |bucket|-bounded candidate set — the 100 TB path.
+    Signatures come from the stored bucket index (built once per corpus
+    snapshot, bucketed by ``sig`` so bucket-equality joins co-locate)."""
+    emb = _sigged_corpus(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -193,7 +202,7 @@ def _index_tag() -> str:
     fresh postings, never serve the old truncated ones (round-6 ADVICE)."""
     return (
         f"k{IVF_K}s{IVF_SEED_MOD}i{KM_ITERS}m{PQ_M}p{MAX_NPROBE}"
-        f"q{PQ_SUBK}e{PQ_SEED_MOD}"
+        f"q{PQ_SUBK}e{PQ_SEED_MOD}h{V.N_PLANES}"
     )
 
 
@@ -217,6 +226,21 @@ def _stored_index(spark: SparkSession, sf_dir: str, name: str, bucket_col: str, 
         n_buckets=ANN_INDEX_BUCKETS,
         src_table="embeddings",
     )
+
+
+def _lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sig): the stored LSH bucket index — one hash pass per
+    corpus snapshot, persisted bucketed by ``sig`` (the join key of
+    every bucket-equality search, so postings co-locate at scale). The
+    only ANN structure that was still recomputed per search before
+    round 7."""
+
+    def build() -> DataFrame:
+        return _emb(spark, sf_dir).select(
+            "vec_id", V.lsh_signature(F.col("v")).alias("sig")
+        )
+
+    return _stored_index(spark, sf_dir, "lsh_sigs", "sig", build)
 
 
 def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,6 +708,7 @@ def build_indexes(spark: SparkSession, sf_dir: str) -> None:
     PQ code table). The once-per-corpus-snapshot training step the
     bench harness times as ``index_build_s`` — searches then measure
     warm-index reads, which is the production steady state."""
+    _lsh_signatures(spark, sf_dir)
     _codebook(spark, sf_dir)
     _ranked_cells(spark, sf_dir)
     _pq_subcodebook(spark, sf_dir)
@@ -842,7 +867,7 @@ def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # —— LSH: Hamming multi-probe; depth = the discovering mask's radius —
-    sigged = emb.withColumn("sig", V.lsh_signature(F.col("v")))
+    sigged = _sigged_corpus(spark, sf_dir)
     mask_arr = F.array(
         *[
             F.struct(F.lit(m).alias("mask"), F.lit(d).alias("d"))

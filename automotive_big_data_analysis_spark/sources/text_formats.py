@@ -80,6 +80,8 @@ def _ensure_written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         writer = _interchange_frame(spark, sf_dir).write.mode("overwrite")
         if fmt == "csv":
             writer.option("header", "true").csv(path)
+        elif fmt == "jsonl_gzip":
+            writer.option("compression", "gzip").json(path)
         else:
             writer.json(path)
     return path
@@ -89,7 +91,7 @@ def ensure_mirrors(spark: SparkSession, sf_dir: str) -> None:
     """Materialize both text-interchange mirrors for the corpus — the
     upstream-producer scaffolding the bench harness pre-writes (and
     times separately) so connector queries measure the READ path only."""
-    for fmt in ("jsonl", "csv"):
+    for fmt in ("jsonl", "csv", "jsonl_gzip"):
         _ensure_written(spark, sf_dir, fmt)
 
 
@@ -103,7 +105,7 @@ def _read_events_text(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     raw = (
         reader.option("header", "true").csv(path)
         if fmt == "csv"
-        else reader.json(path)
+        else reader.json(path)  # .gz files are codec-detected by suffix
     )
     return raw.select(
         "event_id",
@@ -140,6 +142,19 @@ def csv_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _summary(_read_events_text(spark, sf_dir, "csv"))
 
 
+def jsonl_gzip_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: same contract over GZIP-compressed JSONL — the
+    codec path a real landing tier hits constantly. Correctness is
+    identical to the plain connector; the SCALE property differs and is
+    the point: gzip text is UNSPLITTABLE, so parallelism collapses to
+    one task per file regardless of file size (each .json.gz here is
+    small, so the corpus still parallelizes across files; a single huge
+    .gz would serialize the whole scan — which is why the ingest tier
+    re-writes to a splittable columnar format first, and why producers
+    should prefer many medium files or a framed codec like zstd)."""
+    return _summary(_read_events_text(spark, sf_dir, "jsonl_gzip"))
+
+
 _SUMMARY_SQL = f"""
     SELECT event_type, COUNT(*) AS n_events,
            COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours,
@@ -151,9 +166,11 @@ _SUMMARY_SQL = f"""
 ORACLE: dict[str, str] = {
     "source_jsonl_events": _SUMMARY_SQL,
     "source_csv_events": _SUMMARY_SQL,
+    "source_jsonl_gzip_events": _SUMMARY_SQL,
 }
 
 QUERIES = {
     "source_jsonl_events": jsonl_events_summary,
     "source_csv_events": csv_events_summary,
+    "source_jsonl_gzip_events": jsonl_gzip_events_summary,
 }

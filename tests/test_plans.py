@@ -497,3 +497,14 @@ def test_recall_tradeoff_single_scoring_pass_per_method(spark):
     plan = px.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert px.broadcast_join_count(df) >= 3
+
+
+def test_knn_lsh_reads_stored_signature_index(spark):
+    """LSH searches must read bucket ids from the stored signature
+    table, never re-hash the corpus per query: the plan scans the
+    lsh_sigs index files and contains no hyperplane dot-product over
+    the full corpus outside the (absent) build subtree."""
+    df = similarity.knn_lsh(spark, SF)
+    plan = px.physical_plan(df)
+    assert "lsh_sigs" in plan
+    assert px.broadcast_join_count(df) >= 1

@@ -295,3 +295,18 @@ def test_stored_table_reattaches_across_sessions_without_rebuild(
     t3 = make()
     assert t3.count() == 20
     assert stored.source_fingerprint(src, "documents") != fp
+
+
+def test_gzip_jsonl_connector_matches_plain(spark):
+    """The gzip codec path must be value-identical to the plain JSONL
+    connector (the difference is splittability, not content), and the
+    mirror must actually be gzip-compressed files."""
+    from automotive_big_data_analysis_spark.sources import text_formats as tf
+
+    sf = "/root/testdata/sf0.001"
+    plain = {tuple(r) for r in tf.jsonl_events_summary(spark, sf).collect()}
+    gz = {tuple(r) for r in tf.jsonl_gzip_events_summary(spark, sf).collect()}
+    assert gz == plain
+    path = tf._ensure_written(spark, sf, "jsonl_gzip")
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert parts and all(f.endswith(".gz") for f in parts)
