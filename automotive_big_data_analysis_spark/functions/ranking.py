@@ -175,6 +175,7 @@ def with_global_ntiles(
     metrics: dict[str, Column],
     tiebreak: Column,
     n_buckets: int | None = None,
+    stage_input: bool = True,
 ) -> DataFrame:
     """Append one NTILE(n) column per ``metrics`` entry (out-col →
     ascending sort metric), sharing a SINGLE boundary-sampling pass
@@ -191,14 +192,21 @@ def with_global_ntiles(
     base = df.withColumn("_tb", tiebreak)
     for out, sv in metrics.items():
         base = base.withColumn(f"_sv_{out}", sv)
-    # Materialize ONCE: the boundary pass, each metric's count pass, and
-    # the final ranked plan all scan `base` — without this each eager
-    # pass recomputes the whole upstream frame (measured 2.8×
-    # on the RFM segmentation, whose input is itself an aggregation
-    # over the fact table). One write of the (usually pre-aggregated)
-    # rank input replaces 2+M recomputes; it also makes the multi-pass
-    # input-stability requirement (module docstring) unconditional.
-    base = base.localCheckpoint()
+    # stage_input=True materializes the frame ONCE: the boundary pass,
+    # each metric's count pass, and the final ranked plan all scan
+    # `base` — without staging, each eager pass recomputes the whole
+    # upstream frame (measured 2.8× on the RFM segmentation, whose
+    # input is itself an aggregation over the fact table). Right for
+    # pre-aggregated/dimension-scale inputs — the usual rank input.
+    # Pass stage_input=False when `df` IS fact-scale behind a cheap
+    # pushed-down scan (e.g. the order-value deciles): re-reading a
+    # pruned columnar scan per pass beats writing the fact table to
+    # executor storage, and the staged blocks would stay resident for
+    # the session. Staging also pins the multiset across passes; the
+    # unstaged path instead relies on the module-docstring stability
+    # contract, enforced by the count cross-check below.
+    if stage_input:
+        base = base.localCheckpoint()
     total, fan_out, bounds = _collect_bounds(
         base, [f"_sv_{out}" for out in metrics], n_buckets
     )
@@ -211,9 +219,13 @@ def with_global_ntiles(
     for out in metrics:
         off_col, counted = _offsets_literal(withb, f"_bk_{out}", fan_out)
         if counted != total:
+            # reachable only on the stage_input=False path (a staged
+            # frame is pinned by construction): the input re-evaluated
+            # to a different multiset between passes
             raise RuntimeError(
                 f"unstable input: boundary pass saw {total} rows, count "
-                f"pass saw {counted} — checkpoint the input first"
+                f"pass saw {counted} — checkpoint the input or use "
+                f"stage_input=True"
             )
         w_in = Window.partitionBy(f"_bk_{out}").orderBy(f"_sv_{out}", "_tb")
         rank = off_col + F.row_number().over(w_in)
@@ -233,6 +245,7 @@ def with_global_ntile(
     tiebreak: Column,
     out: str,
     n_buckets: int | None = None,
+    stage_input: bool = True,
 ) -> DataFrame:
     """Append ``out`` = NTILE(n) OVER (ORDER BY sortval, tiebreak) ASC,
     computed with the two-pass range-bucket rank (no unpartitioned window
@@ -243,5 +256,6 @@ def with_global_ntile(
     derives the fan-out from the counted N (module docstring sizing
     rule); the boundary/count passes run eagerly at call time."""
     return with_global_ntiles(
-        df, n, {out: sortval}, tiebreak, n_buckets=n_buckets
+        df, n, {out: sortval}, tiebreak, n_buckets=n_buckets,
+        stage_input=stage_input,
     )

@@ -187,9 +187,8 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("recency_days"),
         )
     )
-    # stage the per-customer aggregate once: the three ranking passes each
-    # reference it several times (boundary sample, bucket counts, rank)
-    per_cust = per_cust.localCheckpoint()
+    # the rank pass stages the per-customer aggregate once internally
+    # (with_global_ntiles stage_input=True) — no caller-side checkpoint
     key = F.col("o_custkey")
     # DESC metrics rank by the negated column (decimal/long negation is
     # exact). All three quartiles come from ONE multi-metric rank pass

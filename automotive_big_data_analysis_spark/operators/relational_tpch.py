@@ -229,11 +229,12 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle formulation) funnels every order through ONE task. This plan
     uses the two-pass range-bucket rank (``functions/ranking.py``):
     sampled value boundaries bucket the scan, per-bucket ranks run
-    partition-parallel, and broadcast bucket offsets make them global —
-    the orders table is never globally sorted on a single partition. The
-    pruned 2-column scan is re-read per pass (boundary sample / bucket
-    counts / rank) — at 100 TB repeated pushed-down scans beat staging
-    the fact table; the approximate one-scan form is
+    partition-parallel, and literal bucket offsets make them global —
+    the orders table is never globally sorted on a single partition.
+    ``stage_input=False``: the input is the fact table behind a cheap
+    pruned 2-column scan, so re-reading the pushed-down scan per pass
+    (boundary sample / bucket counts / rank) beats writing the fact
+    relation to executor storage; the approximate one-scan form is
     ``approx_part_stats``-style t-digest quantile bucketing."""
     orders = load_table(spark, sf_dir, "orders")
     deciled = rk.with_global_ntile(
@@ -242,6 +243,7 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice"),
         F.col("o_orderkey"),
         "decile",
+        stage_input=False,
     )
     return (
         deciled.groupBy("decile")

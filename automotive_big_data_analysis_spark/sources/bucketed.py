@@ -93,7 +93,9 @@ def write_bucketed_tables(
     production table that is bucketed once at ingest, not per query. If
     the files exist but the (in-memory) catalog doesn't know them, they
     are re-registered via DDL instead of rewritten."""
-    loc = f"{location}/{os.path.basename(sf_dir.rstrip('/'))}"
+    # bucket count in the path: a changed N_BUCKETS lays out fresh files
+    # instead of re-attaching the old layout under a wrong declaration
+    loc = f"{location}/{os.path.basename(sf_dir.rstrip('/'))}_nb{N_BUCKETS}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{loc}'")
     existing = {t.name for t in spark.catalog.listTables(database)}
     specs = [

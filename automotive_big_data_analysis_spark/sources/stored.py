@@ -68,6 +68,12 @@ def stored_table(
     (the corpus table the structure derives from) to fold its content
     fingerprint into the path — regenerated source data then forces a
     fresh build instead of reading a stale index."""
+    # the bucket count shapes the physical layout exactly like any
+    # semantic parameter: folding it into the path means a changed
+    # count builds a fresh layout instead of re-attaching old files
+    # under a wrong CLUSTERED BY declaration (the filename check in
+    # _register_existing only catches counts SMALLER than the layout)
+    tag = f"{tag}nb{n_buckets}"
     if src_table:
         tag = f"{tag}_{source_fingerprint(sf_dir, src_table)}"
     base = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{tag}"

@@ -77,6 +77,18 @@ def _ensure_written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         f"_v{INTERCHANGE_VERSION}_{fp}"
     )
     if not os.path.exists(f"{path}/_SUCCESS"):
+        # prune this format's mirrors for SUPERSEDED fingerprints/
+        # versions — each corpus regeneration would otherwise leave a
+        # full-size orphan mirror behind forever
+        import shutil
+
+        parent = os.path.dirname(path)
+        if os.path.isdir(parent):
+            for d in os.listdir(parent):
+                if d.startswith(f"events_{fmt}_v") and d != os.path.basename(
+                    path
+                ):
+                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
         writer = _interchange_frame(spark, sf_dir).write.mode("overwrite")
         if fmt == "csv":
             writer.option("header", "true").csv(path)

@@ -314,9 +314,15 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = hourly_rollup_stream(read_event_stream_jsonl(spark, path))
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
     out = run_to_memory(rolled, name, output_mode="complete")
-    # project through a plain select so the result is self-contained
-    # even after the temp view is replaced by a later run
-    return out.select("window_start", "event_type", "n_events", "total_value")
+    # detach the (dimension-sized: hours × types) result from the
+    # memory-sink view and DROP the view — otherwise every invocation
+    # leaks one retained complete-mode result table in driver memory
+    rows = out.select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
+    result = spark.createDataFrame(rows.collect(), rows.schema)
+    spark.catalog.dropTempView(name)
+    return result
 
 
 ORACLE: dict[str, str] = {

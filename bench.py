@@ -176,13 +176,25 @@ def main() -> None:
         text_formats as _tf,
     )
 
-    for d in (
+    # wipe ONLY this corpus's derived artifacts: other corpora keep
+    # their indexes (their build cost stays attributed to their own
+    # runs), and a concurrent session working a different sf_dir never
+    # has files deleted out from under its catalog
+    base_dot = os.path.basename(sf_dir.rstrip("/"))
+    base_us = base_dot.replace(".", "_")
+    for root in (
         _dd.PAIR_INDEX_LOCATION,
         _sim.ANN_INDEX_LOCATION,
         _bk.DEFAULT_LOCATION,
         _tf.TEXTFMT_LOCATION,
     ):
-        shutil.rmtree(d, ignore_errors=True)
+        if not os.path.isdir(root):
+            continue
+        for d in os.listdir(root):
+            if d in (base_dot, base_us) or d.startswith(
+                (base_dot + "_", base_us + "_", base_dot + "_nb", base_us + "_nb")
+            ):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     index_build: dict[str, float] = {}
     for fam, build in (
         ("text_mirror", lambda: _tf.ensure_mirrors(spark, sf_dir)),

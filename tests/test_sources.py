@@ -247,8 +247,8 @@ def test_stored_table_reattaches_across_sessions_without_rebuild(
     assert t1.count() == 20
     fp = stored.source_fingerprint(src, "documents")
     base = os.path.basename(src)
-    db = f"lc_test_{base}_t1_{fp}"
-    path = f"{tmp_path}/wh/{base}_t1_{fp}/idx"
+    db = f"lc_test_{base}_t1nb4_{fp}"  # tag carries the bucket count
+    path = f"{tmp_path}/wh/{base}_t1nb4_{fp}/idx"
     before = {
         fn: os.stat(os.path.join(path, fn)).st_mtime_ns
         for fn in os.listdir(path)
