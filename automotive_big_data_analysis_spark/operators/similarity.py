@@ -83,10 +83,11 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sigged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, v, sig): the corpus joined to its STORED LSH
-    signature table (``_lsh_signatures``) — searches read bucket ids
-    from index files instead of re-hashing every vector per query."""
-    return _emb(spark, sf_dir).join(_lsh_signatures(spark, sf_dir), "vec_id")
+    """(sig, vec_id, v): the STORED LSH postings — searches scan index
+    files only; no per-query re-hash and no corpus join (the postings
+    carry the vector payload, so in-bucket exact scoring needs nothing
+    else)."""
+    return _lsh_postings(spark, sf_dir)
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,19 +229,25 @@ def _stored_index(spark: SparkSession, sf_dir: str, name: str, bucket_col: str, 
     )
 
 
-def _lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, sig): the stored LSH bucket index — one hash pass per
-    corpus snapshot, persisted bucketed by ``sig`` (the join key of
-    every bucket-equality search, so postings co-locate at scale). The
+def _lsh_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sig, vec_id, v): the stored LSH postings index — one hash pass
+    per corpus snapshot, persisted bucketed by ``sig`` (the join key of
+    every bucket-equality search, so a query's bucket probe reads
+    co-located files). The postings row carries the VECTOR payload —
+    the classic LSH index shape: in-bucket exact scoring reads the
+    index alone, never joining back to the corpus (an id-only
+    signature table would force a corpus-wide vec_id join per search,
+    destroying the sig co-location it was bucketed for). Storage
+    duplicates the vectors into the index — the standard trade. The
     only ANN structure that was still recomputed per search before
     round 7."""
 
     def build() -> DataFrame:
         return _emb(spark, sf_dir).select(
-            "vec_id", V.lsh_signature(F.col("v")).alias("sig")
+            V.lsh_signature(F.col("v")).alias("sig"), "vec_id", "v"
         )
 
-    return _stored_index(spark, sf_dir, "lsh_sigs", "sig", build)
+    return _stored_index(spark, sf_dir, "lsh_postings", "sig", build)
 
 
 def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,7 +715,7 @@ def build_indexes(spark: SparkSession, sf_dir: str) -> None:
     PQ code table). The once-per-corpus-snapshot training step the
     bench harness times as ``index_build_s`` — searches then measure
     warm-index reads, which is the production steady state."""
-    _lsh_signatures(spark, sf_dir)
+    _lsh_postings(spark, sf_dir)
     _codebook(spark, sf_dir)
     _ranked_cells(spark, sf_dir)
     _pq_subcodebook(spark, sf_dir)

@@ -499,12 +499,13 @@ def test_recall_tradeoff_single_scoring_pass_per_method(spark):
     assert px.broadcast_join_count(df) >= 3
 
 
-def test_knn_lsh_reads_stored_signature_index(spark):
-    """LSH searches must read bucket ids from the stored signature
-    table, never re-hash the corpus per query: the plan scans the
-    lsh_sigs index files and contains no hyperplane dot-product over
-    the full corpus outside the (absent) build subtree."""
+def test_knn_lsh_reads_stored_postings_no_corpus_join(spark):
+    """LSH searches must read the stored postings (sig, vec_id, v) and
+    nothing else: no per-query re-hash of the corpus, and no join back
+    to the embeddings table (the postings carry the vector payload, so
+    the only join in the plan is the broadcast of the query probes)."""
     df = similarity.knn_lsh(spark, SF)
     plan = px.physical_plan(df)
-    assert "lsh_sigs" in plan
+    assert "lsh_postings" in plan
+    assert "embeddings.parquet" not in plan  # index-only search
     assert px.broadcast_join_count(df) >= 1
