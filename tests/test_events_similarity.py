@@ -268,7 +268,10 @@ def test_similarity_stored_index_lifecycle(spark):
         source_fingerprint,
     )
 
-    tag = f"{sim._index_tag()}_{source_fingerprint(SF_SMOKE, 'embeddings')}"
+    tag = (
+        f"{sim._index_tag()}nb{sim.ANN_INDEX_BUCKETS}"
+        f"_{source_fingerprint(SF_SMOKE, 'embeddings')}"
+    )
     base = f"{os.path.basename(SF_SMOKE.rstrip('/')).replace('.', '_')}_{tag}"
     dropped = 0
     for t in ("codebook", "cells", "pq_codes"):
