@@ -188,3 +188,39 @@ def test_multi_metric_ntiles_match_native_windows(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_global_ntile_grid_escalation_path(spark):
+    """The adaptive two-tier boundary sampler: when the N-derived
+    fan-out exceeds the default 128-point grid (shrunken
+    TARGET_BUCKET_ROWS stands in for a >1.3G-row input), the
+    exact-resolution second pass must run and ranks must STILL equal
+    the native NTILE — escalation changes cost, never results."""
+    from pyspark.sql import Window
+
+    from automotive_big_data_analysis_spark.functions import ranking as rk
+
+    df = spark.createDataFrame(
+        [(k, (k * 7919) % 401) for k in range(500)], "key long, metric long"
+    )
+    orig = rk.TARGET_BUCKET_ROWS
+    try:
+        rk.TARGET_BUCKET_ROWS = 3  # forces fan_out=ceil(500/3)=167 > 128
+        n, fan_out, bounds = rk._collect_bounds(
+            df.withColumn("_sv_t", F.col("metric")), ["_sv_t"], None
+        )
+        assert fan_out == 167 and len(bounds["_sv_t"]) == 166
+        got = {
+            r.key: r.tile
+            for r in rk.with_global_ntile(
+                df, 7, F.col("metric"), F.col("key"), "tile"
+            ).collect()
+        }
+    finally:
+        rk.TARGET_BUCKET_ROWS = orig
+    w = Window.orderBy("metric", "key")
+    want = {
+        r.key: r.tile
+        for r in df.select("key", F.ntile(7).over(w).alias("tile")).collect()
+    }
+    assert got == want
