@@ -74,7 +74,10 @@ def stored_table(
     # under a wrong CLUSTERED BY declaration (the filename check in
     # _register_existing only catches counts SMALLER than the layout)
     tag = f"{tag}nb{n_buckets}"
+    stem = None
     if src_table:
+        corpus = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        stem = f"{corpus}_{tag}_"
         tag = f"{tag}_{source_fingerprint(sf_dir, src_table)}"
     base = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{tag}"
     db = f"{db_prefix}_{base}"
@@ -83,6 +86,21 @@ def stored_table(
     path = f"{loc}/{name}"
     existing = {t.name for t in spark.catalog.listTables(db)}
     if name not in existing:
+        if stem and not os.path.exists(f"{path}/_SUCCESS"):
+            # first touch of a NEW corpus generation: prune this
+            # (corpus, tag)'s index dirs for SUPERSEDED fingerprints —
+            # each regeneration would otherwise leave a full orphan
+            # index behind forever (``text_formats`` discipline). Only
+            # sibling dirs sharing the exact parameter stem are
+            # touched; other tags/corpora are untouched.
+            import shutil
+
+            if os.path.isdir(location):
+                for d in os.listdir(location):
+                    if d.startswith(stem) and d != base:
+                        shutil.rmtree(
+                            os.path.join(location, d), ignore_errors=True
+                        )
         df = build()
         if os.path.exists(f"{path}/_SUCCESS"):
             _register_existing(

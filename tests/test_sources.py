@@ -310,3 +310,47 @@ def test_gzip_jsonl_connector_matches_plain(spark):
     path = tf._ensure_written(spark, sf, "jsonl_gzip")
     parts = [f for f in os.listdir(path) if f.startswith("part-")]
     assert parts and all(f.endswith(".gz") for f in parts)
+
+
+def test_stored_table_prunes_superseded_fingerprints(spark, tmp_path):
+    """Regenerating the source must not only force a fresh build
+    (fingerprint in the path) but also remove the superseded
+    generation's index directory — otherwise every regeneration leaks a
+    full orphan index. Unrelated tags must be untouched."""
+    import time
+
+    from automotive_big_data_analysis_spark.sources import stored
+
+    src = str(tmp_path / "corpus")
+    spark.range(5).toDF("doc_id").write.parquet(f"{src}/documents.parquet")
+
+    def build():
+        return spark.read.parquet(f"{src}/documents.parquet").selectExpr(
+            "doc_id", "doc_id * 2 AS v"
+        )
+
+    def make(tag):
+        return stored.stored_table(
+            spark, str(tmp_path / "wh"), "pr_test", src, tag, "idx",
+            "doc_id", build, src_table="documents",
+        )
+
+    make("t1")
+    make("other")  # unrelated tag, same corpus — must survive pruning
+    wh = tmp_path / "wh"
+    gen1 = {d.name for d in wh.iterdir()}
+    assert len(gen1) == 2
+    time.sleep(0.01)
+    for fn in (tmp_path / "corpus" / "documents.parquet").iterdir():
+        import os as _os
+
+        _os.utime(fn)
+    make("t1")  # new generation for t1
+    after = {d.name for d in wh.iterdir()}
+    # old t1 dir pruned, new t1 dir present, 'other' untouched
+    assert len(after) == 2
+    t1_dirs = {d for d in after if "_t1nb" in d}
+    assert len(t1_dirs) == 1 and t1_dirs.isdisjoint(gen1)
+    assert {d for d in after if "_othernb" in d} == {
+        d for d in gen1 if "_othernb" in d
+    }
