@@ -28,16 +28,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dict order) per round, so ordering is a verification-coverage decision.
 # Round-7 policy (per round-6 VERDICT item 1 — evidence FRESHNESS): the
 # window holds (a) all 15 queries whose newest driver-green row is r4 or
-# older (the stale backlog the verdict named), (b) the 4 queries NEW
+# older (the stale backlog the verdict named), (b) the 5 queries NEW
 # this round (the ANN recall/cost frontier sweep; the driver-gated
 # streaming rollup; the exact-rerank IVF-PQ third stage; the gzip
-# codec-path connector), (c) every query whose results or code changed this
+# codec-path connector; the incremental index-update drift report), (c) every query whose results or code changed this
 # round (the NPROBE 2→4 operating-point move re-scores the whole IVF
 # family and the recall report; the range-bucket rank rework behind the
 # RFM/decile queries; the fingerprinted text mirrors behind the
 # JSONL/CSV connectors; the re-attach fix behind the bucketed join; the
 # MinHash candidate-builder split), and (d) the thinnest-evidence
-# r5-newest queries: all 14 with a single green round [5], then 6 of
+# r5-newest queries: all 14 with a single green round [5], then 5 of
 # the [3,5] pairs. Displaced past position 50: only untouched queries that are r6-green or carry ≥4 green
 # rounds ([1,2,3,5] / [2,3,4,5]) — deepest evidence, lowest re-check
 # value; all are covered by this round's four committed local sweeps.
@@ -65,6 +65,7 @@ _SWEEP_PRIORITY = [
     "stream_hourly_rollup",
     "knn_ivfpq_rerank",
     "source_jsonl_gzip_events",
+    "knn_index_update_stats",
     # (c) results or code changed this round
     "knn_ivf",            # NPROBE 2→4 (frontier-chosen operating point)
     "knn_ivfpq",          # NPROBE 2→4
@@ -92,16 +93,15 @@ _SWEEP_PRIORITY = [
     "text_bpe_pairs",
     "text_repetition_stats",
     "text_tfidf_topterms",
-    # (d cont.) two-green-round [3,5] queries (6 of 11; the other five
+    # (d cont.) two-green-round [3,5] queries (5 of 11; the other six
     # — dedup_exact_stats, embedding_norm_stats, multimodal_frame_plan,
-    # text_token_stats, text_quality_scores — are displaced because
-    # their families have fresher in-window kin)
+    # text_token_stats, text_quality_scores, text_lang_confusion — are
+    # displaced because their families have fresher in-window kin)
     "asof_purchase_attribution",
     "events_error_bursts",
     "knn_bruteforce",
     "knn_lsh",
     "text_fingerprint_stats",
-    "text_lang_confusion",
 ]
 # The window is exactly full (50 entries). Everything displaced past
 # position 50 is r6-green or ≥4-rounds-green AND untouched this round;

@@ -716,6 +716,7 @@ def build_indexes(spark: SparkSession, sf_dir: str) -> None:
     bench harness times as ``index_build_s`` — searches then measure
     warm-index reads, which is the production steady state."""
     _lsh_postings(spark, sf_dir)
+    _hist_codebook(spark, sf_dir)
     _codebook(spark, sf_dir)
     _ranked_cells(spark, sf_dir)
     _pq_subcodebook(spark, sf_dir)
@@ -1090,6 +1091,87 @@ def embedding_kmeans(
             F.count("*").alias("n_vectors"),
             ex.dsum("d2", 6).alias("inertia"),
             ex.davg("d2").alias("avg_d2"),
+        )
+    )
+
+
+SPLIT_MOD = 5  # vec_id % 5 == 0 → the "incoming batch"; rest = history
+
+
+def _hist_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell_id, cv): the coarse codebook trained on HISTORY ONLY
+    (vec_id % SPLIT_MOD != 0) — the frozen model an incremental ingest
+    assigns against. Stored like the full codebook, under its own
+    table name."""
+    return _stored_index(
+        spark,
+        sf_dir,
+        "codebook_hist",
+        "cell_id",
+        lambda: _train_centroids(
+            _emb(spark, sf_dir).where(F.col("vec_id") % SPLIT_MOD != 0),
+            KM_ITERS,
+        ).select(F.col("cid").alias("cell_id"), F.col("cv")),
+    )
+
+
+def index_update_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the nightly-batch shape the
+    dedup family already has (``dedup_incremental_stats``), for the
+    vector index: an INCOMING batch (deterministic split: vec_id %
+    ``SPLIT_MOD`` == 0) is assigned to the cells of a codebook trained
+    on HISTORY ONLY — the index is UPDATED under the frozen model,
+    never retrained per batch. Output per cell: history/incoming
+    occupancy and each split's mean cosine to the centroid — the drift
+    report that decides when the frozen quantizer has aged enough to
+    retrain (incoming cosine well below history's ⇒ the codebook no
+    longer fits arriving data; a fat incoming share in few cells ⇒
+    hot-cell skew after ingest).
+
+    Scale shape: training is history × K against the broadcast model
+    (once per corpus snapshot, stored); the nightly update itself is
+    ONE map-side pass of the incoming batch against the broadcast
+    codebook plus a |cells|-row aggregate — no retrain, no shuffle of
+    history. Deterministic end-to-end (seeded initializer over history,
+    cosine round-6 + cell-id tiebreak, DECIMAL means), so DuckDB
+    replays the full report."""
+    emb = _emb(spark, sf_dir)
+    seeds = _hist_codebook(spark, sf_dir)
+    scored = emb.join(F.broadcast(seeds)).select(
+        "vec_id",
+        "cell_id",
+        F.round(V.cosine_unrolled("v", "cv"), 6).alias("c"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct("c", (-F.col("cell_id")).alias("nid"))).alias("s"))
+        .select(
+            "vec_id",
+            (-F.col("s.nid")).alias("cell_id"),
+            F.col("s.c").alias("c"),
+            (F.col("vec_id") % SPLIT_MOD == 0).alias("incoming"),
+        )
+    )
+    return (
+        assigned.groupBy("cell_id")
+        .agg(
+            F.sum(F.when(~F.col("incoming"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_history"),
+            F.sum(F.when(F.col("incoming"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_incoming"),
+            F.round(
+                F.sum(F.when(F.col("incoming"), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("incoming_share"),
+            ex.davg(F.when(~F.col("incoming"), F.col("c"))).alias(
+                "avg_cos_history"
+            ),
+            ex.davg(F.when(F.col("incoming"), F.col("c"))).alias(
+                "avg_cos_incoming"
+            ),
         )
     )
 
@@ -1718,6 +1800,43 @@ def _projection_quality_sql() -> str:
 
 ORACLE["embedding_projection_quality"] = _projection_quality_sql()
 
+# Incremental index maintenance: history-trained codebook (the _TRAIN_CTES
+# chain over e = history rows only), then ONE assignment pass over ALL
+# vectors with the (cosine DESC, cell_id) tie rule, split-labelled.
+ORACLE["knn_index_update_stats"] = f"""
+    WITH eall AS (
+        SELECT vec_id, {_V} AS v FROM embeddings
+    ), e AS (
+        SELECT * FROM eall WHERE vec_id % {SPLIT_MOD} != 0
+    ){_TRAIN_CTES}, sc AS (
+        SELECT a.vec_id, s.cell_id,
+               ROUND(list_dot_product(a.v, s.cv)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(s.cv, s.cv))), 6) AS c
+        FROM eall a CROSS JOIN seeds s
+    ), asn AS (
+        SELECT vec_id, cell_id, c,
+               (vec_id % {SPLIT_MOD} = 0) AS incoming
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c DESC, cell_id) AS r
+            FROM sc
+        ) WHERE r = 1
+    )
+    SELECT cell_id,
+           CAST(SUM(CASE WHEN NOT incoming THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_history,
+           CAST(SUM(CASE WHEN incoming THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_incoming,
+           ROUND(SUM(CASE WHEN incoming THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS incoming_share,
+           {ex.davg_sql("CASE WHEN NOT incoming THEN c END")}
+               AS avg_cos_history,
+           {ex.davg_sql("CASE WHEN incoming THEN c END")}
+               AS avg_cos_incoming
+    FROM asn GROUP BY cell_id
+"""
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
@@ -1727,6 +1846,7 @@ QUERIES = {
     "knn_ivfpq_rerank": knn_ivfpq_rerank,
     "knn_recall_report": knn_recall_report,
     "knn_recall_tradeoff": knn_recall_tradeoff,
+    "knn_index_update_stats": index_update_stats,
     "embedding_projection_quality": projection_quality,
     "embedding_cosine_dups": cosine_dup_pairs,
     "embedding_kmeans": embedding_kmeans,

@@ -409,3 +409,23 @@ def test_ivfpq_rerank_recovers_ivf_exactly_at_saturating_r(spark):
     }
     adc = {(r.query_id, r.vec_id) for r in sim.knn_ivfpq(spark, sf).collect()}
     assert len(bf & rr) >= len(bf & adc)
+
+
+def test_index_update_stats_semantics(spark):
+    """The incremental-maintenance report: every vector lands in exactly
+    one cell (splits partition the corpus), the split sizes match the
+    deterministic vec_id rule, and the shares are exact ratios."""
+    sf = "/root/testdata/sf0.001"
+    rows = sim.index_update_stats(spark, sf).collect()
+    emb = sim._emb(spark, sf)
+    n_inc = emb.where(F.col("vec_id") % sim.SPLIT_MOD == 0).count()
+    n_hist = emb.count() - n_inc
+    assert sum(r.n_incoming for r in rows) == n_inc
+    assert sum(r.n_history for r in rows) == n_hist
+    for r in rows:
+        tot = r.n_history + r.n_incoming
+        assert abs(r.incoming_share - r.n_incoming / tot) < 1e-6
+        if r.n_history:
+            assert -1.0 <= r.avg_cos_history <= 1.0
+        if r.n_incoming:
+            assert -1.0 <= r.avg_cos_incoming <= 1.0
