@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from automotive_big_data_analysis_spark.operators import analytics, asof, dedup, events, multimodal, pipeline, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis, training_prep
+from automotive_big_data_analysis_spark.operators import analytics, asof, dedup, events, maintenance, multimodal, pipeline, rag_prep, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis, training_prep
 from automotive_big_data_analysis_spark.sources import bucketed, text_formats
 from automotive_big_data_analysis_spark.streaming import events_stream
 
@@ -60,12 +60,16 @@ _SWEEP_PRIORITY = [
     "rollup_order_counts",
     "segment_share",
     "year_trend",
-    # (b) new this round
+    # (b) new this round — zero prior driver evidence, highest priority
     "knn_recall_tradeoff",
     "stream_hourly_rollup",
     "knn_ivfpq_rerank",
     "source_jsonl_gzip_events",
     "knn_index_update_stats",
+    "docs_chunk_stats",
+    "knn_ivf_filtered",
+    "training_epoch_order",
+    "maintenance_compaction_plan",
     # (c) results or code changed this round
     "knn_ivf",            # NPROBE 2→4 (frontier-chosen operating point)
     "knn_ivfpq",          # NPROBE 2→4
@@ -93,14 +97,14 @@ _SWEEP_PRIORITY = [
     "text_bpe_pairs",
     "text_repetition_stats",
     "text_tfidf_topterms",
-    # (d cont.) two-green-round [3,5] queries (5 of 11; the other six
-    # — dedup_exact_stats, embedding_norm_stats, multimodal_frame_plan,
-    # text_token_stats, text_quality_scores, text_lang_confusion — are
-    # displaced because their families have fresher in-window kin)
-    "asof_purchase_attribution",
-    "events_error_bursts",
-    "knn_bruteforce",
-    "knn_lsh",
+    # (d cont.) two-green-round [3,5] queries (1 of 11; the other ten —
+    # asof_purchase_attribution, events_error_bursts, knn_bruteforce,
+    # knn_lsh, dedup_exact_stats, embedding_norm_stats,
+    # multimodal_frame_plan, text_token_stats, text_quality_scores,
+    # text_lang_confusion — are displaced because their families have
+    # fresher in-window kin, making room for the four operators NEW in
+    # this session: the RAG chunking report, the filtered IVF search,
+    # the epoch-shuffle order, and the compaction planner)
     "text_fingerprint_stats",
 ]
 # The window is exactly full (50 entries). Everything displaced past
@@ -129,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(pipeline.QUERIES)
     merged.update(training_prep.QUERIES)
     merged.update(analytics.QUERIES)
+    merged.update(rag_prep.QUERIES)
+    merged.update(maintenance.QUERIES)
     out = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     out.update(merged)
     return out
@@ -154,4 +160,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(pipeline.ORACLE)
     out.update(training_prep.ORACLE)
     out.update(analytics.ORACLE)
+    out.update(rag_prep.ORACLE)
+    out.update(maintenance.ORACLE)
     return out

@@ -347,6 +347,59 @@ def knn_ivf(
     )
 
 
+FILTER_LABEL_MOD = 2  # demo metadata predicate: even labels only
+
+
+def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN top-5 via the IVF index: only corpus vectors
+    whose ``label`` satisfies the predicate (``label % 2 = 0``) are
+    candidates — the "filtered vector search" every production retrieval
+    system needs (tenant, license, language, freshness filters).
+
+    The production subtlety this operator encodes: a post-filter thins
+    every cell's surviving candidates, so a filtered search that kept the
+    unfiltered probe depth would silently lose recall. The standard fix
+    is probing DEEPER under filters — this searches at MAX_NPROBE (8,
+    the full stored postings depth) instead of the unfiltered default 4.
+
+    Scale shape: identical to :func:`knn_ivf` — stored cells + broadcast
+    probes/queries, bucket-local scoring — with the label predicate
+    applied to the postings side BEFORE scoring (the filter rides the
+    assignment join's output, so pruned vectors are never scored)."""
+    emb = _emb(spark, sf_dir)
+    ranked_cells = _ranked_cells(spark, sf_dir)
+    assign = (
+        ranked_cells.where(F.col("r") == 1)
+        .join(emb, "vec_id")
+        .where(F.col("label") % FILTER_LABEL_MOD == 0)
+        .select("vec_id", "v", "cell_id")
+    )
+    probes = ranked_cells.where(
+        (F.col("vec_id") < N_QUERIES) & (F.col("r") <= MAX_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 PQ_M = 8  # subspaces; PQ code = M small ids instead of DIM floats
 PQ_SUBDIM = V.DIM // PQ_M
 PQ_SUBK = 32  # sub-centroids per subspace (classic PQ: 256 at scale)
@@ -1331,10 +1384,52 @@ _IVF_SQL = f"""
     SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 """
 
+_IVF_FILTERED_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, label, {_V} AS v FROM embeddings
+    ){_TRAIN_CTES}, scored_cells AS (
+        SELECT e.vec_id, e.label, e.v, s.cell_id,
+               ROUND(list_dot_product(e.v, s.cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(s.cv, s.cv))), 6) AS cell_cos
+        FROM e CROSS JOIN seeds s
+    ), ranked_cells AS (
+        SELECT vec_id, label, v, cell_id, cell_cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id
+               ) AS r
+        FROM scored_cells
+    ), assign AS (
+        SELECT vec_id, v, cell_id FROM ranked_cells
+        WHERE r = 1 AND label % {FILTER_LABEL_MOD} = 0
+    ), probes AS (
+        SELECT vec_id AS query_id, cell_id FROM ranked_cells
+        WHERE vec_id < {N_QUERIES} AND r <= {MAX_NPROBE}
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT p.query_id, a.vec_id,
+               ROUND(list_dot_product(q.qv, a.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+        FROM probes p
+        JOIN assign a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
+        JOIN q ON q.query_id = p.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
 ORACLE: dict[str, str] = {
     "knn_bruteforce": _knn_sql("TRUE"),
     "knn_lsh": _knn_sql("e.sig = q.qsig"),
     "knn_ivf": _IVF_SQL,
+    "knn_ivf_filtered": _IVF_FILTERED_SQL,
     "embedding_cosine_dups": None,  # filled below
     "embedding_label_centroids": f"""
         WITH e AS (SELECT label, {_V} AS v FROM embeddings),
@@ -1841,6 +1936,7 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
+    "knn_ivf_filtered": knn_ivf_filtered,
     "knn_pq": knn_pq,
     "knn_ivfpq": knn_ivfpq,
     "knn_ivfpq_rerank": knn_ivfpq_rerank,

@@ -249,6 +249,76 @@ def temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic epoch shuffle --------------------------------------------
+
+N_EPOCHS = 2  # demo epochs; the rank machinery is per-epoch-independent
+
+
+def training_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order per training epoch, with
+    between-epoch displacement statistics.
+
+    A training run needs every epoch to visit the corpus in a different
+    but REPRODUCIBLE order (restarts, data-parallel workers, and audits
+    must all agree on example order without materializing a permutation
+    on one node). Epoch e's order is ``md5(e || ':' || doc_id)`` — a
+    content-keyed pseudo-permutation any engine can replay. The report
+    shows, per language, how far documents move between consecutive
+    epochs (mean/max absolute rank displacement): a healthy shuffle
+    re-scatters everything (mean ≈ N/3 for a uniform permutation), while
+    mean ≈ 0 would flag a broken epoch key.
+
+    Scale shape — the global rank is the distributed two-pass prefix
+    count, NOT a single-partition window: rows bucket by the first hex
+    digit of the epoch key (a prefix of the sort key, so bucket order IS
+    global order); per-(epoch, bucket) counts aggregate map-side; the
+    cumulative offsets window runs over that |epochs|×16-row aggregate;
+    within-bucket ``row_number`` windows are PARTITIONED by (epoch,
+    bucket) — parallel. Both epochs ride ONE scan (epoch ids explode
+    map-side) and the final displacement join is a per-doc two-row
+    groupBy, not a self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array(*[F.lit(e) for e in range(N_EPOCHS)])
+            ).alias("epoch"),
+        )
+        .withColumn(
+            "h", F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id")))
+        )
+        .withColumn(
+            "bucket", F.conv(F.substring("h", 1, 1), 16, 10).cast("int")
+        )
+    )
+    counts = base.groupBy("epoch", "bucket").agg(F.count("*").alias("bn"))
+    w_off = (
+        Window.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "epoch", "bucket", (F.sum("bn").over(w_off) - F.col("bn")).alias("off")
+    )
+    w_in = Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id")
+    ranked = base.join(F.broadcast(offsets), ["epoch", "bucket"]).withColumn(
+        "rank", F.col("off") + F.row_number().over(w_in)
+    )
+    per_doc = ranked.groupBy("doc_id", "lang").agg(
+        F.max(F.when(F.col("epoch") == 0, F.col("rank"))).alias("r0"),
+        F.max(F.when(F.col("epoch") == 1, F.col("rank"))).alias("r1"),
+    )
+    disp = F.abs(F.col("r0") - F.col("r1"))
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        ex.davg(disp.cast("double")).alias("avg_displacement"),
+        F.max(disp).cast("long").alias("max_displacement"),
+    )
+
+
 # --- BPE pair statistics ----------------------------------------------------
 
 BPE_TOP_K = 20
@@ -369,6 +439,28 @@ ORACLE: dict[str, str] = {
                CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
         FROM rates r LEFT JOIN kept k ON r.lang = k.lang
     """,
+    "training_epoch_order": f"""
+        WITH ranked AS (
+            SELECT d.doc_id, d.lang, e.epoch,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.epoch
+                       ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':'
+                                    || CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ) AS rank
+            FROM documents d
+            CROSS JOIN (SELECT UNNEST(range(0, {N_EPOCHS})) AS epoch) e
+        ), per_doc AS (
+            SELECT doc_id, lang,
+                   MAX(CASE WHEN epoch = 0 THEN rank END) AS r0,
+                   MAX(CASE WHEN epoch = 1 THEN rank END) AS r1
+            FROM ranked GROUP BY doc_id, lang
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               {ex.davg_sql("CAST(ABS(r0 - r1) AS DOUBLE)")}
+                   AS avg_displacement,
+               CAST(MAX(ABS(r0 - r1)) AS BIGINT) AS max_displacement
+        FROM per_doc GROUP BY lang
+    """,
     "text_bpe_pairs": f"""
         WITH pieces AS (
             SELECT {_PIECES} AS p FROM documents
@@ -388,4 +480,5 @@ QUERIES = {
     "pack_token_shards": pack_token_shards,
     "temperature_rebalance": temperature_rebalance,
     "text_bpe_pairs": bpe_pair_stats,
+    "training_epoch_order": training_epoch_order,
 }

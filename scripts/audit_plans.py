@@ -41,6 +41,11 @@ TINY_UNPARTITIONED_WINDOW: dict[str, str] = {
     # bucket (a fan-out constant), never the document rows themselves
     # (training_prep.py pack_token_shards, pass 1).
     "pack_token_shards": "per-bucket aggregate, rows = pack fan-out",
+    # Compaction binning runs over the per-FILE inventory aggregate —
+    # one row per data file (64 fragments here; a real lake's manifest
+    # is metadata-sized, and past ~1e6 files the pack_token_shards
+    # two-pass prefix sum applies verbatim — maintenance.py docstring).
+    "maintenance_compaction_plan": "per-file inventory aggregate, rows = file count",
 }
 
 

