@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from automotive_big_data_analysis_spark.operators import analytics, asof, dedup, events, maintenance, multimodal, pipeline, rag_prep, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis, training_prep
-from automotive_big_data_analysis_spark.sources import bucketed, text_formats
+from automotive_big_data_analysis_spark.sources import bucketed, schema_evolution, text_formats
 from automotive_big_data_analysis_spark.streaming import events_stream
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -28,21 +28,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dict order) per round, so ordering is a verification-coverage decision.
 # Round-7 policy (per round-6 VERDICT item 1 — evidence FRESHNESS): the
 # window holds (a) all 15 queries whose newest driver-green row is r4 or
-# older (the stale backlog the verdict named), (b) the 5 queries NEW
-# this round (the ANN recall/cost frontier sweep; the driver-gated
-# streaming rollup; the exact-rerank IVF-PQ third stage; the gzip
-# codec-path connector; the incremental index-update drift report), (c) every query whose results or code changed this
-# round (the NPROBE 2→4 operating-point move re-scores the whole IVF
-# family and the recall report; the range-bucket rank rework behind the
-# RFM/decile queries; the fingerprinted text mirrors behind the
-# JSONL/CSV connectors; the re-attach fix behind the bucketed join; the
-# MinHash candidate-builder split), and (d) the thinnest-evidence
-# r5-newest queries: all 14 with a single green round [5], then 5 of
-# the [3,5] pairs. Displaced past position 50: only untouched queries that are r6-green or carry ≥4 green
-# rounds ([1,2,3,5] / [2,3,4,5]) — deepest evidence, lowest re-check
-# value; all are covered by this round's four committed local sweeps.
-# After this rotation every registered query's newest driver-green row
-# is r5+ once the r7 gate runs (the verdict's done-criterion).
+# older (the stale backlog the verdict named), (b) the ELEVEN queries
+# NEW this round — the ANN recall/cost frontier sweep, the two
+# driver-gated streaming queries (hourly rollup + session windows), the
+# exact-rerank IVF-PQ third stage, the gzip codec-path and
+# schema-evolution connectors, the incremental index-update drift
+# report, the RAG chunking report, the filtered IVF search, the
+# epoch-shuffle order, and the compaction planner — (c) every query
+# whose results or code changed this round (the NPROBE 2→4
+# operating-point move re-scores the whole IVF family and the recall
+# report; the range-bucket rank rework behind the RFM/decile queries;
+# the fingerprinted text mirrors behind the JSONL/CSV connectors; the
+# re-attach fix behind the bucketed join; the MinHash candidate-builder
+# split), and (d) the thinnest-evidence r5-newest queries: 13 of the 14
+# with a single green round [5]. Displaced past position 50: only
+# untouched queries that are r6-green or whose families carry fresher
+# in-window kin — deepest evidence, lowest re-check value; all are
+# covered by this round's committed local sweeps. After this rotation
+# every registered query's newest driver-green row is r5+ once the r7
+# gate runs (the verdict's done-criterion).
 _SWEEP_PRIORITY = [
     # (a) newest driver-green row is r4 or older — the stale backlog
     "cross_nation_volume",
@@ -70,6 +74,8 @@ _SWEEP_PRIORITY = [
     "knn_ivf_filtered",
     "training_epoch_order",
     "maintenance_compaction_plan",
+    "stream_user_sessions",
+    "source_schema_evolution_events",
     # (c) results or code changed this round
     "knn_ivf",            # NPROBE 2→4 (frontier-chosen operating point)
     "knn_ivfpq",          # NPROBE 2→4
@@ -96,16 +102,16 @@ _SWEEP_PRIORITY = [
     "temperature_rebalance",
     "text_bpe_pairs",
     "text_repetition_stats",
-    "text_tfidf_topterms",
-    # (d cont.) two-green-round [3,5] queries (1 of 11; the other ten —
-    # asof_purchase_attribution, events_error_bursts, knn_bruteforce,
+    # (d cont.) all eleven two-green-round [3,5] queries
+    # (asof_purchase_attribution, events_error_bursts, knn_bruteforce,
     # knn_lsh, dedup_exact_stats, embedding_norm_stats,
     # multimodal_frame_plan, text_token_stats, text_quality_scores,
-    # text_lang_confusion — are displaced because their families have
-    # fresher in-window kin, making room for the four operators NEW in
-    # this session: the RAG chunking report, the filtered IVF search,
-    # the epoch-shuffle order, and the compaction planner)
-    "text_fingerprint_stats",
+    # text_lang_confusion, text_fingerprint_stats) and the [5]-green
+    # text_tfidf_topterms are displaced — each family has fresher
+    # in-window kin — making room for the six queries NEW this session:
+    # the RAG chunking report, the filtered IVF search, the
+    # epoch-shuffle order, the compaction planner, the second streaming
+    # gate (session windows), and the schema-evolution connector.
 ]
 # The window is exactly full (50 entries). Everything displaced past
 # position 50 is r6-green or ≥4-rounds-green AND untouched this round;
@@ -135,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(analytics.QUERIES)
     merged.update(rag_prep.QUERIES)
     merged.update(maintenance.QUERIES)
+    merged.update(schema_evolution.QUERIES)
     out = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     out.update(merged)
     return out
@@ -162,4 +169,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(analytics.ORACLE)
     out.update(rag_prep.ORACLE)
     out.update(maintenance.ORACLE)
+    out.update(schema_evolution.ORACLE)
     return out

@@ -325,6 +325,55 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query #2 for the streaming layer: the JSONL
+    landing-directory stream driven through the native
+    ``session_window`` gap-merge aggregation — the STATEFUL operator
+    whose merge logic (adjacent-session coalescing as events arrive) is
+    exactly what a batch engine never exercises. The oracle computes
+    the same sessions from the parquet table via the lag-gap
+    formulation (``operators/events._SESSION_CTE``); equality proves
+    the streaming state machine converges to the batch definition:
+    session start = first event, membership = gap ≤ 30 min, exact
+    DECIMAL value sums.
+
+    ``complete`` output mode for the same bounded-replay reason as
+    :func:`stream_hourly_rollup` — tail sessions inside the watermark
+    would be withheld forever under ``append`` (the existing
+    batch/stream agreement test shows exactly that). Production runs
+    ``append`` into a keyed sink; the memory sink is the harness."""
+    import uuid
+
+    from automotive_big_data_analysis_spark.sources.text_formats import (
+        _ensure_written,
+    )
+
+    path = _ensure_written(spark, sf_dir, "jsonl")
+    sess = session_stream(read_event_stream_jsonl(spark, path))
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory(sess, name, output_mode="complete")
+    rows = out.select("user_id", "session_start", "n_events", "session_value")
+    result = spark.createDataFrame(rows.collect(), rows.schema)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+def _session_oracle_sql() -> str:
+    from automotive_big_data_analysis_spark.operators.events import (
+        _SESSION_CTE,
+    )
+
+    return (
+        _SESSION_CTE
+        + f"""
+        SELECT user_id, MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               {ex.dsum_sql("value")} AS session_value
+        FROM numbered GROUP BY user_id, session_seq
+    """
+    )
+
+
 ORACLE: dict[str, str] = {
     # identical rollup from the PARQUET events table — the stream must
     # reproduce it exactly (same grouping, same exact-decimal sum)
@@ -334,8 +383,10 @@ ORACLE: dict[str, str] = {
                {ex.dsum_sql("value")} AS total_value
         FROM events GROUP BY 1, 2
     """,
+    "stream_user_sessions": _session_oracle_sql(),
 }
 
 QUERIES = {
     "stream_hourly_rollup": stream_hourly_rollup,
+    "stream_user_sessions": stream_user_sessions,
 }

@@ -169,10 +169,12 @@ def main() -> None:
 
     from automotive_big_data_analysis_spark.operators import (
         dedup as _dd,
+        maintenance as _mt,
         similarity as _sim,
     )
     from automotive_big_data_analysis_spark.sources import (
         bucketed as _bk,
+        schema_evolution as _se,
         text_formats as _tf,
     )
 
@@ -187,6 +189,8 @@ def main() -> None:
         _sim.ANN_INDEX_LOCATION,
         _bk.DEFAULT_LOCATION,
         _tf.TEXTFMT_LOCATION,
+        _mt.MAINT_LOCATION,
+        _se.SCHEMA_EVO_LOCATION,
     ):
         if not os.path.isdir(root):
             continue
@@ -201,6 +205,8 @@ def main() -> None:
         ("bucketed_layout", lambda: _bk.ensure_layout(spark, sf_dir)),
         ("dedup_pair_index", lambda: _dd.build_indexes(spark, sf_dir)),
         ("ann_index", lambda: _sim.build_indexes(spark, sf_dir)),
+        ("fragment_mirror", lambda: _mt.ensure_fragmented(spark, sf_dir)),
+        ("schema_evo_mirror", lambda: _se.ensure_generations(spark, sf_dir)),
     ):
         t0 = time.time()
         build()

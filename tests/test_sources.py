@@ -354,3 +354,46 @@ def test_stored_table_prunes_superseded_fingerprints(spark, tmp_path):
     assert {d for d in after if "_othernb" in d} == {
         d for d in gen1 if "_othernb" in d
     }
+
+
+def test_schema_evolution_merged_read_null_fills_exactly(spark):
+    """mergeSchema across producer generations: row-lossless union,
+    `value` null-filled for exactly the generation-1 rows, generation
+    column discovered from the directory layout."""
+    from pyspark.sql import functions as F
+
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.sources import schema_evolution as se
+
+    sf = "/root/testdata/sf0.001"
+    merged = se.read_merged(spark, sf)
+    canonical = load_table(spark, sf, "events")
+    assert merged.count() == canonical.count()
+    # generation membership is the content-keyed rule, and value-null
+    # coincides with it exactly
+    bad = merged.where(
+        ((F.col("event_id") % 2 == 0) & (F.col("gen") != 1))
+        | ((F.col("event_id") % 2 != 0) & (F.col("gen") != 2))
+        | ((F.col("gen") == 1) != F.col("value").isNull())
+    ).count()
+    assert bad == 0
+
+
+def test_schema_evolution_generation_predicate_prunes_directories(spark):
+    """`WHERE gen = 2` must prune the generation-1 directory at plan
+    time (partition pruning on the discovered column): the filtered
+    scan reads strictly fewer files than the full scan."""
+    from pyspark.sql import functions as F
+
+    from automotive_big_data_analysis_spark.sources import schema_evolution as se
+
+    sf = "/root/testdata/sf0.001"
+    merged = se.read_merged(spark, sf)
+    all_files = merged.select(F.input_file_name().alias("f")).distinct().count()
+    gen2_files = (
+        merged.where(F.col("gen") == 2)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert 0 < gen2_files < all_files

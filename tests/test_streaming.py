@@ -340,3 +340,22 @@ def test_stream_hourly_rollup_driver_gate_matches_batch(spark):
         for r in ev.hourly_rollup(spark, sf).collect()
     }
     assert got == want
+
+
+def test_stream_user_sessions_driver_gate_matches_batch(spark):
+    """The second driver-gated streaming query (JSONL landing stream ->
+    complete-mode session_window) must reproduce the batch lag-gap
+    sessionization exactly — start, membership, and exact value sums."""
+    from automotive_big_data_analysis_spark.operators import events as ev
+    from automotive_big_data_analysis_spark.streaming import events_stream as es
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.session_value)
+        for r in es.stream_user_sessions(spark, sf).collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.session_value)
+        for r in ev.sessionize(spark, sf).collect()
+    }
+    assert got == want
