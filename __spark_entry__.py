@@ -28,19 +28,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dict order) per round, so ordering is a verification-coverage decision.
 # Round-7 policy (per round-6 VERDICT item 1 — evidence FRESHNESS): the
 # window holds (a) all 15 queries whose newest driver-green row is r4 or
-# older (the stale backlog the verdict named), (b) the ELEVEN queries
+# older (the stale backlog the verdict named), (b) the THIRTEEN queries
 # NEW this round — the ANN recall/cost frontier sweep, the two
 # driver-gated streaming queries (hourly rollup + session windows), the
-# exact-rerank IVF-PQ third stage, the gzip codec-path and
-# schema-evolution connectors, the incremental index-update drift
-# report, the RAG chunking report, the filtered IVF search, the
-# epoch-shuffle order, and the compaction planner — (c) every query
+# gzip codec-path, schema-evolution, and idempotent-reingest
+# connectors, the exact-rerank IVF-PQ third stage, the incremental
+# index-update drift report, the RAG chunking report, the filtered IVF
+# search, the epoch-shuffle order, and the compaction + layout-skipping
+# maintenance pair — (c) every query
 # whose results or code changed this round (the NPROBE 2→4
 # operating-point move re-scores the whole IVF family and the recall
 # report; the range-bucket rank rework behind the RFM/decile queries;
 # the fingerprinted text mirrors behind the JSONL/CSV connectors; the
 # re-attach fix behind the bucketed join; the MinHash candidate-builder
-# split), and (d) the thinnest-evidence r5-newest queries: 13 of the 14
+# split), and (d) the thinnest-evidence r5-newest queries: 11 of the 14
 # with a single green round [5]. Displaced past position 50: only
 # untouched queries that are r6-green or whose families carry fresher
 # in-window kin — deepest evidence, lowest re-check value; all are
@@ -76,6 +77,8 @@ _SWEEP_PRIORITY = [
     "maintenance_compaction_plan",
     "stream_user_sessions",
     "source_schema_evolution_events",
+    "source_idempotent_reingest_events",
+    "maintenance_layout_skipping",
     # (c) results or code changed this round
     "knn_ivf",            # NPROBE 2→4 (frontier-chosen operating point)
     "knn_ivfpq",          # NPROBE 2→4
@@ -98,20 +101,20 @@ _SWEEP_PRIORITY = [
     "events_sessionize",
     "events_user_retention",
     "pack_token_shards",
-    "sample_weighted_documents",
     "temperature_rebalance",
     "text_bpe_pairs",
-    "text_repetition_stats",
     # (d cont.) all eleven two-green-round [3,5] queries
     # (asof_purchase_attribution, events_error_bursts, knn_bruteforce,
     # knn_lsh, dedup_exact_stats, embedding_norm_stats,
     # multimodal_frame_plan, text_token_stats, text_quality_scores,
     # text_lang_confusion, text_fingerprint_stats) and the [5]-green
-    # text_tfidf_topterms are displaced — each family has fresher
-    # in-window kin — making room for the six queries NEW this session:
-    # the RAG chunking report, the filtered IVF search, the
-    # epoch-shuffle order, the compaction planner, the second streaming
-    # gate (session windows), and the schema-evolution connector.
+    # text_tfidf_topterms, text_repetition_stats, and
+    # sample_weighted_documents are displaced — each family has fresher
+    # in-window kin — making room for the eight queries NEW this
+    # session: the RAG chunking report, the filtered IVF search, the
+    # epoch-shuffle order, the compaction planner, the layout-skipping
+    # report, the second streaming gate (session windows), and the
+    # schema-evolution + idempotent-reingest connectors.
 ]
 # The window is exactly full (50 entries). Everything displaced past
 # position 50 is r6-green or ≥4-rounds-green AND untouched this round;

@@ -167,6 +167,24 @@ def jsonl_gzip_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _summary(_read_events_text(spark, sf_dir, "jsonl_gzip"))
 
 
+def idempotent_reingest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: EXACTLY-ONCE ingest semantics under replay. A
+    landing-tier consumer that crashes mid-commit re-reads files it may
+    already have ingested; the standard fix is an idempotent, keyed
+    merge (MERGE INTO … ON event_id) so re-delivery never double-counts.
+    This simulates the failure: the same JSONL batch ingested TWICE
+    (union), then collapsed by the natural key before aggregation. The
+    oracle is the single-ingest summary from the parquet table —
+    equality proves the dedup made the replay invisible.
+
+    Scale shape: ``dropDuplicates(key)`` is one hash shuffle on the
+    merge key — exactly the exchange a keyed MERGE pays; duplicates are
+    bit-identical rows, so which survives is value-irrelevant."""
+    ev = _read_events_text(spark, sf_dir, "jsonl")
+    replayed = ev.unionByName(ev)  # the crashed consumer's second read
+    return _summary(replayed.dropDuplicates(["event_id"]))
+
+
 _SUMMARY_SQL = f"""
     SELECT event_type, COUNT(*) AS n_events,
            COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours,
@@ -179,10 +197,12 @@ ORACLE: dict[str, str] = {
     "source_jsonl_events": _SUMMARY_SQL,
     "source_csv_events": _SUMMARY_SQL,
     "source_jsonl_gzip_events": _SUMMARY_SQL,
+    "source_idempotent_reingest_events": _SUMMARY_SQL,
 }
 
 QUERIES = {
     "source_jsonl_events": jsonl_events_summary,
     "source_csv_events": csv_events_summary,
     "source_jsonl_gzip_events": jsonl_gzip_events_summary,
+    "source_idempotent_reingest_events": idempotent_reingest_summary,
 }

@@ -205,7 +205,7 @@ def main() -> None:
         ("bucketed_layout", lambda: _bk.ensure_layout(spark, sf_dir)),
         ("dedup_pair_index", lambda: _dd.build_indexes(spark, sf_dir)),
         ("ann_index", lambda: _sim.build_indexes(spark, sf_dir)),
-        ("fragment_mirror", lambda: _mt.ensure_fragmented(spark, sf_dir)),
+        ("layout_mirrors", lambda: _mt.ensure_layout_mirrors(spark, sf_dir)),
         ("schema_evo_mirror", lambda: _se.ensure_generations(spark, sf_dir)),
     ):
         t0 = time.time()

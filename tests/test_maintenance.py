@@ -43,3 +43,18 @@ def test_fragmented_mirror_write_is_idempotent(spark):
     mtime = os.path.getmtime(f"{path}/_SUCCESS")
     assert mt.ensure_fragmented(spark, SF) == path
     assert os.path.getmtime(f"{path}/_SUCCESS") == mtime
+
+
+def test_layout_skipping_time_layout_prunes_exactly(spark):
+    rows = {r.layout: r for r in mt.layout_skipping(spark, SF).collect()}
+    t, h = rows["time_partitioned"], rows["hash_fragments"]
+    # one file per day, and a day probe opens exactly that file
+    assert t.n_files == t.n_probe_days
+    assert t.avg_files_scanned == 1.0
+    # report values are rounded to 6 decimals
+    assert abs(t.avg_scan_fraction - 1.0 / t.n_files) < 1e-6
+    # the content-hash layout scatters days across (nearly) every file
+    assert h.n_files == mt.N_FRAGMENTS
+    assert h.n_probe_days == t.n_probe_days
+    assert h.avg_files_scanned > 5 * t.avg_files_scanned
+    assert h.avg_scan_fraction > 0.5

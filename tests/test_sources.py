@@ -397,3 +397,19 @@ def test_schema_evolution_generation_predicate_prunes_directories(spark):
         .count()
     )
     assert 0 < gen2_files < all_files
+
+
+def test_idempotent_reingest_collapses_the_replay(spark):
+    """The doubled landing read must collapse to the single-ingest
+    summary — replay is invisible after the keyed merge."""
+    from automotive_big_data_analysis_spark.sources import text_formats as tf
+
+    sf = "/root/testdata/sf0.001"
+    single = tf._read_events_text(spark, sf, "jsonl")
+    doubled = single.unionByName(single)
+    assert doubled.count() == 2 * single.count()
+    got = {
+        tuple(r) for r in tf.idempotent_reingest_summary(spark, sf).collect()
+    }
+    want = {tuple(r) for r in tf._summary(single).collect()}
+    assert got == want
