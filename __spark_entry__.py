@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from automotive_big_data_analysis_spark.operators import analytics, asof, dedup, events, maintenance, multimodal, pipeline, rag_prep, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis, training_prep
-from automotive_big_data_analysis_spark.sources import bucketed, schema_evolution, text_formats
+from automotive_big_data_analysis_spark.sources import bucketed, cdc, schema_evolution, text_formats
 from automotive_big_data_analysis_spark.streaming import events_stream
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -28,11 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dict order) per round, so ordering is a verification-coverage decision.
 # Round-7 policy (per round-6 VERDICT item 1 — evidence FRESHNESS): the
 # window holds (a) all 15 queries whose newest driver-green row is r4 or
-# older (the stale backlog the verdict named), (b) the THIRTEEN queries
+# older (the stale backlog the verdict named), (b) the FOURTEEN queries
 # NEW this round — the ANN recall/cost frontier sweep, the two
 # driver-gated streaming queries (hourly rollup + session windows), the
-# gzip codec-path, schema-evolution, and idempotent-reingest
-# connectors, the exact-rerank IVF-PQ third stage, the incremental
+# gzip codec-path, schema-evolution, idempotent-reingest, and
+# CDC-merge connectors, the exact-rerank IVF-PQ third stage, the incremental
 # index-update drift report, the RAG chunking report, the filtered IVF
 # search, the epoch-shuffle order, and the compaction + layout-skipping
 # maintenance pair — (c) every query
@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # report; the range-bucket rank rework behind the RFM/decile queries;
 # the fingerprinted text mirrors behind the JSONL/CSV connectors; the
 # re-attach fix behind the bucketed join; the MinHash candidate-builder
-# split), and (d) the thinnest-evidence r5-newest queries: 11 of the 14
+# split), and (d) the thinnest-evidence r5-newest queries: 10 of the 14
 # with a single green round [5]. Displaced past position 50: only
 # untouched queries that are r6-green or whose families carry fresher
 # in-window kin — deepest evidence, lowest re-check value; all are
@@ -79,6 +79,7 @@ _SWEEP_PRIORITY = [
     "source_schema_evolution_events",
     "source_idempotent_reingest_events",
     "maintenance_layout_skipping",
+    "source_cdc_merge_events",
     # (c) results or code changed this round
     "knn_ivf",            # NPROBE 2→4 (frontier-chosen operating point)
     "knn_ivfpq",          # NPROBE 2→4
@@ -94,7 +95,6 @@ _SWEEP_PRIORITY = [
     # (d) thinnest evidence first: single-green-round [5] queries
     "approx_part_stats",
     "contamination_stats",
-    "docs_embedding_quality_corr",
     "docs_length_gate",
     "events_funnel",
     "events_hourly_anomalies",
@@ -108,13 +108,14 @@ _SWEEP_PRIORITY = [
     # knn_lsh, dedup_exact_stats, embedding_norm_stats,
     # multimodal_frame_plan, text_token_stats, text_quality_scores,
     # text_lang_confusion, text_fingerprint_stats) and the [5]-green
-    # text_tfidf_topterms, text_repetition_stats, and
-    # sample_weighted_documents are displaced — each family has fresher
+    # text_tfidf_topterms, text_repetition_stats,
+    # sample_weighted_documents, and docs_embedding_quality_corr are
+    # displaced — each family has fresher
     # in-window kin — making room for the eight queries NEW this
     # session: the RAG chunking report, the filtered IVF search, the
     # epoch-shuffle order, the compaction planner, the layout-skipping
     # report, the second streaming gate (session windows), and the
-    # schema-evolution + idempotent-reingest connectors.
+    # schema-evolution + idempotent-reingest + CDC-merge connectors.
 ]
 # The window is exactly full (50 entries). Everything displaced past
 # position 50 is r6-green or ≥4-rounds-green AND untouched this round;
@@ -145,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(rag_prep.QUERIES)
     merged.update(maintenance.QUERIES)
     merged.update(schema_evolution.QUERIES)
+    merged.update(cdc.QUERIES)
     out = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     out.update(merged)
     return out
@@ -173,4 +175,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(rag_prep.ORACLE)
     out.update(maintenance.ORACLE)
     out.update(schema_evolution.ORACLE)
+    out.update(cdc.ORACLE)
     return out

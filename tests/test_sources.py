@@ -413,3 +413,33 @@ def test_idempotent_reingest_collapses_the_replay(spark):
     }
     want = {tuple(r) for r in tf._summary(single).collect()}
     assert got == want
+
+
+def test_cdc_merge_latest_wins_and_tombstones(spark):
+    """The fold must drop exactly the tombstoned keys, keep the update's
+    bumped value on surviving updated keys, and never invent rows."""
+    from pyspark.sql import functions as F
+
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.sources import cdc
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    snap = cdc.merged_snapshot(spark, sf)
+    n = ev.count()
+    n_del = ev.where(F.col("event_id") % cdc.DELETE_MOD == 0).count()
+    assert snap.count() == n - n_del
+    assert snap.where(F.col("event_id") % cdc.DELETE_MOD == 0).count() == 0
+    # a surviving updated key carries version 2 and the bumped value
+    probe = (
+        snap.join(ev.select("event_id", F.col("value").alias("base_value")), "event_id")
+        .where(F.col("op") == "U")
+    )
+    bad = probe.where(
+        (F.col("version") != 2)
+        | (F.abs(F.col("value") - (F.col("base_value") + cdc.VALUE_BUMP)) > 1e-9)
+    ).count()
+    assert bad == 0
+    # untouched keys keep version 1 with the base value
+    untouched = snap.where(F.col("op") == "I")
+    assert untouched.select(F.max("version")).first()[0] == 1
