@@ -28,20 +28,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dict order) per round, so ordering is a verification-coverage decision.
 # Round-7 policy (per round-6 VERDICT item 1 — evidence FRESHNESS): the
 # window holds (a) all 15 queries whose newest driver-green row is r4 or
-# older (the stale backlog the verdict named), (b) the FOURTEEN queries
+# older (the stale backlog the verdict named), (b) the SIXTEEN queries
 # NEW this round — the ANN recall/cost frontier sweep, the two
 # driver-gated streaming queries (hourly rollup + session windows), the
 # gzip codec-path, schema-evolution, idempotent-reingest, and
 # CDC-merge connectors, the exact-rerank IVF-PQ third stage, the incremental
 # index-update drift report, the RAG chunking report, the filtered IVF
-# search, the epoch-shuffle order, and the compaction + layout-skipping
-# maintenance pair — (c) every query
+# search, the epoch-shuffle order, the compaction + layout-skipping
+# maintenance pair, the CDC incremental-view-maintenance rollup, and
+# the embedding semantic-dedup keep decision — (c) every query
 # whose results or code changed this round (the NPROBE 2→4
 # operating-point move re-scores the whole IVF family and the recall
 # report; the range-bucket rank rework behind the RFM/decile queries;
 # the fingerprinted text mirrors behind the JSONL/CSV connectors; the
 # re-attach fix behind the bucketed join; the MinHash candidate-builder
-# split), and (d) the thinnest-evidence r5-newest queries: 10 of the 14
+# split), and (d) the thinnest-evidence r5-newest queries: 8 of the 14
 # with a single green round [5]. Displaced past position 50: only
 # untouched queries that are r6-green or whose families carry fresher
 # in-window kin — deepest evidence, lowest re-check value; all are
@@ -80,6 +81,8 @@ _SWEEP_PRIORITY = [
     "source_idempotent_reingest_events",
     "maintenance_layout_skipping",
     "source_cdc_merge_events",
+    "cdc_ivm_hourly_rollup",
+    "embedding_semantic_keep_stats",
     # (c) results or code changed this round
     "knn_ivf",            # NPROBE 2→4 (frontier-chosen operating point)
     "knn_ivfpq",          # NPROBE 2→4
@@ -95,9 +98,7 @@ _SWEEP_PRIORITY = [
     # (d) thinnest evidence first: single-green-round [5] queries
     "approx_part_stats",
     "contamination_stats",
-    "docs_length_gate",
     "events_funnel",
-    "events_hourly_anomalies",
     "events_sessionize",
     "events_user_retention",
     "pack_token_shards",
@@ -109,8 +110,8 @@ _SWEEP_PRIORITY = [
     # multimodal_frame_plan, text_token_stats, text_quality_scores,
     # text_lang_confusion, text_fingerprint_stats) and the [5]-green
     # text_tfidf_topterms, text_repetition_stats,
-    # sample_weighted_documents, and docs_embedding_quality_corr are
-    # displaced — each family has fresher
+    # sample_weighted_documents, docs_embedding_quality_corr,
+    # docs_length_gate, and events_hourly_anomalies are displaced — each family has fresher
     # in-window kin — making room for the eight queries NEW this
     # session: the RAG chunking report, the filtered IVF search, the
     # epoch-shuffle order, the compaction planner, the layout-skipping

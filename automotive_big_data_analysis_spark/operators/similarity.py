@@ -1090,6 +1090,40 @@ def cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_keep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup DECISION on top of the near-dup
+    pair list: a vector is DROPPED when it has a near-duplicate partner
+    with a lower id (the same deterministic greedy rule as the text
+    family's ``dedup_keep_stats``), and the report accounts keeps/drops
+    per label. Closes the semantic-dedup loop: ``embedding_cosine_dups``
+    finds the pairs; this operator is the keep policy a curation run
+    actually applies before training.
+
+    Scale shape: the pair list is threshold-bounded (tiny relative to
+    the corpus); its distinct drop set joins back to the corpus as a
+    broadcast-or-hash semi-join marker (AQE picks; the join is keyed on
+    vec_id either way), and the rollup is a |labels|-row aggregate. At
+    extreme scale the pair list comes from the stored LSH-pruned
+    composition the pairs operator documents."""
+    pairs = cosine_dup_pairs(spark, sf_dir)
+    dropped = (
+        pairs.select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    flagged = emb.join(dropped, "vec_id", "left")
+    return flagged.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.coalesce(F.col("_drop"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("_drop").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
 KM_ITERS = 2  # Lloyd rounds (fixed so the oracle can unroll them)
 
 
@@ -1479,6 +1513,19 @@ def _dup_sql() -> str:
 
 
 ORACLE["embedding_cosine_dups"] = _dup_sql()
+
+ORACLE["embedding_semantic_keep_stats"] = f"""
+    WITH dropped AS (
+        SELECT DISTINCT vec_b FROM ({_dup_sql()})
+    )
+    SELECT e.label, COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN d.vec_b IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.vec_b IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_b
+    GROUP BY e.label
+"""
 
 
 ORACLE["embedding_kmeans"] = (
@@ -1945,6 +1992,7 @@ QUERIES = {
     "knn_index_update_stats": index_update_stats,
     "embedding_projection_quality": projection_quality,
     "embedding_cosine_dups": cosine_dup_pairs,
+    "embedding_semantic_keep_stats": semantic_keep_stats,
     "embedding_kmeans": embedding_kmeans,
     "embedding_label_centroids": label_centroids,
     "embedding_norm_stats": norm_stats,

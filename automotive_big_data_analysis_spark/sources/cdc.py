@@ -94,7 +94,85 @@ def cdc_merge_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivm_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the hourly rollup under the CDC
+    changelog: the materialized aggregate is brought current by merging
+    a DELTA computed from the changelog alone — the fact table is never
+    rescanned, which is the entire point at 100 TB (the nightly job
+    touches |changelog| rows + |view| groups, not petabytes).
+
+    Delta rules per changed key (before-images come from the keyed
+    changelog↔base join, here fused because the changelog derives from
+    the snapshot): a tombstone contributes (-1, -old_value); a
+    surviving update contributes (0, new_value - old_value). All value
+    arithmetic accumulates in DECIMAL(25,10) UNROUNDED through the
+    merge and rounds once at the end — decimal addition is exact and
+    associative, so view + delta is BIT-EQUAL to the full recompute the
+    oracle runs (a double-typed view would drift by an ulp and fail the
+    hash gate; that is the real IVM lesson this operator encodes).
+
+    Scale shape: the old view is a |hours × types| aggregate; the delta
+    is one partial-combined aggregation over changelog-affected rows
+    only; the merge is a full-outer join on the (hour, type) dimension
+    key. Groups whose count reaches zero are dropped, matching the
+    recompute."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts").alias("window_start")
+    old_view = ev.groupBy(hour, "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(ex.dec("value")).alias("tot"),  # UNROUNDED decimal state
+    )
+    changed = ev.where(
+        (F.col("event_id") % UPDATE_MOD == 0)
+        | (F.col("event_id") % DELETE_MOD == 0)
+    )
+    is_del = F.col("event_id") % DELETE_MOD == 0
+    delta = changed.groupBy(hour, "event_type").agg(
+        F.sum(F.when(is_del, -1).otherwise(0)).alias("d_n"),
+        F.sum(
+            F.when(is_del, -ex.dec("value")).otherwise(
+                ex.dec(F.col("value") + VALUE_BUMP) - ex.dec("value")
+            )
+        ).alias("d_tot"),
+    )
+    merged = (
+        old_view.join(delta, ["window_start", "event_type"], "full_outer")
+        .select(
+            "window_start",
+            "event_type",
+            (
+                F.coalesce(F.col("n_events"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("tot"), F.lit(0).cast(ex.DEC))
+                + F.coalesce(F.col("d_tot"), F.lit(0).cast(ex.DEC))
+            ).alias("tot"),
+        )
+        .where(F.col("n_events") > 0)
+    )
+    return merged.select(
+        "window_start",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("tot").cast("double"), 6).alias("total_value"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    # full recompute over the closed-form post-merge state — the IVM
+    # result must be bit-equal to it
+    "cdc_ivm_hourly_rollup": f"""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(
+                   CASE WHEN event_id % {UPDATE_MOD} = 0
+                        THEN value + {VALUE_BUMP} ELSE value END
+                   AS {ex.SQL_DEC})) AS DOUBLE), 6) AS total_value
+        FROM events
+        WHERE event_id % {DELETE_MOD} != 0
+        GROUP BY 1, 2
+    """,
     # closed-form post-merge state: deleted keys gone, updated keys
     # carry the bump — no merge machinery, so equality verifies the fold
     "source_cdc_merge_events": f"""
@@ -113,4 +191,5 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "source_cdc_merge_events": cdc_merge_summary,
+    "cdc_ivm_hourly_rollup": ivm_hourly_rollup,
 }

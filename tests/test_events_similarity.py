@@ -457,3 +457,17 @@ def test_knn_ivf_filtered_honors_predicate_and_probes_deeper(spark):
     # deeper probing under filters: the filtered search uses the full
     # stored postings depth, not the unfiltered default
     assert sim.MAX_NPROBE > sim.NPROBE
+
+
+def test_semantic_keep_accounts_exactly(spark):
+    """Keep/drop partition the corpus; the drop set is exactly the
+    distinct higher-id members of the near-dup pair list."""
+    sf = "/root/testdata/sf0.001"
+    rows = sim.semantic_keep_stats(spark, sf).collect()
+    emb = sim._emb(spark, sf)
+    assert sum(r.n_vectors for r in rows) == emb.count()
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_vectors
+    pairs = sim.cosine_dup_pairs(spark, sf).collect()
+    dropped_ids = {p.vec_b for p in pairs}
+    assert sum(r.n_dropped for r in rows) == len(dropped_ids)
