@@ -566,18 +566,18 @@ def duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup groups: 64-bit signature as 16 hex nibbles, each
-    nibble the per-bit majority over the document's distinct tokens' md5
-    nibbles; docs sharing a signature form a group.
+def _simhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash signature (doc_id, signature): 64-bit
+    signature as 16 hex nibbles, each nibble the per-bit majority over
+    the document's distinct tokens' md5 nibbles.
 
     Pipeline: (doc, token-hash) distinct → 16 nibble columns per row →
     ONE groupBy(doc) computing all 64 bit-sums + the token count as
-    aggregate expressions → signature assembled in a single projection →
-    groupBy signature. Flat aggregate expressions beat the explode
-    formulation (16 rows per hash + a second groupBy) ~2×: the shuffle
-    carries one 65-column partial row per (partition, doc) instead of 16
-    exploded rows per token, and there's one aggregation, not two."""
+    aggregate expressions → signature assembled in a single projection.
+    Flat aggregate expressions beat the explode formulation (16 rows per
+    hash + a second groupBy) ~2×: the shuffle carries one 65-column
+    partial row per (partition, doc) instead of 16 exploded rows per
+    token, and there's one aggregation, not two."""
     docs = load_table(spark, sf_dir, "documents")
     # explode_outer: the inferred size>0 filter of plain explode would run
     # the tokenizer regexp a second time per row (cf. _shingle_df)
@@ -615,7 +615,7 @@ def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(4)
         )
 
-    sig = maj.select(
+    return maj.select(
         "doc_id",
         F.concat(
             *[
@@ -624,6 +624,13 @@ def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("signature"),
     )
+
+
+def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup groups: docs sharing a 16-nibble signature
+    (:func:`_simhash_signature_df`) form a group; output is per-group
+    size and doc-id span for groups larger than one."""
+    sig = _simhash_signature_df(spark, sf_dir)
     return (
         sig.groupBy("signature")
         .agg(
@@ -730,6 +737,65 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def candidate_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality evaluation: precision/recall of the
+    two sub-quadratic candidate schemes (banded MinHash-LSH, whole-
+    signature SimHash) against the exact word-3-gram Jaccard ≥ 0.6 pair
+    list as ground truth — the dedup analog of ``knn_recall_report``.
+
+    A 100 TB dedup run cannot afford the exact all-pairs verification
+    everywhere, so it ships a candidate scheme — and this report is the
+    pre-trust measurement that says what the scheme misses (recall) and
+    how much wasted verification it schedules (precision). Both inputs
+    are STORED index tables (the banded candidate list and the verified
+    pair index), so the evaluation reads files; the only new work is the
+    SimHash signature self-join, which groups on the 16-nibble signature
+    (hash-partitioned, never all-pairs).
+
+    Deterministic end to end (md5-based signatures, exact counts), so
+    DuckDB replays every number."""
+    truth = pair_index_table(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = _minhash_candidates_table(spark, sf_dir).select("doc_a", "doc_b")
+    ssig = _simhash_signature_df(spark, sf_dir)
+    x, y = ssig.alias("x"), ssig.alias("y")
+    sim = x.join(
+        y,
+        (F.col("x.signature") == F.col("y.signature"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    parts = []
+    for method, cand in (("minhash_lsh", lsh), ("simhash", sim)):
+        tp = cand.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count("*").alias("n_tp")
+        )
+        parts.append(
+            cand.agg(F.count("*").alias("n_candidates"))
+            .join(F.broadcast(n_truth))
+            .join(F.broadcast(tp))
+            .select(
+                F.lit(method).alias("method"),
+                "n_candidates",
+                "n_truth",
+                "n_tp",
+                F.round(
+                    F.when(
+                        F.col("n_candidates") > 0,
+                        F.col("n_tp") / F.col("n_candidates"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("precision"),
+                F.round(
+                    F.when(
+                        F.col("n_truth") > 0, F.col("n_tp") / F.col("n_truth")
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
 _CDC_WSUM = " + ".join(
     f"CAST(unicode(text[i-{j}]) AS BIGINT) * {CDC_BASE**j}"
     for j in range(CDC_WINDOW)
@@ -763,6 +829,64 @@ _PAIR_SQL_TAIL = """
     )
 """
 
+# Banded MinHash candidate generation (msig → bands → cand), chaining off
+# the ``sh`` shingle CTE — shared by the LSH pair oracle and the candidate
+# quality report.
+_MINHASH_CAND_CTE = f"""
+    , msig AS (
+        SELECT doc_id,
+               {", ".join(f"MIN(md5('{j}:' || shingle)) AS h{j}" for j in range(N_MINHASH))}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id
+                   {" ".join(f"WHEN {b} THEN md5(h{2 * b} || '|' || h{2 * b + 1})" for b in range(N_BANDS - 1))}
+                   ELSE md5(h{N_MINHASH - 2} || '|' || h{N_MINHASH - 1})
+               END AS bucket
+        FROM msig CROSS JOIN (
+            VALUES {", ".join(f"({b})" for b in range(N_BANDS))}
+        ) AS b(band_id)
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.bucket = y.bucket
+         AND x.doc_id < y.doc_id
+    )
+"""
+
+# Per-document SimHash signature (stok → … → ssig), standalone over
+# ``documents`` — shared by the SimHash group oracle and the candidate
+# quality report.
+_SIMHASH_SIG_CTE = r"""
+    stok AS (
+        SELECT DISTINCT doc_id, md5(t.t) AS h
+        FROM documents, UNNEST(list_distinct(regexp_extract_all(text, '\S+'))) AS t(t)
+    ), spos AS (
+        SELECT doc_id, p.p AS p,
+               strpos('0123456789abcdef', substr(h, p.p, 1)) - 1 AS nib
+        FROM stok CROSS JOIN (SELECT UNNEST(range(1, 17)) AS p) AS p
+    ), smaj AS (
+        SELECT doc_id, p, COUNT(*) AS n,
+               SUM(nib % 2) AS s0,
+               SUM((nib // 2) % 2) AS s1,
+               SUM((nib // 4) % 2) AS s2,
+               SUM((nib // 8) % 2) AS s3
+        FROM spos GROUP BY doc_id, p
+    ), snibs AS (
+        SELECT doc_id, p,
+               (CASE WHEN s0 * 2 >= n THEN 1 ELSE 0 END)
+             + (CASE WHEN s1 * 2 >= n THEN 2 ELSE 0 END)
+             + (CASE WHEN s2 * 2 >= n THEN 4 ELSE 0 END)
+             + (CASE WHEN s3 * 2 >= n THEN 8 ELSE 0 END) AS maj_nib
+        FROM smaj
+    ), ssig AS (
+        SELECT doc_id,
+               string_agg(substr('0123456789abcdef', maj_nib + 1, 1), ''
+                          ORDER BY p) AS signature
+        FROM snibs GROUP BY doc_id
+    )
+"""
+
 ORACLE: dict[str, str] = {
     "dedup_exact_stats": """
         WITH t AS (SELECT lang, md5(text) AS h FROM documents)
@@ -775,26 +899,9 @@ ORACLE: dict[str, str] = {
     + _PAIR_SQL_TAIL
     + f"SELECT * FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}",
     "dedup_minhash_lsh_pairs": _SHINGLES_CTE
-    + f"""
-    , sig AS (
-        SELECT doc_id,
-               {", ".join(f"MIN(md5('{j}:' || shingle)) AS h{j}" for j in range(N_MINHASH))}
-        FROM sh GROUP BY doc_id
-    ), bands AS (
-        SELECT doc_id, b.band_id,
-               CASE b.band_id
-                   {" ".join(f"WHEN {b} THEN md5(h{2 * b} || '|' || h{2 * b + 1})" for b in range(N_BANDS - 1))}
-                   ELSE md5(h{N_MINHASH - 2} || '|' || h{N_MINHASH - 1})
-               END AS bucket
-        FROM sig CROSS JOIN (
-            VALUES {", ".join(f"({b})" for b in range(N_BANDS))}
-        ) AS b(band_id)
-    ), cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y
-          ON x.band_id = y.band_id AND x.bucket = y.bucket
-         AND x.doc_id < y.doc_id
-    ), sizes AS (
+    + _MINHASH_CAND_CTE
+    + """
+    , sizes AS (
         SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
     ), inter AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
@@ -851,37 +958,49 @@ ORACLE: dict[str, str] = {
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM comp GROUP BY component HAVING COUNT(*) > 1
     """,
-    "dedup_simhash_groups": r"""
-    WITH tok AS (
-        SELECT DISTINCT doc_id, md5(t.t) AS h
-        FROM documents, UNNEST(list_distinct(regexp_extract_all(text, '\S+'))) AS t(t)
-    ), pos AS (
-        SELECT doc_id, p.p AS p,
-               strpos('0123456789abcdef', substr(h, p.p, 1)) - 1 AS nib
-        FROM tok CROSS JOIN (SELECT UNNEST(range(1, 17)) AS p) AS p
-    ), maj AS (
-        SELECT doc_id, p, COUNT(*) AS n,
-               SUM(nib % 2) AS s0,
-               SUM((nib // 2) % 2) AS s1,
-               SUM((nib // 4) % 2) AS s2,
-               SUM((nib // 8) % 2) AS s3
-        FROM pos GROUP BY doc_id, p
-    ), nibs AS (
-        SELECT doc_id, p,
-               (CASE WHEN s0 * 2 >= n THEN 1 ELSE 0 END)
-             + (CASE WHEN s1 * 2 >= n THEN 2 ELSE 0 END)
-             + (CASE WHEN s2 * 2 >= n THEN 4 ELSE 0 END)
-             + (CASE WHEN s3 * 2 >= n THEN 8 ELSE 0 END) AS maj_nib
-        FROM maj
-    ), sig AS (
-        SELECT doc_id,
-               string_agg(substr('0123456789abcdef', maj_nib + 1, 1), ''
-                          ORDER BY p) AS signature
-        FROM nibs GROUP BY doc_id
-    )
+    "dedup_simhash_groups": "WITH "
+    + _SIMHASH_SIG_CTE
+    + """
     SELECT signature, COUNT(*) AS n_docs,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-    FROM sig GROUP BY signature HAVING COUNT(*) > 1
+    FROM ssig GROUP BY signature HAVING COUNT(*) > 1
+    """,
+    "dedup_quality_report": _SHINGLES_CTE
+    + _PAIR_SQL_TAIL
+    + f"""
+    , truth AS (
+        SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+    )
+    """
+    + _MINHASH_CAND_CTE
+    + ", "
+    + _SIMHASH_SIG_CTE
+    + """
+    , sim_cand AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM ssig x JOIN ssig y
+          ON x.signature = y.signature AND x.doc_id < y.doc_id
+    ), m AS (
+        SELECT 'minhash_lsh' AS method,
+               (SELECT COUNT(*) FROM cand) AS n_candidates,
+               (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM cand c JOIN truth t
+                    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_tp
+        UNION ALL
+        SELECT 'simhash',
+               (SELECT COUNT(*) FROM sim_cand),
+               (SELECT COUNT(*) FROM truth),
+               (SELECT COUNT(*) FROM sim_cand c JOIN truth t
+                    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+    )
+    SELECT method, n_candidates, n_truth, n_tp,
+           ROUND(CASE WHEN n_candidates > 0
+                      THEN CAST(n_tp AS DOUBLE) / n_candidates
+                      ELSE 0 END, 6) AS precision,
+           ROUND(CASE WHEN n_truth > 0
+                      THEN CAST(n_tp AS DOUBLE) / n_truth
+                      ELSE 0 END, 6) AS recall
+    FROM m
     """,
 }
 
@@ -957,4 +1076,5 @@ QUERIES = {
     "dedup_simhash_groups": simhash_groups,
     "dedup_cdc_chunks": cdc_chunk_stats,
     "dedup_incremental_stats": incremental_dedup_stats,
+    "dedup_quality_report": candidate_quality_report,
 }

@@ -79,6 +79,28 @@ def test_simhash_groups_exact_dups(spark, doc_dir):
     assert any(g.min_doc == 0 and g.max_doc >= 3 for g in groups)
 
 
+def test_quality_report_counts(spark, doc_dir):
+    got = {
+        r.method: r
+        for r in dedup.candidate_quality_report(spark, doc_dir).collect()
+    }
+    assert set(got) == {"minhash_lsh", "simhash"}
+    # truth = the three planted pairs (0,1) (0,3) (1,3)
+    assert got["minhash_lsh"].n_truth == 3
+    # near-identical docs: banded LSH catches every truth pair here
+    assert got["minhash_lsh"].n_tp == 3
+    assert got["minhash_lsh"].recall == 1.0
+    # identical token sets (0,3) share a SimHash signature → at least
+    # that one true positive; whole-signature equality never exceeds
+    # the candidate count
+    sim = got["simhash"]
+    assert sim.n_tp >= 1
+    assert sim.n_tp <= sim.n_candidates
+    for row in got.values():
+        assert 0.0 <= row.precision <= 1.0
+        assert 0.0 <= row.recall <= 1.0
+
+
 def test_components_merge_chains(spark, tmp_path_factory):
     """A~B and B~C but A≁C: connected components must still put all three
     in ONE cluster (transitive closure), sized 3."""
