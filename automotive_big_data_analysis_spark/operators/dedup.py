@@ -481,13 +481,12 @@ def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 12  # propagation radius 2^12 ≫ any real dup-cluster diameter
 
 
-def duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-duplicate pair graph: each
-    cluster of transitively-linked near-dups gets one component id (the
-    minimum doc_id in the cluster); output is per-component size and
-    span. This is the clustering step real dedup pipelines run between
-    pair generation and survivor selection — "keep first" (cf.
-    ``keep_list_stats``) under-merges chains A~B~C where A≁C.
+def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document connected-component label over the near-duplicate
+    pair graph: (doc_id, label) for every doc that appears in at least
+    one verified pair, where label = the minimum doc_id in the doc's
+    transitively-linked cluster. Docs outside the graph are absent
+    (callers treat them as singleton components).
 
     Algorithm: iterative min-label propagation. Every involved doc starts
     labeled with its own id; each round joins labels across edges and
@@ -555,6 +554,18 @@ def duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # labels are materialized checkpoints — the edge cache is no longer an
     # input of the returned plan, so don't leave it resident
     edges.unpersist()
+    return labels
+
+
+def duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: each
+    cluster of transitively-linked near-dups gets one component id (the
+    minimum doc_id in the cluster, :func:`component_labels`); output is
+    per-component size and span. This is the clustering step real dedup
+    pipelines run between pair generation and survivor selection —
+    "keep first" (cf. ``keep_list_stats``) under-merges chains A~B~C
+    where A≁C."""
+    labels = component_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("component"))
         .agg(

@@ -150,6 +150,115 @@ def weighted_document_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_col(key: Column):
+    """80/10/10 split from the content-keyed hash bucket of ``key``."""
+    b = hash_bucket(key.cast("string"))
+    return (
+        F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
+    )
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test split — the eval-split
+    operator that prevents *duplicate leakage*: if two near-duplicate
+    documents land in different splits, the eval set silently overlaps
+    the training set and benchmark numbers inflate. The fix is to key
+    the split hash on the document's near-dup CONNECTED COMPONENT
+    (``dedup.component_labels`` — min doc_id of the transitive cluster;
+    docs outside the pair graph are their own singleton group), so a
+    whole cluster moves to one split atomically.
+
+    Output compares the naive doc-keyed policy against the group-keyed
+    one: per-policy split sizes plus ``leaked_pairs`` — verified
+    near-dup pairs whose endpoints sit in different splits. Group-keyed
+    leakage is structurally zero (same component → same key → same
+    split); the doc-keyed row quantifies the leakage being prevented.
+
+    Scale shape: one scan of documents (doc_id projection) left-joined
+    to the component label table (graph-sized, orders of magnitude
+    smaller than the corpus — AQE broadcasts it); the leak audit joins
+    the pair list (also graph-sized) to the assignment twice. Split
+    membership is content-keyed md5 arithmetic — reproducible across
+    engines, retries, and partitionings."""
+    from automotive_big_data_analysis_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = dedup.component_labels(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    assigned = (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            _split_col(F.col("doc_id")).alias("doc_split"),
+            _split_col(F.coalesce("label", "doc_id")).alias("group_split"),
+        )
+    )
+    melted = assigned.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("doc_keyed").alias("policy"),
+                    F.col("doc_split").alias("split"),
+                ),
+                F.struct(
+                    F.lit("group_keyed").alias("policy"),
+                    F.col("group_split").alias("split"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.policy", "e.split")
+    counts = melted.groupBy("policy").agg(
+        *[
+            F.sum(F.when(F.col("split") == s, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{s}")
+            for s in ("train", "val", "test")
+        ]
+    )
+    a = assigned.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("doc_split").alias("a_doc"),
+        F.col("group_split").alias("a_group"),
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("doc_split").alias("b_doc"),
+        F.col("group_split").alias("b_group"),
+    )
+    leaks = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("a_doc") != F.col("b_doc")).cast("int")), F.lit(0)
+            )
+            .cast("long")
+            .alias("doc_leaked"),
+            F.coalesce(
+                F.sum((F.col("a_group") != F.col("b_group")).cast("int")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("group_leaked"),
+        )
+    )
+    leak_rows = leaks.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("doc_keyed").alias("policy"),
+                    F.col("doc_leaked").alias("leaked_pairs"),
+                ),
+                F.struct(
+                    F.lit("group_keyed").alias("policy"),
+                    F.col("group_leaked").alias("leaked_pairs"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.policy", "e.leaked_pairs")
+    return counts.join(F.broadcast(leak_rows), "policy")
+
+
 _LI_KEY = "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
 
 ORACLE: dict[str, str] = {
@@ -234,9 +343,77 @@ def _weighted_sql() -> str:
 
 ORACLE["sample_weighted_documents"] = _weighted_sql()
 
+
+def _leakage_sql() -> str:
+    """DuckDB replay: recursive-CTE connected components over the same
+    verified pair list (the ``dedup_components`` oracle formulation),
+    then the identical md5 split arithmetic for both policies."""
+    from automotive_big_data_analysis_spark.operators import dedup
+
+    doc_b = _bucket_sql("CAST(d.doc_id AS VARCHAR)")
+    grp_b = _bucket_sql("CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)")
+    return (
+        dedup._SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + dedup._PAIR_SQL_TAIL
+        + f"""
+    , fpairs AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM fpairs
+        UNION
+        SELECT doc_b, doc_a FROM fpairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    ), assigned AS (
+        SELECT d.doc_id,
+               CASE WHEN {doc_b} < 800 THEN 'train'
+                    WHEN {doc_b} < 900 THEN 'val'
+                    ELSE 'test' END AS doc_split,
+               CASE WHEN {grp_b} < 800 THEN 'train'
+                    WHEN {grp_b} < 900 THEN 'val'
+                    ELSE 'test' END AS group_split
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ), leaks AS (
+        SELECT
+            CAST(COALESCE(SUM(CASE WHEN a.doc_split != b.doc_split
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+                AS doc_leaked,
+            CAST(COALESCE(SUM(CASE WHEN a.group_split != b.group_split
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+                AS group_leaked
+        FROM fpairs p
+        JOIN assigned a ON p.doc_a = a.doc_id
+        JOIN assigned b ON p.doc_b = b.doc_id
+    )
+    SELECT 'doc_keyed' AS policy,
+           CAST(COUNT(*) FILTER (doc_split = 'train') AS BIGINT) AS n_train,
+           CAST(COUNT(*) FILTER (doc_split = 'val') AS BIGINT) AS n_val,
+           CAST(COUNT(*) FILTER (doc_split = 'test') AS BIGINT) AS n_test,
+           (SELECT doc_leaked FROM leaks) AS leaked_pairs
+    FROM assigned
+    UNION ALL
+    SELECT 'group_keyed',
+           CAST(COUNT(*) FILTER (group_split = 'train') AS BIGINT),
+           CAST(COUNT(*) FILTER (group_split = 'val') AS BIGINT),
+           CAST(COUNT(*) FILTER (group_split = 'test') AS BIGINT),
+           (SELECT group_leaked FROM leaks)
+    FROM assigned
+    """
+    )
+
+
+ORACLE["sample_leakage_safe_split"] = _leakage_sql()
+
 QUERIES = {
     "sample_lineitem_stats": lineitem_sample_stats,
     "sample_stratified_documents": stratified_document_sample,
     "sample_weighted_documents": weighted_document_sample,
     "sample_orders_split": orders_sample_split,
+    "sample_leakage_safe_split": leakage_safe_split,
 }

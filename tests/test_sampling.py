@@ -57,3 +57,37 @@ def test_split_partitions_are_disjoint_and_exhaustive(spark):
     assert set(got) == {"train", "val", "test"}
     assert sum(got.values()) == 3000
     assert got["train"] > got["val"] and got["train"] > got["test"]
+
+
+def test_leakage_safe_split_chain(spark, tmp_path_factory):
+    """A~B~C near-dup chain (A≁C directly): the group-keyed split must
+    put all three in ONE split (leaked_pairs = 0 structurally), totals
+    must cover the corpus under both policies."""
+    from automotive_big_data_analysis_spark.operators import dedup
+    from automotive_big_data_analysis_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    a = base
+    b = base.replace("tok5", "B5").replace("tok6", "B6")
+    c = b.replace("tok30", "C30").replace("tok31", "C31")
+    far = "unrelated words entirely " + " ".join(f"x{i}" for i in range(30))
+    path = str(tmp_path_factory.mktemp("leak"))
+    rows = [
+        (i, t, "en", "s", len(t))
+        for i, t in enumerate([a, b, c, far] + [f"{far} extra{i}" for i in range(6)])
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    try:
+        got = {r.policy: r for r in leakage_safe_split(spark, path).collect()}
+    finally:
+        dedup.release(path)
+    assert set(got) == {"doc_keyed", "group_keyed"}
+    n = len(rows)
+    for row in got.values():
+        assert row.n_train + row.n_val + row.n_test == n
+    assert got["group_keyed"].leaked_pairs == 0
+    assert got["doc_keyed"].leaked_pairs >= 0
