@@ -807,6 +807,82 @@ def candidate_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+# corpus-level sketch width: 64 salted min-hashes → est. Jaccard has
+# standard error ≈ sqrt(J(1-J)/64) ≤ 0.0625 — enough to rank dump pairs
+N_CORPUS_MINHASH = 64
+
+
+def corpus_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE corpus overlap: for every pair of ingest sources
+    (crawls / dumps), the MinHash-ESTIMATED shingle Jaccard next to the
+    exact one — the dataset-level dedup measurement that decides which
+    dumps are worth pairwise-deduping at all before any per-document
+    work is scheduled.
+
+    The 100 TB path is the sketch: each source's signature is 64 salted
+    min-hashes over its distinct word-3-gram shingles — a map-side-
+    combined ``min`` per (source, hash-index) whose state is
+    |sources| × 64 regardless of corpus size, and whose pairwise
+    comparison touches only the |sources|-row signature table. The
+    exact intersection join is the test-scale verification that the
+    estimates can be trusted (at production scale one runs ONLY the
+    sketch). All hashing is salted md5, so DuckDB replays both sides.
+
+    Output per unordered source pair: distinct-shingle sizes, exact
+    intersection, estimated and exact Jaccard."""
+    sh = _shingles_cached(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    gsh = sh.join(src, "doc_id").select("source", "shingle").distinct()
+    sig = gsh.groupBy("source").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"c{j}:"), F.col("shingle")))).alias(
+                f"m{j}"
+            )
+            for j in range(N_CORPUS_MINHASH)
+        ],
+        F.count("*").alias("sz"),
+    )
+    x, y = sig.alias("x"), sig.alias("y")
+    n_match = sum(
+        (F.col(f"x.m{j}") == F.col(f"y.m{j}")).cast("int")
+        for j in range(N_CORPUS_MINHASH)
+    )
+    est = x.join(y, F.col("x.source") < F.col("y.source")).select(
+        F.col("x.source").alias("source_a"),
+        F.col("y.source").alias("source_b"),
+        F.col("x.sz").alias("n_shingles_a"),
+        F.col("y.sz").alias("n_shingles_b"),
+        n_match.alias("n_match"),
+    )
+    a, b = gsh.alias("a"), gsh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    n_i = F.coalesce(F.col("n_inter"), F.lit(0))
+    return est.join(F.broadcast(inter), ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "n_shingles_a",
+        "n_shingles_b",
+        n_i.cast("long").alias("n_inter"),
+        F.round(F.col("n_match") / float(N_CORPUS_MINHASH), 6).alias(
+            "est_jaccard"
+        ),
+        F.round(
+            n_i / (F.col("n_shingles_a") + F.col("n_shingles_b") - n_i), 6
+        ).alias("exact_jaccard"),
+    )
+
+
 _CDC_WSUM = " + ".join(
     f"CAST(unicode(text[i-{j}]) AS BIGINT) * {CDC_BASE**j}"
     for j in range(CDC_WINDOW)
@@ -1088,4 +1164,42 @@ QUERIES = {
     "dedup_cdc_chunks": cdc_chunk_stats,
     "dedup_incremental_stats": incremental_dedup_stats,
     "dedup_quality_report": candidate_quality_report,
+    "dedup_corpus_overlap": corpus_overlap_stats,
 }
+
+ORACLE["dedup_corpus_overlap"] = (
+    _SHINGLES_CTE
+    + f"""
+    , gsh AS (
+        SELECT DISTINCT d.source, s.shingle
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+    ), csig AS (
+        SELECT source,
+               {", ".join(f"MIN(md5('c{j}:' || shingle)) AS m{j}" for j in range(N_CORPUS_MINHASH))},
+               COUNT(*) AS sz
+        FROM gsh GROUP BY source
+    ), ovl AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_inter
+        FROM gsh a JOIN gsh b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    ), sp AS (
+        SELECT x.source AS source_a, y.source AS source_b,
+               x.sz AS n_shingles_a, y.sz AS n_shingles_b,
+               ({" + ".join(f"CASE WHEN x.m{j} = y.m{j} THEN 1 ELSE 0 END" for j in range(N_CORPUS_MINHASH))})
+                   AS n_match
+        FROM csig x JOIN csig y ON x.source < y.source
+    )
+    SELECT p.source_a, p.source_b, p.n_shingles_a, p.n_shingles_b,
+           CAST(COALESCE(o.n_inter, 0) AS BIGINT) AS n_inter,
+           ROUND(CAST(p.n_match AS DOUBLE) / {N_CORPUS_MINHASH}, 6)
+               AS est_jaccard,
+           ROUND(CAST(COALESCE(o.n_inter, 0) AS DOUBLE)
+                 / (p.n_shingles_a + p.n_shingles_b - COALESCE(o.n_inter, 0)),
+                 6) AS exact_jaccard
+    FROM sp p
+    LEFT JOIN ovl o
+      ON o.source_a = p.source_a AND o.source_b = p.source_b
+    """
+)

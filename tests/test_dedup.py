@@ -252,3 +252,33 @@ def test_incremental_dedup_policy(spark, tmp_path_factory):
     assert row.n_dropped_batch == 1  # doc 10 (partner 5 is smaller+incoming)
     assert row.n_admitted == 2  # docs 5 and 15
     dedup.release(path)
+
+
+def test_corpus_overlap_extremes(spark, tmp_path_factory):
+    """Identical shingle sets → est and exact Jaccard both 1.0; disjoint
+    sets → both 0.0 (64 salted min-hashes agree exactly at the extremes)."""
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(30))
+    path = str(tmp_path_factory.mktemp("ovl"))
+    rows = [
+        (0, base, "en", "srcA", len(base)),
+        (1, base, "en", "srcB", len(base)),   # srcB == srcA's shingles
+        (2, other, "en", "srcC", len(other)),  # srcC disjoint from both
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    try:
+        got = {
+            (r.source_a, r.source_b): r
+            for r in dedup.corpus_overlap_stats(spark, path).collect()
+        }
+    finally:
+        dedup.release(path)
+    ab = got[("srcA", "srcB")]
+    assert ab.est_jaccard == 1.0 and ab.exact_jaccard == 1.0
+    assert ab.n_inter == ab.n_shingles_a == ab.n_shingles_b
+    for pair in (("srcA", "srcC"), ("srcB", "srcC")):
+        assert got[pair].est_jaccard == 0.0
+        assert got[pair].exact_jaccard == 0.0
+        assert got[pair].n_inter == 0
