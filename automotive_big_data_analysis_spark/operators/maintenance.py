@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table
@@ -245,6 +245,145 @@ def layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out[0].unionByName(out[1])
 
 
+N_LEVELS = 16  # per-dimension zone granularity (4 bits each)
+CELLS_PER_FILE = 4  # 256 z-cells → 64 planned files per layout
+
+
+def _zvalue(d: Column, u: Column) -> Column:
+    """Bit-interleave two 4-bit values (Morton / Z-order): day bit b →
+    output bit 2b+1, user bit b → output bit 2b. Pure integer div/mod
+    arithmetic so DuckDB evaluates the identical expression."""
+    out = F.lit(0)
+    for b in range(4):
+        out = (
+            out
+            + (F.floor(d / F.lit(2**b)) % 2).cast("long") * (2 ** (2 * b + 1))
+            + (F.floor(u / F.lit(2**b)) % 2).cast("long") * (2 ** (2 * b))
+        )
+    return out
+
+
+def clustering_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-layout advisor: BEFORE paying for a 100 TB table
+    rewrite, compute what zone-map skipping each candidate sort order
+    would buy. Rows of ``events`` are assigned to planned files under
+    three layouts of 64 files each — linear by day (time-major), linear
+    by user bucket, and Z-ORDER (Morton bit-interleave of the 4-bit day
+    and user-bucket indices, the ``OPTIMIZE ZORDER BY`` layout) — and
+    each planned file's would-be zone map (min/max of BOTH dimensions)
+    is computed from the actual rows. Point probes on every present
+    day index and every user bucket then score each layout:
+    ``avg_scan_fraction`` is the fraction of files a probe must open.
+
+    The expected shape of the answer: time-major prunes day probes
+    perfectly but scans ~everything for user probes; Z-order gives BOTH
+    dimensions ~1/8 scan fraction — the measured justification for a
+    multi-dimensional clustering rewrite.
+
+    Scale shape: ONE fact-scale aggregation with ≤256 groups
+    (map-side-combined (d16, u16) cell counts); every file assignment,
+    zone map, and probe evaluation happens on that cell aggregate —
+    metadata-sized, exactly what a real advisor reads from manifest
+    stats. Day indices are rescaled against the corpus day span
+    (broadcast 1-row bounds); all arithmetic is integer div/mod, so
+    DuckDB replays every number."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {US_PER_DAY}")
+    bounds = ev.agg(F.min(day).alias("dmin"), F.max(day).alias("dmax"))
+    base = ev.select(
+        day.alias("day"),
+        hash_bucket(F.col("user_id").cast("string"), N_LEVELS).alias("u16"),
+    ).join(F.broadcast(bounds))
+    cells = (
+        base.select(
+            F.expr(f"(({N_LEVELS} * (day - dmin)) div (dmax - dmin + 1))")
+            .cast("long")
+            .alias("d16"),
+            "u16",
+        )
+        .groupBy("d16", "u16")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    d, u = F.col("d16"), F.col("u16")
+    layouts = cells.select(
+        "d16",
+        "u16",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("day_major").alias("layout"),
+                    F.floor((d * N_LEVELS + u) / CELLS_PER_FILE)
+                    .cast("long")
+                    .alias("file"),
+                ),
+                F.struct(
+                    F.lit("user_major").alias("layout"),
+                    F.floor((u * N_LEVELS + d) / CELLS_PER_FILE)
+                    .cast("long")
+                    .alias("file"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.floor(_zvalue(d, u) / CELLS_PER_FILE)
+                    .cast("long")
+                    .alias("file"),
+                ),
+            )
+        ).alias("e"),
+    ).select("d16", "u16", F.col("e.layout").alias("layout"), F.col("e.file").alias("file"))
+    zones = layouts.groupBy("layout", "file").agg(
+        F.min("d16").alias("dlo"),
+        F.max("d16").alias("dhi"),
+        F.min("u16").alias("ulo"),
+        F.max("u16").alias("uhi"),
+    )
+    probes = (
+        cells.select(F.lit("day").alias("dim"), F.col("d16").alias("val"))
+        .distinct()
+        .union(
+            cells.select(F.lit("user").alias("dim"), F.col("u16").alias("val"))
+            .distinct()
+        )
+    )
+    hits = (
+        zones.join(
+            F.broadcast(probes),
+            (
+                (F.col("dim") == "day")
+                & (F.col("val") >= F.col("dlo"))
+                & (F.col("val") <= F.col("dhi"))
+            )
+            | (
+                (F.col("dim") == "user")
+                & (F.col("val") >= F.col("ulo"))
+                & (F.col("val") <= F.col("uhi"))
+            ),
+        )
+        .groupBy("layout", "dim")
+        .agg(F.count("*").alias("n_overlaps"))
+    )
+    n_files = zones.groupBy("layout").agg(F.count("*").alias("n_files"))
+    n_probes = probes.groupBy("dim").agg(F.count("*").alias("n_probes"))
+    return (
+        hits.join(F.broadcast(n_files), "layout")
+        .join(F.broadcast(n_probes), "dim")
+        .select(
+            "layout",
+            F.col("dim").alias("probe_dim"),
+            "n_files",
+            "n_probes",
+            F.round(
+                F.col("n_overlaps").cast("double") / F.col("n_probes"), 6
+            ).alias("avg_files_scanned"),
+            F.round(
+                F.col("n_overlaps").cast("double")
+                / (F.col("n_probes") * F.col("n_files")),
+                6,
+            ).alias("avg_scan_fraction"),
+        )
+    )
+
+
 _DAY = f"(EPOCH_US(ts) // {US_PER_DAY})"
 
 _SKIP_SQL = f"""
@@ -308,7 +447,65 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+_Z_SQL = " + ".join(
+    f"((d16 // {2**b}) % 2) * {2 ** (2 * b + 1)}"
+    f" + ((u16 // {2**b}) % 2) * {2 ** (2 * b)}"
+    for b in range(4)
+)
+
+ORACLE["maintenance_clustering_advisor"] = f"""
+    WITH ev AS (
+        SELECT {_DAY} AS day,
+               {_bucket_sql("CAST(user_id AS VARCHAR)", N_LEVELS)} AS u16
+        FROM events
+    ), b AS (
+        SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ev
+    ), cells AS (
+        SELECT (({N_LEVELS} * (day - dmin)) // (dmax - dmin + 1)) AS d16,
+               u16, COUNT(*) AS n_rows
+        FROM ev CROSS JOIN b GROUP BY 1, 2
+    ), m AS (
+        SELECT 'day_major' AS layout,
+               (d16 * {N_LEVELS} + u16) // {CELLS_PER_FILE} AS file,
+               d16, u16 FROM cells
+        UNION ALL
+        SELECT 'user_major',
+               (u16 * {N_LEVELS} + d16) // {CELLS_PER_FILE}, d16, u16
+        FROM cells
+        UNION ALL
+        SELECT 'zorder', ({_Z_SQL}) // {CELLS_PER_FILE}, d16, u16 FROM cells
+    ), zones AS (
+        SELECT layout, file,
+               MIN(d16) AS dlo, MAX(d16) AS dhi,
+               MIN(u16) AS ulo, MAX(u16) AS uhi
+        FROM m GROUP BY 1, 2
+    ), probes AS (
+        SELECT 'day' AS dim, d16 AS val FROM (SELECT DISTINCT d16 FROM cells)
+        UNION ALL
+        SELECT 'user', u16 FROM (SELECT DISTINCT u16 FROM cells)
+    ), ovl AS (
+        SELECT z.layout, p.dim, COUNT(*) AS n_overlaps
+        FROM zones z JOIN probes p
+          ON (p.dim = 'day' AND p.val BETWEEN z.dlo AND z.dhi)
+          OR (p.dim = 'user' AND p.val BETWEEN z.ulo AND z.uhi)
+        GROUP BY 1, 2
+    ), nf AS (
+        SELECT layout, COUNT(*) AS n_files FROM zones GROUP BY 1
+    ), np AS (
+        SELECT dim, COUNT(*) AS n_probes FROM probes GROUP BY 1
+    )
+    SELECT o.layout, o.dim AS probe_dim, nf.n_files, np.n_probes,
+           ROUND(CAST(o.n_overlaps AS DOUBLE) / np.n_probes, 6)
+               AS avg_files_scanned,
+           ROUND(CAST(o.n_overlaps AS DOUBLE) / (np.n_probes * nf.n_files), 6)
+               AS avg_scan_fraction
+    FROM ovl o
+    JOIN nf ON nf.layout = o.layout
+    JOIN np ON np.dim = o.dim
+"""
+
 QUERIES = {
     "maintenance_compaction_plan": compaction_plan,
     "maintenance_layout_skipping": layout_skipping,
+    "maintenance_clustering_advisor": clustering_advisor,
 }

@@ -58,3 +58,51 @@ def test_layout_skipping_time_layout_prunes_exactly(spark):
     assert h.n_probe_days == t.n_probe_days
     assert h.avg_files_scanned > 5 * t.avg_files_scanned
     assert h.avg_scan_fraction > 0.5
+
+
+def test_zvalue_interleaves_bits(spark):
+    """Morton interleave spot values: (d,u)=(0,0)→0, (15,15)→255,
+    (1,0)→2 (day bit 0 lands at output bit 1), (0,1)→1."""
+    df = spark.createDataFrame(
+        [(0, 0), (15, 15), (1, 0), (0, 1), (3, 5)], "d long, u long"
+    )
+    got = {
+        (r.d, r.u): r.z
+        for r in df.select(
+            "d", "u", mt._zvalue(F.col("d"), F.col("u")).alias("z")
+        ).collect()
+    }
+    # (3,5): d=0b0011→bits 1,3; u=0b0101→bits 0,4 → 0b00011011 = 27
+    assert got == {(0, 0): 0, (15, 15): 255, (1, 0): 2, (0, 1): 1, (3, 5): 27}
+
+
+def test_clustering_advisor_zorder_balances_dimensions(spark):
+    rows = {
+        (r.layout, r.probe_dim): r
+        for r in mt.clustering_advisor(spark, SF).collect()
+    }
+    assert len(rows) == 6
+    z_worst = max(
+        rows[("zorder", "day")].avg_scan_fraction,
+        rows[("zorder", "user")].avg_scan_fraction,
+    )
+    # z-order treats both dimensions near-symmetrically (exact symmetry
+    # needs a fully occupied cell grid; sparse corpora deviate slightly)
+    assert (
+        z_worst
+        < 2 * min(
+            rows[("zorder", "day")].avg_scan_fraction,
+            rows[("zorder", "user")].avg_scan_fraction,
+        )
+    )
+    # each linear layout is better on its own dimension but worse on the
+    # other; z-order's WORST dimension beats every linear layout's worst
+    for lin, own, other in (
+        ("day_major", "day", "user"),
+        ("user_major", "user", "day"),
+    ):
+        assert (
+            rows[(lin, own)].avg_scan_fraction
+            < rows[(lin, other)].avg_scan_fraction
+        )
+        assert z_worst < rows[(lin, other)].avg_scan_fraction
