@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from automotive_big_data_analysis_spark.operators import analytics, asof, dedup, events, maintenance, multimodal, pipeline, rag_prep, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis, training_prep
 from automotive_big_data_analysis_spark.sources import bucketed, cdc, schema_evolution, text_formats
-from automotive_big_data_analysis_spark.streaming import events_stream
+from automotive_big_data_analysis_spark.streaming import documents_stream, events_stream
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(bucketed.QUERIES)
     merged.update(text_formats.QUERIES)
     merged.update(events_stream.QUERIES)
+    merged.update(documents_stream.QUERIES)
     merged.update(pipeline.QUERIES)
     merged.update(training_prep.QUERIES)
     merged.update(analytics.QUERIES)
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(bucketed.ORACLE)
     out.update(text_formats.ORACLE)
     out.update(events_stream.ORACLE)
+    out.update(documents_stream.ORACLE)
     out.update(pipeline.ORACLE)
     out.update(training_prep.ORACLE)
     out.update(analytics.ORACLE)

@@ -121,6 +121,130 @@ def write_curated_stream(
     )
 
 
+def read_corpus_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Stream the REAL ``documents`` corpus parquet (schema probed
+    batch-side — streaming sources require a declared schema; same
+    single-file/directory handling as the events reader) and synthesize
+    a deterministic event-time column: ``ingest_ts`` = epoch + 1 day +
+    doc_id seconds — the arrival order a replay of the corpus
+    simulates. The one-day offset keeps every event time strictly above
+    the stream's INITIAL watermark (epoch 0): a row landing exactly on
+    the watermark is classified late and silently dropped (doc_id 0
+    was, before the offset)."""
+    import os
+
+    reader = spark.readStream.option("maxFilesPerTrigger", 8)
+    src = path
+    if os.path.isfile(path):
+        src = os.path.dirname(path)
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+    physical = spark.read.parquet(path).schema
+    stream = reader.schema(physical).parquet(src)
+    return stream.withColumn(
+        "ingest_ts",
+        F.timestamp_micros((F.col("doc_id") + 86_400) * 1_000_000),
+    )
+
+
+def stream_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query #3 for the streaming layer: the documents
+    corpus replayed as a stream through the cheap curation stages —
+    stateless clean + quality gate, then STREAMING exact dedup via
+    ``dropDuplicatesWithinWatermark`` keyed on (lang, cleaned-content
+    hash) — with per-lang survivor accounting aggregated batch-side
+    over the collected survivors. This hash-gates the streaming
+    stateful-dedup operator itself: the oracle computes the same
+    survivors from the parquet table (distinct cleaned texts among
+    quality passers per lang), so equality proves the state machine
+    admits exactly one row per content key.
+
+    Determinism: WHICH doc_id survives per key depends on micro-batch
+    arrival order, so the gate aggregates only key-functional columns
+    (count, quality, cleaned length — identical across duplicates of a
+    key). The replay watermark is effectively unbounded so the bounded
+    corpus dedups globally; production bounds it (state eviction) and
+    accepts re-admits beyond the horizon — the trade stated on the
+    operator's tin."""
+    import uuid
+
+    from automotive_big_data_analysis_spark.functions import exact as ex
+    from automotive_big_data_analysis_spark.streaming.events_stream import (
+        run_to_memory,
+    )
+
+    docs = read_corpus_stream(spark, f"{sf_dir}/documents.parquet")
+    gated = clean_quality_stream(docs).withColumn(
+        "content_hash", F.md5("clean_text")
+    )
+    deduped = gated.withWatermark(
+        "ingest_ts", "3650 days"
+    ).dropDuplicatesWithinWatermark(["lang", "content_hash"])
+    name = f"stream_curated_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory(deduped, name, output_mode="append")
+    rows = out.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        ex.davg("quality").alias("avg_quality"),
+        F.sum(F.length("clean_text")).cast("long").alias("total_chars"),
+    )
+    result = spark.createDataFrame(rows.collect(), rows.schema)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+def _curated_oracle_sql() -> str:
+    """Batch replay of the streaming curation: clean + quality score
+    (the ``pipeline.py`` SQL mirrors), survivors = distinct (lang,
+    cleaned text) among quality passers."""
+    from automotive_big_data_analysis_spark.functions import exact as ex
+    from automotive_big_data_analysis_spark.operators.pipeline import (
+        _CLEAN_SQL,
+        _STOP_ALL_SQL,
+    )
+
+    return rf"""
+    WITH cleaned AS (
+        SELECT doc_id, lang, {_CLEAN_SQL} AS clean_text FROM documents
+    ), scored AS (
+        SELECT lang, clean_text,
+               len(regexp_extract_all(clean_text, '\S+')) AS n_tok,
+               length(clean_text) AS n_chars,
+               len(list_filter(regexp_extract_all(clean_text, '\S+'),
+                   x -> lower(x) IN ({_STOP_ALL_SQL}))) AS n_stop
+        FROM cleaned
+    ), quality AS (
+        SELECT lang, clean_text,
+               ROUND(
+                   (CASE WHEN n_tok >= 20 AND n_tok <= 10000
+                         THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN n_tok > 0
+                         AND CAST(n_chars AS DOUBLE)/n_tok >= 3
+                         AND CAST(n_chars AS DOUBLE)/n_tok <= 12
+                        THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN n_tok > 0
+                         AND CAST(n_stop AS DOUBLE)/n_tok >= 0.05
+                        THEN 0.3 ELSE 0.0 END), 2) AS quality
+        FROM scored
+    ), survivors AS (
+        SELECT lang, clean_text, MAX(quality) AS q
+        FROM quality WHERE quality >= {QUALITY_MIN}
+        GROUP BY lang, clean_text
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           {ex.davg_sql("q")} AS avg_quality,
+           CAST(SUM(length(clean_text)) AS BIGINT) AS total_chars
+    FROM survivors GROUP BY lang
+    """
+
+
+ORACLE: dict[str, str] = {
+    "stream_curated_documents": _curated_oracle_sql(),
+}
+
+QUERIES = {
+    "stream_curated_documents": stream_curated_documents,
+}
+
+
 def curation_counters_stream(
     docs: DataFrame,
     quality_min: float = QUALITY_MIN,

@@ -359,3 +359,33 @@ def test_stream_user_sessions_driver_gate_matches_batch(spark):
         for r in ev.sessionize(spark, sf).collect()
     }
     assert got == want
+
+
+def test_stream_curated_documents_gate_dedups_planted(spark, tmp_path_factory):
+    """The driver-gate streaming curation over a planted corpus: exact
+    duplicates collapse to one survivor per (lang, cleaned text) key,
+    low-quality docs are gated out, and doc_id 0 (event time at the
+    synthetic-epoch boundary) is NOT lost as late data."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs back home to rest for a while with the other animals there"
+    )
+    low = "x"  # below every quality heuristic
+    path = str(tmp_path_factory.mktemp("curated_gate"))
+    rows = [
+        (0, good, "en", "s", len(good)),      # doc_id 0: boundary case
+        (1, good, "en", "s", len(good)),      # exact dup of 0
+        (2, good + " extra tail words here again", "en", "s", 0),
+        (3, low, "en", "s", 1),               # quality-gated out
+        (4, good, "de", "s", len(good)),      # same text, other lang
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    got = {
+        r.lang: r for r in ds.stream_curated_documents(spark, path).collect()
+    }
+    # en: docs 0+1 collapse to one key, doc 2 is distinct, doc 3 gated
+    assert got["en"].n_kept == 2
+    # the same text in another lang is its own key (per-lang dedup)
+    assert got["de"].n_kept == 1
