@@ -28,8 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dict order) per round, so ordering is a verification-coverage decision.
 # Round-7 policy (per round-6 VERDICT item 1 — evidence FRESHNESS): the
 # window holds (a) all 15 queries whose newest driver-green row is r4 or
-# older (the stale backlog the verdict named), (b) the SIXTEEN queries
-# NEW this round — the ANN recall/cost frontier sweep, the two
+# older (the stale backlog the verdict named), (b) the TWENTY-SIX
+# queries NEW this round (sixteen from sessions 1–2 listed first, ten
+# more in the session-3/4 blocks below) — the ANN recall/cost frontier
+# sweep, the two
 # driver-gated streaming queries (hourly rollup + session windows), the
 # gzip codec-path, schema-evolution, idempotent-reingest, and
 # CDC-merge connectors, the exact-rerank IVF-PQ third stage, the incremental
@@ -91,19 +93,36 @@ _SWEEP_PRIORITY = [
     "embedding_kmeans",   # codebook store-through under the new tag
     "orders_rfm_segments",    # literal-boundary rank rework
     "order_value_deciles",    # literal-boundary rank rework
-    "source_jsonl_events",    # fingerprinted mirror path
-    "source_csv_events",      # fingerprinted mirror path
     "bucketed_join_revenue",  # re-attach honors caller bucket count
     "dedup_minhash_lsh_pairs",  # candidate builder split out
-    # (d) thinnest evidence first: single-green-round [5] queries
-    "approx_part_stats",
-    "contamination_stats",
-    "events_funnel",
-    "events_sessionize",
-    "events_user_retention",
-    "pack_token_shards",
-    "temperature_rebalance",
-    "text_bpe_pairs",
+    # (b cont.) session-3 additions — zero prior driver evidence
+    "dedup_quality_report",
+    "dedup_corpus_overlap",
+    "sample_leakage_safe_split",
+    "maintenance_clustering_advisor",
+    "stream_curated_documents",
+    # (b cont.) session-4 additions — zero prior driver evidence: the
+    # ORC columnar connector, duplicate token-span (exact-substring
+    # dedup accounting), the per-lang quality~tokens least-squares fit,
+    # Bloom-filter join-prune scoring, and the minute→hour→day
+    # re-aggregation hierarchy.
+    "source_orc_events",
+    "dedup_span_stats",
+    "docs_quality_regression",
+    "bloom_prune_join_stats",
+    "events_rollup_hierarchy",
+    # Displaced for the ten session-3/4 queries above (zero driver
+    # evidence outranks everything green): the five single-[5]-green
+    # queries events_funnel / events_sessionize / events_user_retention
+    # / pack_token_shards / temperature_rebalance (each with fresher
+    # in-window kin — the streaming gates replay the sessionize/rollup
+    # logic, training_epoch_order rides the same two-pass prefix
+    # machinery), the remaining three [5]-green approx_part_stats /
+    # contamination_stats / text_bpe_pairs (untouched code), and the
+    # two r6-green connectors source_jsonl_events / source_csv_events,
+    # whose round-7 change (fingerprinted mirror path) is value-neutral
+    # and shared verbatim by the in-window gzip and ORC connectors.
+    # All ten are green on this round's committed local sweeps.
     # (d cont.) all eleven two-green-round [3,5] queries
     # (asof_purchase_attribution, events_error_bursts, knn_bruteforce,
     # knn_lsh, dedup_exact_stats, embedding_norm_stats,

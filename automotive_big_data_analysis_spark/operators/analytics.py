@@ -481,6 +481,70 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact least-squares fit of quality_score ~ token
+    count — training a (one-feature) linear quality model distributed,
+    via the closed-form normal equations. This is the cheap, fully
+    auditable version of the quality-classifier step every curation
+    pipeline runs: the slope says whether the heuristic score is just a
+    length proxy in that language (a strong positive slope means a
+    length filter would capture most of the signal; a flat slope means
+    the score carries independent information), and r² quantifies it.
+
+    Determinism: x is an integer token count, y the 2-decimal quality
+    score; the five moment sums accumulate in DECIMAL(25,10)
+    (order-free, engine-exact); slope/intercept/r² derive from the
+    double-cast moments through one shared expression tree (identical
+    IEEE operations on identical operands), zero-variance languages →
+    NULL via the same NULLIF.
+
+    Scale shape: one corpus scan, map-side partial aggregation to
+    |langs| moment rows — the same single-pass sufficient-statistics
+    trick that trains any GLM-by-IRLS step at 100 TB. Nothing iterative,
+    nothing leaves the JVM."""
+    from automotive_big_data_analysis_spark.functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    xy = docs.select(
+        "lang",
+        tx.token_count("text").cast("long").alias("x"),
+        tx.quality_score("text").alias("y"),
+    )
+    m = xy.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ex.dec("x")).alias("sx"),
+        F.sum(ex.dec("y")).alias("sy"),
+        F.sum(ex.dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(ex.dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(ex.dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    n = F.col("n_docs")
+    d = m.select(
+        "lang",
+        "n_docs",
+        F.col("sx").cast("double").alias("sx"),
+        F.col("sy").cast("double").alias("sy"),
+        F.col("sxx").cast("double").alias("sxx"),
+        F.col("syy").cast("double").alias("syy"),
+        F.col("sxy").cast("double").alias("sxy"),
+    )
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    s = d.withColumn("slope", cov_n / F.nullif(var_x, F.lit(0.0)))
+    return s.select(
+        "lang",
+        "n_docs",
+        F.round("slope", 9).alias("slope"),
+        F.round(
+            (F.col("sy") - F.col("slope") * F.col("sx")) / n, 6
+        ).alias("intercept"),
+        F.round(
+            cov_n * cov_n / F.nullif(var_x * var_y, F.lit(0.0)), 6
+        ).alias("r2"),
+    )
+
+
 def _corr_sql() -> str:
     from automotive_big_data_analysis_spark.functions import text as tx
 
@@ -592,6 +656,63 @@ def _outliers_sql() -> str:
 
 ORACLE["embedding_outlier_scores"] = _outliers_sql()
 
+
+def _regression_sql() -> str:
+    from automotive_big_data_analysis_spark.functions import text as tx
+
+    stop_sql = ", ".join(f"'{w}'" for w in tx.STOPWORDS_EN + tx.STOPWORDS_ES)
+    toks = r"regexp_extract_all(text, '\S+')"
+    return rf"""
+        WITH scored AS (
+            SELECT lang, len({toks}) AS n_tok, length(text) AS n_chars,
+                   len(list_filter({toks},
+                       x -> lower(x) IN ({stop_sql}))) AS n_stop
+            FROM documents
+        ), xy AS (
+            SELECT lang, CAST(n_tok AS BIGINT) AS x,
+                   ROUND(
+                       (CASE WHEN n_tok >= 20 AND n_tok <= 10000
+                             THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN n_tok > 0
+                             AND CAST(n_chars AS DOUBLE)/n_tok >= 3
+                             AND CAST(n_chars AS DOUBLE)/n_tok <= 12
+                            THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN n_tok > 0
+                             AND CAST(n_stop AS DOUBLE)/n_tok >= 0.05
+                            THEN 0.3 ELSE 0.0 END), 2) AS y
+            FROM scored
+        ), m AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(CAST(x AS {ex.SQL_DEC})) AS sx,
+                   SUM(CAST(y AS {ex.SQL_DEC})) AS sy,
+                   SUM(CAST(x * x AS {ex.SQL_DEC})) AS sxx,
+                   SUM(CAST(y * y AS {ex.SQL_DEC})) AS syy,
+                   SUM(CAST(x * y AS {ex.SQL_DEC})) AS sxy
+            FROM xy GROUP BY lang
+        ), d AS (
+            SELECT lang, n_docs,
+                   CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+                   CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+                   CAST(sxy AS DOUBLE) AS sxy
+            FROM m
+        ), s AS (
+            SELECT *,
+                   (n_docs * sxy - sx * sy)
+                       / NULLIF(n_docs * sxx - sx * sx, 0.0) AS slope
+            FROM d
+        )
+        SELECT lang, n_docs,
+               ROUND(slope, 9) AS slope,
+               ROUND((sy - slope * sx) / n_docs, 6) AS intercept,
+               ROUND((n_docs * sxy - sx * sy) * (n_docs * sxy - sx * sy)
+                     / NULLIF((n_docs * sxx - sx * sx)
+                              * (n_docs * syy - sy * sy), 0.0), 6) AS r2
+        FROM s
+    """
+
+
+ORACLE["docs_quality_regression"] = _regression_sql()
+
 QUERIES = {
     "events_user_retention": user_retention,
     "events_hourly_anomalies": hourly_anomalies,
@@ -600,4 +721,5 @@ QUERIES = {
     "docs_embedding_quality_corr": embedding_quality_corr,
     "events_markov_transitions": markov_transitions,
     "embedding_outlier_scores": embedding_outliers,
+    "docs_quality_regression": quality_regression,
 }

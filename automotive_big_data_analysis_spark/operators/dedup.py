@@ -883,6 +883,71 @@ def corpus_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_TOKENS = 16  # exact-substring dedup granularity, in word tokens
+
+
+def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language duplicate token-SPAN report — the accounting pass of
+    exact-substring deduplication (the published approach removes exact
+    duplicate spans of ~50 BPE tokens between documents; word-16-grams
+    here). Unlike doc-level dedup, this catches boilerplate EMBEDDED in
+    otherwise-unique documents (headers, license blocks, templated
+    navigation) — the dominant duplication mode in web corpora.
+
+    Every token position opens a 16-token span (stride 1 — this is the
+    substring lattice, not the chunking grid); spans hash by content
+    (md5 of the space-joined slice) so identity is engine- and
+    layout-independent. A span is *cross-document duplicated* when it
+    occurs in ≥2 distinct docs of the language. ``dup_positions /
+    n_span_positions`` is the fraction of the span lattice a substring
+    dedup pass would rewrite — the number that decides whether the
+    corpus needs span-level surgery or doc-level dedup suffices.
+
+    Scale shape: the suffix-array formulation is a single-machine
+    algorithm; the Spark-native equivalent is exactly this — one staged
+    tokenizer pass, map-side span-hash generation, ONE aggregation
+    keyed on (lang, span-hash) with map-side partial combine (shuffle
+    bounded by the distinct-span vocabulary), then a lang-width rollup.
+    Nothing pairwise, nothing leaves the JVM; hot spans (high document
+    frequency) are bounded because each doc contributes each position
+    once."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", tx.tokens("text").alias("toks")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    tk = F.col("toks")
+    # sequence(1, 0) counts DOWN in Spark — guard short docs to empty.
+    spans = F.when(
+        F.size(tk) >= SPAN_TOKENS,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (SPAN_TOKENS - 1)),
+            lambda s: F.md5(F.concat_ws(" ", F.slice(tk, s, SPAN_TOKENS))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # explode_outer: plain explode's inferred non-empty filter would push
+    # below the staging exchange and re-inline the tokenizer (the
+    # _shingle_df lesson).
+    pos = staged.select(
+        "doc_id", "lang", F.explode_outer(spans).alias("h")
+    ).where(F.col("h").isNotNull())
+    per_span = pos.groupBy("lang", "h").agg(
+        F.count("*").alias("n_pos"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    crossdoc = F.col("n_docs") >= 2
+    dup_pos = F.sum(F.when(crossdoc, F.col("n_pos")).otherwise(F.lit(0)))
+    return per_span.groupBy("lang").agg(
+        F.sum("n_pos").alias("n_span_positions"),
+        F.count("*").alias("n_distinct_spans"),
+        F.sum(crossdoc.cast("long")).alias("n_crossdoc_spans"),
+        dup_pos.alias("dup_positions"),
+        # integer operands → identical IEEE division on both engines
+        F.round(
+            dup_pos.cast("double") / F.sum("n_pos"), 6
+        ).alias("dup_ratio"),
+    )
+
+
 _CDC_WSUM = " + ".join(
     f"CAST(unicode(text[i-{j}]) AS BIGINT) * {CDC_BASE**j}"
     for j in range(CDC_WINDOW)
@@ -1165,7 +1230,34 @@ QUERIES = {
     "dedup_incremental_stats": incremental_dedup_stats,
     "dedup_quality_report": candidate_quality_report,
     "dedup_corpus_overlap": corpus_overlap_stats,
+    "dedup_span_stats": duplicate_span_stats,
 }
+
+ORACLE["dedup_span_stats"] = rf"""
+    WITH toks AS (
+        SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS t
+        FROM documents
+    ), spans AS (
+        SELECT doc_id, lang,
+               md5(list_aggregate(
+                   list_slice(t, s.s, s.s + {SPAN_TOKENS} - 1),
+                   'string_agg', ' ')) AS h
+        FROM toks, UNNEST(range(1, len(t) - {SPAN_TOKENS} + 2)) AS s(s)
+    ), per_span AS (
+        SELECT lang, h, COUNT(*) AS n_pos, COUNT(DISTINCT doc_id) AS n_docs
+        FROM spans GROUP BY lang, h
+    )
+    SELECT lang,
+           CAST(SUM(n_pos) AS BIGINT) AS n_span_positions,
+           COUNT(*) AS n_distinct_spans,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_crossdoc_spans,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN n_pos ELSE 0 END) AS BIGINT)
+               AS dup_positions,
+           ROUND(CAST(SUM(CASE WHEN n_docs >= 2 THEN n_pos ELSE 0 END)
+                      AS DOUBLE) / SUM(n_pos), 6) AS dup_ratio
+    FROM per_span GROUP BY lang
+"""
 
 ORACLE["dedup_corpus_overlap"] = (
     _SHINGLES_CTE

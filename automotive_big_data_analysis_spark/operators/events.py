@@ -261,6 +261,39 @@ _SESSION_CTE = f"""
     )
 """
 
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup: minute → hour → day, each level
+    re-aggregating the PREVIOUS level's partials — the continuous-
+    aggregate / hypertable-rollup pattern. At 100 TB the raw events are
+    scanned exactly once (for the minute tier); the hour tier
+    aggregates minute rows (~1/60th the volume) and the day tier hour
+    rows, so refreshing coarse tiers never re-touches the fact table.
+
+    Correctness of the pattern rests on partial-aggregate composition:
+    counts add, and the value sums are carried UNROUNDED as
+    DECIMAL(25,10) partials through every tier (rounding a tier would
+    destroy associativity), surfacing as a double only at presentation.
+    The oracle computes the day tier DIRECTLY from raw events — hash
+    equality proves the three-level re-aggregation is lossless, which
+    is the invariant that lets an engine answer day-grain queries from
+    the rollup instead of the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count("*").alias("n"), F.sum(ex.dec("value")).alias("sv")
+    )
+    hour = minute.groupBy(F.date_trunc("hour", "minute").alias("hour")).agg(
+        F.sum("n").alias("n"),
+        F.sum("sv").alias("sv"),
+        F.count("*").alias("n_minutes"),
+    )
+    return hour.groupBy(F.date_trunc("day", "hour").alias("day")).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(F.sum("sv").cast("double"), 6).alias("total_value"),
+        F.sum("n_minutes").cast("long").alias("n_minutes"),
+        F.count("*").cast("long").alias("n_hours"),
+    )
+
+
 ORACLE: dict[str, str] = {
     "events_hourly_rollup": f"""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -373,4 +406,14 @@ QUERIES = {
     "events_type_share": event_type_share,
     "events_top_users": top_users,
     "events_funnel": funnel,
+    "events_rollup_hierarchy": rollup_hierarchy,
 }
+
+ORACLE["events_rollup_hierarchy"] = f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           {ex.dsum_sql("value", 6)} AS total_value,
+           COUNT(DISTINCT date_trunc('minute', ts)) AS n_minutes,
+           COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours
+    FROM events GROUP BY 1
+"""

@@ -293,6 +293,114 @@ def approx_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_BUCKETS = 4096  # bits per hash table
+BLOOM_HASHES = 2
+
+
+def _bloom_bucket(key, j: int):
+    """Bucket of hash function ``j`` in [0, BLOOM_BUCKETS) — md5-keyed so
+    the DuckDB oracle computes the identical bit positions."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"b{j}:"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_BUCKETS
+    )
+
+
+def bloom_prune_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning, made explicit and measured —
+    the semi-join reduction every engine applies when a selective dim
+    filter should prune a fact scan BEFORE the join shuffle (Spark's
+    injected runtime bloom filter / dynamic partition pruning class).
+
+    Build side: customers in one market segment (selective dim).
+    Filter: BLOOM_HASHES md5-keyed hash tables of BLOOM_BUCKETS bits —
+    relationally, the distinct (j, bucket) set, kilobytes, broadcast.
+    Probe: every order tests membership of its o_custkey in ALL tables
+    (two broadcast-hash lookups, map-side, zero shuffle of the fact).
+
+    The report scores the filter the way an optimizer must: orders
+    passing the bloom vs truly joining (false-positive rate over the
+    true negatives — the wasted shuffle the filter fails to prune) and
+    the prune ratio (fact fraction eliminated before the join). Bloom
+    filters have NO false negatives by construction, so
+    ``n_pass_bloom ≥ n_true_match`` and the exact join result is
+    unchanged — which is exactly what the oracle equality proves.
+
+    Scale shape: the build side aggregates to ≤ 2·BLOOM_BUCKETS rows
+    and broadcasts; the probe is a per-row projection + two broadcast
+    lookups folded into the fact scan; the final accounting is one
+    scalar aggregate. The fact table never shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    bloom = (
+        dim.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _bloom_bucket(F.col("c_custkey"), j).alias("bucket"),
+                        )
+                        for j in range(BLOOM_HASHES)
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.j", "e.bucket")
+        .distinct()
+    )
+    probe = orders.select(
+        "o_custkey",
+        *[
+            _bloom_bucket(F.col("o_custkey"), j).alias(f"b{j}")
+            for j in range(BLOOM_HASHES)
+        ],
+    )
+    flagged = probe
+    for j in range(BLOOM_HASHES):
+        tbl = bloom.where(F.col("j") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.lit(1).alias(f"in{j}")
+        )
+        flagged = flagged.join(F.broadcast(tbl), f"b{j}", "left")
+    truth = dim.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("is_true")
+    )
+    flagged = flagged.join(F.broadcast(truth), "o_custkey", "left")
+    pass_bloom = F.when(
+        sum(F.col(f"in{j}").isNotNull().cast("int") for j in range(BLOOM_HASHES))
+        == BLOOM_HASHES,
+        1,
+    ).otherwise(0)
+    is_true = F.col("is_true").isNotNull().cast("int")
+    agg = flagged.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(pass_bloom).cast("long").alias("n_pass_bloom"),
+        F.sum(is_true).cast("long").alias("n_true_match"),
+    ).withColumn("k", F.lit(1))
+    build_n = dim.agg(F.count("*").alias("n_build_keys")).withColumn(
+        "k", F.lit(1)
+    )
+    agg = agg.join(F.broadcast(build_n), "k")  # 1-row × 1-row keyed join
+    n_o, n_p, n_t = F.col("n_orders"), F.col("n_pass_bloom"), F.col("n_true_match")
+    return agg.select(
+        n_o,
+        F.col("n_build_keys"),
+        n_p,
+        n_t,
+        (n_p - n_t).alias("n_false_positives"),
+        F.round(
+            (n_p - n_t).cast("double") / F.nullif((n_o - n_t).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("fp_rate"),
+        F.round(F.lit(1.0) - n_p.cast("double") / n_o, 6).alias("prune_ratio"),
+    )
+
+
 ORACLE: dict[str, str] = {
     "small_quantity_revenue": f"""
         WITH part_avg AS (
@@ -390,8 +498,46 @@ ORACLE["cube_order_stats"] = f"""
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
+def _bloom_bucket_sql(prefix: str, key_sql: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{prefix}:' || CAST({key_sql} AS VARCHAR)),"
+        f" 1, 8))::BIGINT % {BLOOM_BUCKETS})"
+    )
+
+
+ORACLE["bloom_prune_join_stats"] = f"""
+    WITH dim AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    ), b0 AS (
+        SELECT DISTINCT {_bloom_bucket_sql("b0", "c_custkey")} AS b FROM dim
+    ), b1 AS (
+        SELECT DISTINCT {_bloom_bucket_sql("b1", "c_custkey")} AS b FROM dim
+    ), flags AS (
+        SELECT CASE WHEN {_bloom_bucket_sql("b0", "o_custkey")}
+                        IN (SELECT b FROM b0)
+                    AND {_bloom_bucket_sql("b1", "o_custkey")}
+                        IN (SELECT b FROM b1)
+                    THEN 1 ELSE 0 END AS pass,
+               CASE WHEN o_custkey IN (SELECT c_custkey FROM dim)
+                    THEN 1 ELSE 0 END AS t
+        FROM orders
+    )
+    SELECT COUNT(*) AS n_orders,
+           (SELECT COUNT(*) FROM dim) AS n_build_keys,
+           CAST(SUM(pass) AS BIGINT) AS n_pass_bloom,
+           CAST(SUM(t) AS BIGINT) AS n_true_match,
+           CAST(SUM(pass) - SUM(t) AS BIGINT) AS n_false_positives,
+           ROUND(CAST(SUM(pass) - SUM(t) AS DOUBLE)
+                 / NULLIF(CAST(COUNT(*) - SUM(t) AS DOUBLE), 0.0), 6)
+               AS fp_rate,
+           ROUND(1.0 - CAST(SUM(pass) AS DOUBLE) / COUNT(*), 6)
+               AS prune_ratio
+    FROM flags
+"""
+
 QUERIES = {
     "small_quantity_revenue": small_quantity_revenue,
+    "bloom_prune_join_stats": bloom_prune_join_stats,
     "salted_type_totals": salted_type_totals,
     "events_salted_severity_join": salted_severity_join,
     "cube_order_stats": cube_order_stats,

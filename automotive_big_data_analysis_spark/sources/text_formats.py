@@ -94,16 +94,18 @@ def _ensure_written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             writer.option("header", "true").csv(path)
         elif fmt == "jsonl_gzip":
             writer.option("compression", "gzip").json(path)
+        elif fmt == "orc":
+            writer.orc(path)
         else:
             writer.json(path)
     return path
 
 
 def ensure_mirrors(spark: SparkSession, sf_dir: str) -> None:
-    """Materialize both text-interchange mirrors for the corpus — the
+    """Materialize the interchange mirrors for the corpus — the
     upstream-producer scaffolding the bench harness pre-writes (and
     times separately) so connector queries measure the READ path only."""
-    for fmt in ("jsonl", "csv", "jsonl_gzip"):
+    for fmt in ("jsonl", "csv", "jsonl_gzip", "orc"):
         _ensure_written(spark, sf_dir, fmt)
 
 
@@ -114,11 +116,12 @@ def _read_events_text(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     _corrupt_record column is the quarantine-pipeline variant)."""
     path = _ensure_written(spark, sf_dir, fmt)
     reader = spark.read.schema(EVENTS_TEXT_SCHEMA).option("mode", "FAILFAST")
-    raw = (
-        reader.option("header", "true").csv(path)
-        if fmt == "csv"
-        else reader.json(path)  # .gz files are codec-detected by suffix
-    )
+    if fmt == "csv":
+        raw = reader.option("header", "true").csv(path)
+    elif fmt == "orc":
+        raw = reader.orc(path)
+    else:
+        raw = reader.json(path)  # .gz files are codec-detected by suffix
     return raw.select(
         "event_id",
         F.timestamp_micros("ts_us").alias("ts"),
@@ -167,6 +170,20 @@ def jsonl_gzip_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _summary(_read_events_text(spark, sf_dir, "jsonl_gzip"))
 
 
+def orc_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: same contract over an ORC mirror — the other
+    big-data columnar format (Hive-lineage lakes interchange ORC the way
+    Spark-lineage ones interchange parquet). Unlike the text formats,
+    ORC is splittable, carries an embedded schema (the explicit
+    schema-on-read here acts as projection + a type CONTRACT check
+    rather than a parser spec), and supports predicate pushdown and
+    column pruning — the plan shows a columnar FileScan orc, not a
+    full-row parse. Equality against the parquet oracle proves the
+    columnar round-trip is lossless for ids, timestamps (epoch-µs
+    interchange as everywhere in this tier), doubles, and strings."""
+    return _summary(_read_events_text(spark, sf_dir, "orc"))
+
+
 def idempotent_reingest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate query: EXACTLY-ONCE ingest semantics under replay. A
     landing-tier consumer that crashes mid-commit re-reads files it may
@@ -197,6 +214,7 @@ ORACLE: dict[str, str] = {
     "source_jsonl_events": _SUMMARY_SQL,
     "source_csv_events": _SUMMARY_SQL,
     "source_jsonl_gzip_events": _SUMMARY_SQL,
+    "source_orc_events": _SUMMARY_SQL,
     "source_idempotent_reingest_events": _SUMMARY_SQL,
 }
 
@@ -204,5 +222,6 @@ QUERIES = {
     "source_jsonl_events": jsonl_events_summary,
     "source_csv_events": csv_events_summary,
     "source_jsonl_gzip_events": jsonl_gzip_events_summary,
+    "source_orc_events": orc_events_summary,
     "source_idempotent_reingest_events": idempotent_reingest_summary,
 }

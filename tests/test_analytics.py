@@ -182,3 +182,61 @@ def test_embedding_outliers_flag_planted_vector(spark, tmp_path_factory):
     assert len(got) == min(an.OUTLIER_TOP_K, 10)
     # everyone else is equidistant from the centroid; ties break by id
     assert [r.vec_id for r in got[1:]] == [0, 1, 2, 3]
+
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_quality_regression_constant_x_yields_null_slope(spark, tmp_path):
+    # Same token count everywhere → zero x-variance → slope/intercept/r2
+    # are NULL through the shared NULLIF guard, never a division error.
+    texts = ["aa bb cc dd", "ee ff gg hh", "iii jjj kkk lll"]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    row = an.quality_regression(spark, str(tmp_path)).first()
+    assert row.n_docs == 3
+    assert row.slope is None and row.intercept is None and row.r2 is None
+
+
+def test_quality_regression_matches_closed_form(spark, tmp_path):
+    # Hand-checkable least squares: token counts and 2-decimal quality
+    # scores recomputed here give the same normal-equation fit.
+    texts = [
+        "one two",  # 2 tokens
+        "a b c d e f",  # 6 tokens
+        " ".join(["tok"] * 25),  # 25 tokens
+        " ".join(["the"] * 40),  # 40 tokens, stopword-heavy
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    from automotive_big_data_analysis_spark.functions import text as tx
+
+    scored = (
+        spark.createDataFrame(rows, DOC_SCHEMA)
+        .select(
+            tx.token_count("text").alias("x"),
+            tx.quality_score("text").alias("y"),
+        )
+        .collect()
+    )
+    xs = [r.x for r in scored]
+    ys = [r.y for r in scored]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = an.quality_regression(spark, str(tmp_path)).first()
+    assert row.n_docs == n
+    assert row.slope == pytest.approx(slope, abs=2e-9)
+    assert row.intercept == pytest.approx((sy - slope * sx) / n, abs=2e-6)
+    assert row.r2 == pytest.approx(
+        (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        abs=2e-6,
+    )
+    assert 0.0 <= row.r2 <= 1.0

@@ -282,3 +282,24 @@ def test_corpus_overlap_extremes(spark, tmp_path_factory):
         assert got[pair].est_jaccard == 0.0
         assert got[pair].exact_jaccard == 0.0
         assert got[pair].n_inter == 0
+
+
+def test_span_stats_counts_crossdoc_positions(spark, doc_dir):
+    # BASE (docs 0 and 3, identical, 20 tokens) opens 5 spans each, all
+    # cross-doc duplicated; NEAR differs at token 8, which every one of
+    # its 5 spans covers, so none are shared; FAR has <16 tokens → none.
+    rows = {r.lang: r for r in dedup.duplicate_span_stats(spark, doc_dir).collect()}
+    en = rows["en"]
+    assert en.n_span_positions == 15  # 5 + 5 + 5
+    assert en.n_distinct_spans == 10  # BASE's 5 + NEAR's 5
+    assert en.n_crossdoc_spans == 5
+    assert en.dup_positions == 10  # doc 0's 5 + doc 3's 5
+    assert en.dup_ratio == round(10 / 15, 6)
+
+
+def test_span_stats_short_docs_emit_no_spans(spark, tmp_path):
+    rows = [(0, "only five tokens right here", "en", "s", 28)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    assert dedup.duplicate_span_stats(spark, str(tmp_path)).count() == 0

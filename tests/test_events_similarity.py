@@ -471,3 +471,36 @@ def test_semantic_keep_accounts_exactly(spark):
     pairs = sim.cosine_dup_pairs(spark, sf).collect()
     dropped_ids = {p.vec_b for p in pairs}
     assert sum(r.n_dropped for r in rows) == len(dropped_ids)
+
+
+def test_rollup_hierarchy_equals_direct_day_aggregation(spark, event_dir):
+    # The three-tier re-aggregation must be indistinguishable from
+    # aggregating raw events at day grain (partial-agg composition).
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.functions import exact as ex
+
+    got = {r.day: r for r in ev.rollup_hierarchy(spark, event_dir).collect()}
+    direct = {
+        r.day: r
+        for r in load_table(spark, event_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            ex.dsum("value", 6).alias("total_value"),
+            F.countDistinct(F.date_trunc("minute", "ts")).alias("n_minutes"),
+            F.countDistinct(F.date_trunc("hour", "ts")).alias("n_hours"),
+        )
+        .collect()
+    }
+    assert got.keys() == direct.keys()
+    for day, g in got.items():
+        d = direct[day]
+        assert (g.n_events, g.total_value, g.n_minutes, g.n_hours) == (
+            d.n_events,
+            d.total_value,
+            d.n_minutes,
+            d.n_hours,
+        )
+    # the fixture's 4 events land in one day, 3 hours, 4 minutes
+    (only,) = got.values()
+    assert (only.n_events, only.n_hours, only.n_minutes) == (4, 2, 4)

@@ -58,3 +58,26 @@ def test_entry_contract(spark):
     df = entry.entry(spark)
     assert df.count() > 0
     assert {"l_returnflag", "sum_qty", "count_order"} <= set(df.columns)
+
+
+def test_bloom_prune_has_no_false_negatives_and_counts_add_up(spark):
+    from pyspark.sql import functions as F
+
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    row = rx.bloom_prune_join_stats(spark, SF_SMOKE).first()
+    # Bloom filters can only over-approximate the build-key set.
+    assert row.n_pass_bloom >= row.n_true_match
+    assert row.n_false_positives == row.n_pass_bloom - row.n_true_match
+    assert 0.0 <= row.prune_ratio <= 1.0
+    # n_true_match is the exact semi-join cardinality.
+    cust = load_table(spark, SF_SMOKE, "customer").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders")
+    exact = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "semi"
+    ).count()
+    assert row.n_true_match == exact
+    assert row.n_orders == orders.count()

@@ -473,3 +473,21 @@ def test_cdc_ivm_equals_full_recompute(spark):
         for r in recomputed.collect()
     }
     assert ivm == want
+
+
+def test_orc_connector_matches_parquet_truth(spark):
+    """The ORC columnar round-trip must be value-identical to the
+    parquet-derived summary, and the mirror must be real ORC files."""
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.sources import text_formats as tf
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in tf.orc_events_summary(spark, sf).collect()}
+    truth = {
+        tuple(r)
+        for r in tf._summary(load_table(spark, sf, "events")).collect()
+    }
+    assert got == truth
+    path = tf._ensure_written(spark, sf, "orc")
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert parts and all(f.endswith(".orc") for f in parts)
