@@ -86,15 +86,18 @@ _SWEEP_PRIORITY = [
     "cdc_ivm_hourly_rollup",
     "embedding_semantic_keep_stats",
     # (c) results or code changed this round
+    # (embedding_kmeans and dedup_minhash_lsh_pairs — both r6-green with
+    # value-neutral r7 changes, and both with in-window kin consuming
+    # their artifacts: knn_ivf reads the kmeans codebook, the dedup
+    # quality report reads the MinHash candidates — were displaced for
+    # the two session-4 sketch/advisor queries above.)
     "knn_ivf",            # NPROBE 2→4 (frontier-chosen operating point)
     "knn_ivfpq",          # NPROBE 2→4
-    "knn_pq",             # shares the retagged stored index
+    "knn_pq",             # trained sub-codebooks change the codes
     "knn_recall_report",  # re-scored at the new operating point
-    "embedding_kmeans",   # codebook store-through under the new tag
     "orders_rfm_segments",    # literal-boundary rank rework
     "order_value_deciles",    # literal-boundary rank rework
     "bucketed_join_revenue",  # re-attach honors caller bucket count
-    "dedup_minhash_lsh_pairs",  # candidate builder split out
     # (b cont.) session-3 additions — zero prior driver evidence
     "dedup_quality_report",
     "dedup_corpus_overlap",
@@ -111,6 +114,8 @@ _SWEEP_PRIORITY = [
     "docs_quality_regression",
     "bloom_prune_join_stats",
     "events_rollup_hierarchy",
+    "events_heavy_hitters_cms",
+    "maintenance_skew_advisor",
     # Displaced for the ten session-3/4 queries above (zero driver
     # evidence outranks everything green): the five single-[5]-green
     # queries events_funnel / events_sessionize / events_user_retention

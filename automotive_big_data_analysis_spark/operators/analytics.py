@@ -657,6 +657,121 @@ def _outliers_sql() -> str:
 ORACLE["embedding_outlier_scores"] = _outliers_sql()
 
 
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 256  # counters per row
+TOP_USERS_K = 10
+
+
+def _cms_bucket(key, d: int):
+    """Counter index of hash row ``d`` in [0, CMS_WIDTH) — md5-keyed so
+    the DuckDB oracle addresses the identical cells."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{d}:"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters, scored against exact truth — the
+    fixed-memory frequency sketch a 100 TB pipeline uses when per-key
+    exact counting would shuffle billions of distinct keys (hot-user /
+    hot-document detection, skew probes feeding the salting decision).
+
+    Build: every event increments CMS_DEPTH counters (one md5-addressed
+    cell per hash row) — relationally, a (d, bucket) aggregation bounded
+    by DEPTH×WIDTH rows regardless of stream size, with map-side partial
+    combine. Probe: the true top-K users (computed exactly here, to
+    score the sketch) read their DEPTH cells back from the broadcast
+    sketch; the estimate is the row-wise MIN. CMS errs only UPWARD
+    (collisions add, never subtract) so ``est_n ≥ true_n`` always —
+    ``overestimate`` is the collision noise at this DEPTH×WIDTH, the
+    number that sizes the sketch for a target accuracy (ε ≈ e/WIDTH of
+    the stream length, with probability 1−e^−DEPTH).
+
+    Scale shape: sketch build is one fact scan aggregating to ≤1024
+    cells; the probe side is K rows joined against the broadcast sketch.
+    The exact top-K pass exists only to SCORE the sketch and rides the
+    same per-key aggregation every groupBy pays."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _cms_bucket(F.col("user_id"), d).alias("b"),
+                        )
+                        for d in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy(F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+        .agg(F.count("*").alias("n"))
+    )
+    true_top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "user_id")
+        .limit(TOP_USERS_K)
+    )
+    probes = true_top.select(
+        "user_id",
+        "true_n",
+        *[
+            _cms_bucket(F.col("user_id"), d).alias(f"b{d}")
+            for d in range(CMS_DEPTH)
+        ],
+    )
+    for d in range(CMS_DEPTH):
+        row = cells.where(F.col("d") == d).select(
+            F.col("b").alias(f"b{d}"), F.col("n").alias(f"n{d}")
+        )
+        probes = probes.join(F.broadcast(row), f"b{d}")
+    est = F.least(*[F.col(f"n{d}") for d in range(CMS_DEPTH)])
+    return probes.select(
+        "user_id",
+        "true_n",
+        est.alias("est_n"),
+        (est - F.col("true_n")).alias("overestimate"),
+    )
+
+
+ORACLE["events_heavy_hitters_cms"] = f"""
+    WITH cellsrc AS (
+        SELECT d.d AS d,
+               (('0x' || substr(md5('cms' || d.d || ':'
+                    || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                % {CMS_WIDTH}) AS b
+        FROM events CROSS JOIN (
+            VALUES {", ".join(f"({d})" for d in range(CMS_DEPTH))}
+        ) AS d(d)
+    ), cells AS (
+        SELECT d, b, COUNT(*) AS n FROM cellsrc GROUP BY d, b
+    ), top AS (
+        SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id
+        ORDER BY true_n DESC, user_id LIMIT {TOP_USERS_K}
+    )
+    SELECT t.user_id, t.true_n,
+           LEAST({", ".join(f"c{d}.n" for d in range(CMS_DEPTH))}) AS est_n,
+           LEAST({", ".join(f"c{d}.n" for d in range(CMS_DEPTH))}) - t.true_n
+               AS overestimate
+    FROM top t
+    {" ".join(
+        f"JOIN cells c{d} ON c{d}.d = {d} AND c{d}.b = "
+        f"(('0x' || substr(md5('cms{d}:' || CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT % {CMS_WIDTH})"
+        for d in range(CMS_DEPTH)
+    )}
+"""
+
+
 def _regression_sql() -> str:
     from automotive_big_data_analysis_spark.functions import text as tx
 
@@ -722,4 +837,5 @@ QUERIES = {
     "events_markov_transitions": markov_transitions,
     "embedding_outlier_scores": embedding_outliers,
     "docs_quality_regression": quality_regression,
+    "events_heavy_hitters_cms": heavy_hitters_cms,
 }

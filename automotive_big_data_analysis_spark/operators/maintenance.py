@@ -504,8 +504,91 @@ ORACLE["maintenance_clustering_advisor"] = f"""
     JOIN np ON np.dim = o.dim
 """
 
+SKEW_MODERATE = 2  # keys above this ×mean are "warm"
+SKEW_HOT = 10  # keys above this ×mean force salting
+
+
+def skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation key-skew report over ``events.user_id`` — the
+    pre-flight diagnostic that decides whether a planned shuffle needs
+    salting (``functions/skew.py``) or AQE skew-join splitting before
+    it runs at 100 TB, where one hot key = one straggler task that
+    holds the whole stage.
+
+    One fact scan aggregates to per-key counts (map-side combined);
+    everything after runs on the KEY table (|keys| rows, not |rows|):
+    the 1-row moment aggregate broadcasts back to count how many keys
+    exceed 2× / 10× the mean, and ``recommended_salt`` =
+    ceil(max/mean) is the fan-out that levels the hottest key's
+    partition to the average — the exact parameter
+    ``salted_sum_count`` takes. Integer inputs throughout → identical
+    IEEE division and CEIL on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    totals = per_key.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+    ).withColumn("k", F.lit(1))
+    mean = F.col("n_rows").cast("double") / F.col("n_keys")
+    flagged = per_key.withColumn("k", F.lit(1)).join(
+        F.broadcast(totals), "k"
+    )
+    counted = flagged.groupBy(
+        "n_rows", "n_keys", "max_key_rows"
+    ).agg(
+        F.sum(
+            (F.col("n") > SKEW_MODERATE * mean).cast("long")
+        ).alias("n_keys_over_2x"),
+        F.sum((F.col("n") > SKEW_HOT * mean).cast("long")).alias(
+            "n_keys_over_10x"
+        ),
+    )
+    return counted.select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round(mean, 6).alias("mean_rows_per_key"),
+        F.round(F.col("max_key_rows").cast("double") / mean, 6).alias(
+            "skew_ratio"
+        ),
+        "n_keys_over_2x",
+        "n_keys_over_10x",
+        F.ceil(F.col("max_key_rows").cast("double") / mean)
+        .cast("long")
+        .alias("recommended_salt"),
+    )
+
+
+ORACLE["maintenance_skew_advisor"] = f"""
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), totals AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+               MAX(n) AS max_key_rows
+        FROM per_key
+    )
+    SELECT t.n_rows, t.n_keys, t.max_key_rows,
+           ROUND(CAST(t.n_rows AS DOUBLE) / t.n_keys, 6)
+               AS mean_rows_per_key,
+           ROUND(CAST(t.max_key_rows AS DOUBLE)
+                 / (CAST(t.n_rows AS DOUBLE) / t.n_keys), 6) AS skew_ratio,
+           CAST(SUM(CASE WHEN p.n > {SKEW_MODERATE}
+                        * (CAST(t.n_rows AS DOUBLE) / t.n_keys)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_over_2x,
+           CAST(SUM(CASE WHEN p.n > {SKEW_HOT}
+                        * (CAST(t.n_rows AS DOUBLE) / t.n_keys)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_over_10x,
+           CAST(CEIL(CAST(t.max_key_rows AS DOUBLE)
+                     / (CAST(t.n_rows AS DOUBLE) / t.n_keys)) AS BIGINT)
+               AS recommended_salt
+    FROM per_key p CROSS JOIN totals t
+    GROUP BY t.n_rows, t.n_keys, t.max_key_rows
+"""
+
 QUERIES = {
     "maintenance_compaction_plan": compaction_plan,
     "maintenance_layout_skipping": layout_skipping,
     "maintenance_clustering_advisor": clustering_advisor,
+    "maintenance_skew_advisor": skew_advisor,
 }

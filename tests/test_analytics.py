@@ -240,3 +240,37 @@ def test_quality_regression_matches_closed_form(spark, tmp_path):
         abs=2e-6,
     )
     assert 0.0 <= row.r2 <= 1.0
+
+
+def test_cms_never_underestimates_and_finds_the_hot_user(spark, tmp_path):
+    # user 7 is the planted heavy hitter; CMS must rank it and can only
+    # ever OVER-estimate (collisions add counts, never remove them).
+    rows = []
+    eid = 0
+    for _ in range(50):
+        rows.append((eid, T0 + timedelta(minutes=eid), 7, "click", 1.0, "{}"))
+        eid += 1
+    for u in range(20):
+        rows.append((eid, T0 + timedelta(minutes=eid), 100 + u, "view", 1.0, "{}"))
+        eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    out = an.heavy_hitters_cms(spark, str(tmp_path)).collect()
+    assert len(out) == an.TOP_USERS_K
+    by_user = {r.user_id: r for r in out}
+    assert by_user[7].true_n == 50
+    assert all(r.est_n >= r.true_n for r in out)
+    assert all(r.overestimate == r.est_n - r.true_n for r in out)
+
+
+def test_cms_exact_when_no_collisions(spark, tmp_path):
+    # 3 distinct users among 256 counters per row: the probability-washed
+    # case — with these fixed md5 buckets there are no collisions, so the
+    # sketch is exact (asserts the cell arithmetic, not just the bound).
+    rows = [
+        (i, T0 + timedelta(minutes=i), 1 + (i % 3), "click", 1.0, "{}")
+        for i in range(12)
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = an.heavy_hitters_cms(spark, str(tmp_path)).collect()
+    assert {r.user_id: r.true_n for r in out} == {1: 4, 2: 4, 3: 4}
+    assert all(r.overestimate == 0 for r in out)

@@ -106,3 +106,31 @@ def test_clustering_advisor_zorder_balances_dimensions(spark):
             < rows[(lin, other)].avg_scan_fraction
         )
         assert z_worst < rows[(lin, other)].avg_scan_fraction
+
+
+def test_skew_advisor_hand_computed(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from automotive_big_data_analysis_spark.operators import (
+        maintenance as mt,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "click", 1.0, "{}") for i in range(8)
+    ] + [
+        (8, t0 + timedelta(minutes=8), 2, "view", 1.0, "{}"),
+        (9, t0 + timedelta(minutes=9), 3, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    row = mt.skew_advisor(spark, str(tmp_path)).first()
+    assert (row.n_rows, row.n_keys, row.max_key_rows) == (10, 3, 8)
+    assert row.mean_rows_per_key == round(10 / 3, 6)
+    assert row.skew_ratio == round(8 / (10 / 3), 6)  # 2.4
+    assert row.n_keys_over_2x == 1  # only the hot key exceeds 2x mean
+    assert row.n_keys_over_10x == 0
+    assert row.recommended_salt == 3  # ceil(2.4)
