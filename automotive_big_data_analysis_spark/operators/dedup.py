@@ -847,7 +847,11 @@ def corpus_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"x.m{j}") == F.col(f"y.m{j}")).cast("int")
         for j in range(N_CORPUS_MINHASH)
     )
-    est = x.join(y, F.col("x.source") < F.col("y.source")).select(
+    # Non-equi self-join of the per-source SIGNATURE AGGREGATE
+    # (|sources| rows): broadcast the right side so the plan is a
+    # BroadcastNestedLoopJoin over a dimension-sized build, never a
+    # CartesianProduct exchange (the global plan audit's hard ban).
+    est = x.join(F.broadcast(y), F.col("x.source") < F.col("y.source")).select(
         F.col("x.source").alias("source_a"),
         F.col("y.source").alias("source_b"),
         F.col("x.sz").alias("n_shingles_a"),
