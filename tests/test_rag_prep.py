@@ -68,3 +68,22 @@ def test_chunking_tokenizes_once_behind_the_staging_exchange(spark):
     plan = px.physical_plan(rp.docs_chunk_stats(spark, SF))
     assert plan.count("regexp_extract_all") == 1
     assert px.has_partial_aggregation(rp.docs_chunk_stats(spark, SF))
+
+
+def test_bm25_ranks_term_stuffed_doc_first(spark, tmp_path):
+    from automotive_big_data_analysis_spark.operators import rag_prep as rp
+
+    rows = [
+        (0, "alpha alpha alpha alpha beta gamma", "en", "s", 34),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 36),
+        (2, "alpha beta omega kappa sigma theta", "en", "s", 34),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = rp.docs_bm25_topk(spark, str(tmp_path)).collect()
+    # query terms (top-3 global alpha terms): alpha(6), beta(3), gamma(2);
+    # every doc matches at least one, all equal length -> tf decides.
+    assert [r.doc_id for r in out] == [0, 1, 2]
+    assert out[0].bm25 > out[1].bm25 > out[2].bm25 > 0
+    assert all(r.dl == 6 for r in out)
