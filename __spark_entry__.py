@@ -98,8 +98,11 @@ _SWEEP_PRIORITY = [
     # (orders_rfm_segments and order_value_deciles — r6-green, and the
     # literal-boundary rank rework is value-neutral with the same
     # two-pass machinery exercised in-window by training_epoch_order —
-    # were displaced for the containment audit and BM25 retrieval.)
-    "bucketed_join_revenue",  # re-attach honors caller bucket count
+    # were displaced for the containment audit and BM25 retrieval.
+    # bucketed_join_revenue — r6-green; its r7 re-attach fix changes the
+    # cross-session DDL path, which the stored-table lifecycle TEST
+    # exercises directly and the single-session driver gate cannot —
+    # was displaced for the stream-stream join gate.)
     # (b cont.) session-3 additions — zero prior driver evidence
     "dedup_quality_report",
     "dedup_corpus_overlap",
@@ -120,6 +123,7 @@ _SWEEP_PRIORITY = [
     "maintenance_skew_advisor",
     "dedup_containment_pairs",
     "docs_bm25_topk",
+    "stream_conversions",
     # Displaced for the ten session-3/4 queries above (zero driver
     # evidence outranks everything green): the five single-[5]-green
     # queries events_funnel / events_sessionize / events_user_retention

@@ -358,6 +358,51 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def stream_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query #3 for the streaming layer: the JSONL
+    landing-directory stream driven through the watermarked
+    STREAM-STREAM JOIN (``conversion_stream`` — purchases attributed to
+    the same user's clicks in the preceding hour), aggregated per user
+    and hash-verified against the identical batch join from the parquet
+    table. Stream-stream join is the one streaming operator whose state
+    lives on BOTH sides; this gate proves the match set is exactly the
+    batch join's.
+
+    Replay-safe watermark: the JSONL mirror's part files are row-
+    partitioned, NOT time-ordered, so after the first micro-batch the
+    event-time watermark would sit near corpus end and a production
+    10-minute delay would evict click state and drop late-file matches
+    nondeterministically. The harness passes a watermark wider than the
+    corpus span (state is never evicted, every match is found — which
+    is WHY equality with the batch join is provable); a real landing
+    tier is approximately time-ordered and runs the tight watermark,
+    trading completeness on extreme stragglers for bounded state.
+    Inner-join matches emit immediately, so ``append`` mode has no
+    bounded-replay withholding problem (unlike the aggregation gates).
+    """
+    import uuid
+
+    from automotive_big_data_analysis_spark.sources.text_formats import (
+        _ensure_written,
+    )
+
+    path = _ensure_written(spark, sf_dir, "jsonl")
+    joined = conversion_stream(
+        read_event_stream_jsonl(spark, path), watermark="90 days"
+    )
+    name = f"stream_conv_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory(joined, name, output_mode="append")
+    rows = out.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("click_id").alias("n_clicks_converted"),
+        F.count_distinct("purchase_id").alias("n_purchases_attributed"),
+        ex.dsum("value").alias("attributed_value"),
+    )
+    result = spark.createDataFrame(rows.collect(), rows.schema)
+    spark.catalog.dropTempView(name)
+    return result
+
+
 def _session_oracle_sql() -> str:
     from automotive_big_data_analysis_spark.operators.events import (
         _SESSION_CTE,
@@ -384,9 +429,30 @@ ORACLE: dict[str, str] = {
         FROM events GROUP BY 1, 2
     """,
     "stream_user_sessions": _session_oracle_sql(),
+    # identical click→purchase attribution join from the parquet table
+    "stream_conversions": f"""
+        WITH clicks AS (
+            SELECT user_id, ts AS click_ts, event_id AS click_id
+            FROM events WHERE event_type = 'click'
+        ), purch AS (
+            SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+                   value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id, COUNT(*) AS n_pairs,
+               COUNT(DISTINCT c.click_id) AS n_clicks_converted,
+               COUNT(DISTINCT p.purchase_id) AS n_purchases_attributed,
+               {ex.dsum_sql("p.value")} AS attributed_value
+        FROM clicks c JOIN purch p
+          ON p.user_id = c.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL '{CONVERSION_HORIZON}'
+        GROUP BY c.user_id
+    """,
 }
 
 QUERIES = {
     "stream_hourly_rollup": stream_hourly_rollup,
     "stream_user_sessions": stream_user_sessions,
+    "stream_conversions": stream_conversions,
 }

@@ -389,3 +389,54 @@ def test_stream_curated_documents_gate_dedups_planted(spark, tmp_path_factory):
     assert got["en"].n_kept == 2
     # the same text in another lang is its own key (per-lang dedup)
     assert got["de"].n_kept == 1
+
+
+def test_stream_conversions_driver_gate_matches_batch(spark):
+    """The stream-stream join gate must reproduce the batch attribution
+    join from the parquet table exactly (same pairs, same exact sums)."""
+    from pyspark.sql import functions as F
+
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.functions import exact as ex
+    from automotive_big_data_analysis_spark.streaming import events_stream as es
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: (
+            r.n_pairs,
+            r.n_clicks_converted,
+            r.n_purchases_attributed,
+            r.attributed_value,
+        )
+        for r in es.stream_conversions(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    batch = (
+        clicks.join(
+            purch,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("click_id").alias("n_clicks"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            ex.dsum("value").alias("val"),
+        )
+    )
+    want = {
+        r.user_id: (r.n_pairs, r.n_clicks, r.n_purchases, r.val)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
