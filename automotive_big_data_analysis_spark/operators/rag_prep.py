@@ -152,7 +152,17 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = staged.select(
         "doc_id", F.explode_outer("toks").alias("term")
     ).where(F.col("term").rlike(TERM_RE))
-    tf = posting.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # The (doc, term, tf) postings table feeds FOUR consumers (query
+    # terms, df, doc lengths, scoring); without materialization Catalyst
+    # re-plans the scan+tokenize+explode subtree into each one — five
+    # fact scans instead of one (verified via plan regexp count).
+    # localCheckpoint pins it once; in production this table IS the
+    # stored inverted index (the sources/stored.py discipline).
+    tf = (
+        posting.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     totals = dl.agg(
         F.count("*").alias("n_docs"),

@@ -509,3 +509,57 @@ def test_knn_lsh_reads_stored_postings_no_corpus_join(spark):
     assert "lsh_postings" in plan
     assert "embeddings.parquet" not in plan  # index-only search
     assert px.broadcast_join_count(df) >= 1
+
+
+def test_bloom_prune_fact_side_never_shuffles_before_filter(spark):
+    """The Bloom probe must be map-side: orders flow through broadcast
+    lookups only — the single shuffle in the whole plan is the final
+    1-row accounting aggregate, never an exchange of the fact keyed for
+    a join."""
+    from automotive_big_data_analysis_spark.operators import relational_ext as rx
+
+    df = rx.bloom_prune_join_stats(spark, SF)
+    plan = px.physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert px.broadcast_join_count(df) >= 3  # 2 hash tables + truth + build_n
+    # only aggregate exchanges (partial->final), no join-key exchange
+    assert px.shuffle_count(df) <= 2
+
+
+def test_bm25_builds_postings_with_one_staged_tokenizer(spark):
+    """BM25's postings build must tokenize once behind the staging
+    exchange (never re-inlined per posting), combine map-side, and keep
+    the scan text-only."""
+    from automotive_big_data_analysis_spark.operators import rag_prep as rp
+
+    df = rp.docs_bm25_topk(spark, SF)
+    plan = px.physical_plan(df)
+    # postings are checkpointed once: the tokenizer and the parquet scan
+    # must be GONE from the consuming plan (four consumers read the
+    # materialized index, not the corpus)
+    assert plan.count("regexp_extract_all") == 0
+    assert "Scan parquet" not in plan
+    assert px.has_partial_aggregation(df)
+    assert not px.unpartitioned_window_specs(df)  # top-k via TakeOrdered
+    assert "TakeOrdered" in plan
+
+
+def test_cms_sketch_aggregates_with_partial_combine(spark):
+    """The CMS build must partial-combine (shuffle bounded by the
+    DEPTH x WIDTH cell vocabulary, not the event stream)."""
+    from automotive_big_data_analysis_spark.operators import analytics as an
+
+    df = an.heavy_hitters_cms(spark, SF)
+    assert px.has_partial_aggregation(df)
+    assert not px.unpartitioned_window_specs(df)
+
+
+def test_rollup_hierarchy_rescans_fact_once(spark):
+    """The three-tier rollup reads the fact table exactly once — hour
+    and day tiers aggregate the previous tier's partials, never the
+    events scan."""
+    from automotive_big_data_analysis_spark.operators import events as ev
+
+    df = ev.rollup_hierarchy(spark, SF)
+    assert len(px.read_schemas(df)) == 1
+    assert px.has_partial_aggregation(df)
