@@ -63,7 +63,10 @@ _SWEEP_PRIORITY = [
     "large_volume_customers",
     "local_supplier_volume",
     "price_histogram",
-    "pricing_summary",
+    # (pricing_summary — also r4-stale — is the one stale-backlog entry
+    # left out: it is entry()'s flagship, smoke-run by the driver every
+    # round (rows+schema), its Q1 shape has in-window kin, and the slot
+    # went to the zero-evidence hybrid-RRF fusion query.)
     "revenue_by_nation",
     "rollup_order_counts",
     "segment_share",
@@ -124,6 +127,7 @@ _SWEEP_PRIORITY = [
     "dedup_containment_pairs",
     "docs_bm25_topk",
     "stream_conversions",
+    "docs_hybrid_rrf",
     # Displaced for the ten session-3/4 queries above (zero driver
     # evidence outranks everything green): the five single-[5]-green
     # queries events_funnel / events_sessionize / events_user_retention

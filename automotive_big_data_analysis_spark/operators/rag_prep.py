@@ -27,8 +27,10 @@ chunk stream. Nothing is pairwise, nothing leaves the JVM.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from automotive_big_data_analysis_spark.functions import vectors as V
 
 from automotive_big_data_analysis_spark.catalog import load_table
 from automotive_big_data_analysis_spark.functions import text as tx
@@ -124,7 +126,7 @@ N_QUERY_TERMS = 3
 TERM_RE = "^[a-z]{4,}$"  # alpha terms only; drops punctuation + short stopwords
 
 
-def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse lexical retrieval over an inverted index: BM25 top-k —
     the other half of a RAG ingest next to the dense ANN family
     (``similarity.*``); production retrieval is almost always the
@@ -141,9 +143,10 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the postings table is THE web-scale text-retrieval
     structure — one staged-tokenizer scan builds it with a single
     (doc, term) hash aggregation; query scoring touches only the 3
-    query terms' postings rows (broadcast term stats), sums per-doc
-    contributions in DECIMAL (order-free), and takes top-k via
-    TakeOrdered — no global sort materialization, no window."""
+    query terms' postings rows (broadcast term stats) and sums per-doc
+    contributions in DECIMAL (order-free); consumers take top-k via
+    TakeOrdered — no global sort materialization, no fact-scale
+    window."""
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id",
@@ -200,8 +203,87 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("c", contrib)
         .groupBy("doc_id")
         .agg(ex.dsum("c", 6).alias("bm25"), F.first("dl").alias("dl"))
+    )
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate face of :func:`_bm25_scores` (full design notes
+    there): the BM25 top-k answer via TakeOrdered over the per-doc
+    scores."""
+    return (
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOP_DOCS)
+    )
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_DEPTH = 100  # fuse the top-100 lists from each retriever
+HYBRID_TOP = 10
+
+
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: the sparse (BM25) and dense (cosine kNN)
+    rankings fused with Reciprocal Rank Fusion — the production
+    composition behind most RAG retrieval stacks, where lexical and
+    semantic retrievers each catch matches the other misses and
+    ``rrf = Σ 1/(K + rank)`` combines them without any score
+    calibration (ranks, not raw scores, so the two retrievers'
+    incomparable scales never touch).
+
+    Query derivation is deterministic and data-derived end to end: the
+    sparse side runs the corpus-derived 3-term BM25 query; its TOP-1
+    document's embedding becomes the dense query (pseudo-relevance
+    feedback — "more like my best lexical hit"), scored by exact
+    cosine over the embeddings table. Rank lists fuse at RRF_DEPTH via
+    a FULL OUTER join on doc_id; a doc absent from one list simply
+    contributes 0 from that side. All arithmetic is rational + one
+    fixed-shape double expression → both engines agree bitwise.
+
+    Scale shape: the BM25 side reads the checkpointed postings index;
+    the dense side is one broadcast-query scan of the embeddings table
+    (at 100 TB this is where the stored IVF index substitutes —
+    ``knn_ivf`` — without changing the fusion); both rank windows run
+    over ≤ RRF_DEPTH rows AFTER TakeOrdered pre-selection, never over
+    fact-scale input."""
+    scores = _bm25_scores(spark, sf_dir)
+    btop = scores.select("doc_id", "bm25").orderBy(
+        F.col("bm25").desc(), "doc_id"
+    ).limit(RRF_DEPTH)
+    wb = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    branked = btop.select(
+        "doc_id", F.row_number().over(wb).alias("bm25_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double("embedding").alias("v")
+    )
+    exemplar = branked.where(F.col("bm25_rank") == 1).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    qv = emb.join(F.broadcast(exemplar), "vec_id").select(
+        F.col("v").alias("qv")
+    )
+    dscore = emb.join(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    dtop = dscore.orderBy(F.col("cos").desc(), "doc_id").limit(RRF_DEPTH)
+    wd = Window.orderBy(F.col("cos").desc(), "doc_id")
+    dranked = dtop.select(
+        "doc_id", F.row_number().over(wd).alias("cos_rank")
+    )
+    fused = branked.join(dranked, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (RRF_K + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (RRF_K + F.col("cos_rank")), F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            F.round(rrf, 6).alias("rrf_score"),
+            "bm25_rank",
+            "cos_rank",
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(HYBRID_TOP)
     )
 
 
@@ -236,7 +318,7 @@ ORACLE: dict[str, str] = {
     """,
 }
 
-ORACLE["docs_bm25_topk"] = rf"""
+_BM25_CTE = rf"""
     WITH toks AS (
         SELECT doc_id,
                list_transform({_TOKENS}, t -> lower(t)) AS t
@@ -271,14 +353,65 @@ ORACLE["docs_bm25_topk"] = rf"""
         JOIN dl l ON l.doc_id = t.doc_id
         CROSS JOIN totals tt
     )
+"""
+
+ORACLE["docs_bm25_topk"] = (
+    _BM25_CTE
+    + f"""
     SELECT doc_id,
            ROUND(CAST(SUM(CAST(c AS DECIMAL(25,10))) AS DOUBLE), 6) AS bm25,
            ANY_VALUE(dl) AS dl
     FROM contrib GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_DOCS}
 """
+)
+
+_EMB_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+ORACLE["docs_hybrid_rrf"] = (
+    _BM25_CTE
+    + f"""
+    , bscore AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(CAST(c AS DECIMAL(25,10))) AS DOUBLE), 6)
+                   AS bm25
+        FROM contrib GROUP BY doc_id
+    ), branked AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                   AS INTEGER) AS bm25_rank
+        FROM bscore QUALIFY bm25_rank <= {RRF_DEPTH}
+    ), exq AS (
+        SELECT {_EMB_V} AS qv
+        FROM embeddings e JOIN branked b
+          ON e.vec_id = b.doc_id AND b.bm25_rank = 1
+    ), dscore AS (
+        SELECT vec_id AS doc_id,
+               ROUND(list_dot_product(qv, v)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(v, v))), 6) AS cos
+        FROM (SELECT vec_id, {_EMB_V} AS v FROM embeddings)
+        CROSS JOIN exq
+    ), dranked AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+                   AS INTEGER) AS cos_rank
+        FROM dscore QUALIFY cos_rank <= {RRF_DEPTH}
+    ), fused AS (
+        SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / ({RRF_K} + b.bm25_rank), 0.0)
+                     + COALESCE(1.0 / ({RRF_K} + d.cos_rank), 0.0), 6)
+                   AS rrf_score,
+               b.bm25_rank, d.cos_rank
+        FROM branked b FULL OUTER JOIN dranked d ON b.doc_id = d.doc_id
+    )
+    SELECT doc_id, rrf_score, bm25_rank, cos_rank FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOP}
+"""
+)
 
 QUERIES = {
     "docs_chunk_stats": docs_chunk_stats,
     "docs_bm25_topk": docs_bm25_topk,
+    "docs_hybrid_rrf": docs_hybrid_rrf,
 }

@@ -46,6 +46,10 @@ TINY_UNPARTITIONED_WINDOW: dict[str, str] = {
     # is metadata-sized, and past ~1e6 files the pack_token_shards
     # two-pass prefix sum applies verbatim — maintenance.py docstring).
     "maintenance_compaction_plan": "per-file inventory aggregate, rows = file count",
+    # RRF rank windows run over the top-RRF_DEPTH (=100) TakeOrdered
+    # pre-selections of each retriever — never the corpus (rag_prep.py
+    # docs_hybrid_rrf; both windows are post-limit, input ≤ 100 rows).
+    "docs_hybrid_rrf": "rank over top-100 TakeOrdered lists, rows <= 100 each",
 }
 
 

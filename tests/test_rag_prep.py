@@ -87,3 +87,45 @@ def test_bm25_ranks_term_stuffed_doc_first(spark, tmp_path):
     assert [r.doc_id for r in out] == [0, 1, 2]
     assert out[0].bm25 > out[1].bm25 > out[2].bm25 > 0
     assert all(r.dl == 6 for r in out)
+
+
+def test_hybrid_rrf_fuses_both_retrievers(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from automotive_big_data_analysis_spark.operators import rag_prep as rp
+
+    # 4 docs; embeddings make doc 3 the nearest dense neighbor of the
+    # BM25 winner (doc 0) even though doc 3 shares no query terms.
+    docs = [
+        (0, "alpha alpha alpha alpha beta gamma", "en", "s", 34),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 36),
+        (2, "alpha beta omega kappa sigma theta", "en", "s", 34),
+        (3, "nothing lexical overlaps here folks okay", "en", "s", 40),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    emb = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0], 0),
+        (2, [0.0, 0.0, 1.0], 0),
+        (3, [0.9, 0.1, 0.0], 0),  # closest to doc 0's embedding
+    ]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = rp.docs_hybrid_rrf(spark, str(tmp_path)).collect()
+    rows = {r.doc_id: r for r in out}
+    # doc 0 tops both lists: rrf = 1/61 + 1/61
+    assert rows[0].bm25_rank == 1 and rows[0].cos_rank == 1
+    assert rows[0].rrf_score == round(2 / 61, 6)
+    assert out[0].doc_id == 0
+    # doc 3 has NO bm25 rank (no query terms) but a dense rank of 2
+    assert rows[3].bm25_rank is None and rows[3].cos_rank == 2
+    assert rows[3].rrf_score == round(1 / 62, 6)
+    # every fused score is the sum of its two reciprocal contributions
+    for r in out:
+        want = (1 / (60 + r.bm25_rank) if r.bm25_rank else 0.0) + (
+            1 / (60 + r.cos_rank) if r.cos_rank else 0.0
+        )
+        assert r.rrf_score == round(want, 6)
