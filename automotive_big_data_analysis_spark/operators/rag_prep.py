@@ -118,6 +118,10 @@ def docs_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# checkpointed postings per (session, corpus) — the inverted index is
+# built once and shared by every retrieval consumer in the session
+_POSTINGS_MEMO: dict = {}
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_K1P1 = 2.2  # k1 + 1, as ONE literal so both engines parse identical bits
@@ -159,13 +163,19 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # terms, df, doc lengths, scoring); without materialization Catalyst
     # re-plans the scan+tokenize+explode subtree into each one — five
     # fact scans instead of one (verified via plan regexp count).
-    # localCheckpoint pins it once; in production this table IS the
-    # stored inverted index (the sources/stored.py discipline).
-    tf = (
-        posting.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
-    )
+    # localCheckpoint pins it once, memoized per (session, corpus) so
+    # the top-k gate and the hybrid fusion share one build; in
+    # production this table IS the stored inverted index (the
+    # sources/stored.py discipline).
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    tf = _POSTINGS_MEMO.get(memo_key)
+    if tf is None:
+        tf = (
+            posting.groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .localCheckpoint()
+        )
+        _POSTINGS_MEMO[memo_key] = tf
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     totals = dl.agg(
         F.count("*").alias("n_docs"),
