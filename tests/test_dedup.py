@@ -331,3 +331,43 @@ def test_containment_blind_spot_empty_on_symmetric_dups(spark, doc_dir):
     row = dedup.containment_pairs(spark, doc_dir).first()
     assert row.n_blind_spot_pairs == 0
     assert row.n_full_containment >= 1  # the exact dup pair (0, 3)
+
+
+def test_span_stats_agrees_with_naive_recomputation(spark, tmp_path):
+    """Cross-check the span-lattice aggregation against a plain-Python
+    recomputation on a corpus with partial overlaps (sliding windows of
+    a shared token stream at several offsets)."""
+    import hashlib
+    from collections import defaultdict
+
+    stream = [f"t{i % 37}" for i in range(120)]
+    texts = [
+        " ".join(stream[0:40]),
+        " ".join(stream[8:56]),  # overlaps doc 0 by 32 tokens
+        " ".join(stream[70:120]),  # disjoint region
+        " ".join(stream[0:12]),  # too short for any 16-token span? no: 12 < 16
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    spans = defaultdict(lambda: [0, set()])  # h -> [positions, docs]
+    for doc_id, t in enumerate(texts):
+        toks = t.split()
+        for s in range(len(toks) - 15):
+            h = hashlib.md5(" ".join(toks[s : s + 16]).encode()).hexdigest()
+            spans[h][0] += 1
+            spans[h][1].add(doc_id)
+    n_pos = sum(v[0] for v in spans.values())
+    n_distinct = len(spans)
+    crossdoc = [v for v in spans.values() if len(v[1]) >= 2]
+    dup_pos = sum(v[0] for v in crossdoc)
+
+    row = dedup.duplicate_span_stats(spark, str(tmp_path)).first()
+    assert row.n_span_positions == n_pos
+    assert row.n_distinct_spans == n_distinct
+    assert row.n_crossdoc_spans == len(crossdoc)
+    assert row.dup_positions == dup_pos
+    assert row.dup_ratio == round(dup_pos / n_pos, 6)
+    assert row.n_crossdoc_spans > 0  # the planted overlap was detected

@@ -129,3 +129,20 @@ def test_hybrid_rrf_fuses_both_retrievers(spark, tmp_path):
             1 / (60 + r.cos_rank) if r.cos_rank else 0.0
         )
         assert r.rrf_score == round(want, 6)
+
+
+def test_bm25_postings_memo_shared_across_consumers(spark, tmp_path):
+    """The checkpointed postings build must happen once per (session,
+    corpus): a second consumer gets the SAME materialized frame."""
+    from automotive_big_data_analysis_spark.operators import rag_prep as rp
+
+    rows = [(0, "alpha beta gamma delta", "en", "s", 22)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    key = (spark.sparkContext.applicationId, str(tmp_path))
+    rp._POSTINGS_MEMO.pop(key, None)
+    rp._bm25_scores(spark, str(tmp_path)).collect()
+    first = rp._POSTINGS_MEMO[key]
+    rp._bm25_scores(spark, str(tmp_path)).collect()
+    assert rp._POSTINGS_MEMO[key] is first
