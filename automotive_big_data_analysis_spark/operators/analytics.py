@@ -694,10 +694,15 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     number that sizes the sketch for a target accuracy (ε ≈ e/WIDTH of
     the stream length, with probability 1−e^−DEPTH).
 
-    Scale shape: sketch build is one fact scan aggregating to ≤1024
-    cells; the probe side is K rows joined against the broadcast sketch.
-    The exact top-K pass exists only to SCORE the sketch and rides the
-    same per-key aggregation every groupBy pays."""
+    Scale shape: sketch build is ONE fact scan aggregating to ≤1024
+    (d, bucket) cells — the probe side explodes the K true-top users
+    into K×DEPTH (d, bucket) keys, broadcasts them against the cells
+    aggregate in a SINGLE join, and takes the per-user MIN of the
+    matched counters (each probe key matches exactly one cell: the
+    user's own events guarantee it exists). One join, not one per hash
+    row, so the cells subtree — and with it the events scan — appears
+    once in the plan. The exact top-K pass exists only to SCORE the
+    sketch and rides the same per-key aggregation every groupBy pays."""
     ev = load_table(spark, sf_dir, "events").select("user_id")
     cells = (
         ev.select(
@@ -722,25 +727,32 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("true_n").desc(), "user_id")
         .limit(TOP_USERS_K)
     )
-    probes = true_top.select(
+    probe_keys = true_top.select(
         "user_id",
         "true_n",
-        *[
-            _cms_bucket(F.col("user_id"), d).alias(f"b{d}")
-            for d in range(CMS_DEPTH)
-        ],
-    )
-    for d in range(CMS_DEPTH):
-        row = cells.where(F.col("d") == d).select(
-            F.col("b").alias(f"b{d}"), F.col("n").alias(f"n{d}")
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("user_id"), d).alias("b"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "true_n", F.col("p.d").alias("d"), F.col("p.b").alias("b"))
+    matched = cells.join(F.broadcast(probe_keys), ["d", "b"])
+    est = F.min("n")
+    return (
+        matched.groupBy("user_id", "true_n")
+        .agg(est.alias("est_n"))
+        .select(
+            "user_id",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("overestimate"),
         )
-        probes = probes.join(F.broadcast(row), f"b{d}")
-    est = F.least(*[F.col(f"n{d}") for d in range(CMS_DEPTH)])
-    return probes.select(
-        "user_id",
-        "true_n",
-        est.alias("est_n"),
-        (est - F.col("true_n")).alias("overestimate"),
     )
 
 

@@ -122,6 +122,28 @@ def docs_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # built once and shared by every retrieval consumer in the session
 _POSTINGS_MEMO: dict = {}
 
+
+def release(sf_dir: str | None = None) -> int:
+    """Drop the session's checkpointed postings memo (all corpora, or
+    one) and unpersist the pinned checkpoint blocks.
+
+    Mirrors ``dedup.release``: without it, a ``documents.parquet``
+    rewritten under the same sf_dir within one Spark application would
+    silently serve STALE checkpointed postings to every BM25/hybrid
+    consumer, and the localCheckpoint blocks would stay pinned for the
+    application lifetime across corpora. Fixtures that rewrite a corpus
+    in-session call this; the bench harness may call it between
+    families. Returns the number of memo entries dropped."""
+    dropped = 0
+    for key in [k for k in _POSTINGS_MEMO if sf_dir is None or k[1] == sf_dir]:
+        df = _POSTINGS_MEMO.pop(key)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        dropped += 1
+    return dropped
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_K1P1 = 2.2  # k1 + 1, as ONE literal so both engines parse identical bits

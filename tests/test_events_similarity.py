@@ -501,6 +501,6 @@ def test_rollup_hierarchy_equals_direct_day_aggregation(spark, event_dir):
             d.n_minutes,
             d.n_hours,
         )
-    # the fixture's 4 events land in one day, 3 hours, 4 minutes
+    # the fixture's 4 events land in one day, 2 hours, 4 minutes
     (only,) = got.values()
     assert (only.n_events, only.n_hours, only.n_minutes) == (4, 2, 4)

@@ -552,6 +552,9 @@ def test_cms_sketch_aggregates_with_partial_combine(spark):
     df = an.heavy_hitters_cms(spark, SF)
     assert px.has_partial_aggregation(df)
     assert not px.unpartitioned_window_specs(df)
+    # one scan builds the sketch, one scores it — the per-depth probe
+    # must ride ONE (d, bucket) join, never re-derive cells per hash row
+    assert len(px.read_schemas(df)) <= 2
 
 
 def test_rollup_hierarchy_rescans_fact_once(spark):

@@ -81,7 +81,10 @@ def test_bm25_ranks_term_stuffed_doc_first(spark, tmp_path):
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
-    out = rp.docs_bm25_topk(spark, str(tmp_path)).collect()
+    try:
+        out = rp.docs_bm25_topk(spark, str(tmp_path)).collect()
+    finally:
+        rp.release(str(tmp_path))
     # query terms (top-3 global alpha terms): alpha(6), beta(3), gamma(2);
     # every doc matches at least one, all equal length -> tf decides.
     assert [r.doc_id for r in out] == [0, 1, 2]
@@ -114,7 +117,10 @@ def test_hybrid_rrf_fuses_both_retrievers(spark, tmp_path):
     spark.createDataFrame(
         emb, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
-    out = rp.docs_hybrid_rrf(spark, str(tmp_path)).collect()
+    try:
+        out = rp.docs_hybrid_rrf(spark, str(tmp_path)).collect()
+    finally:
+        rp.release(str(tmp_path))
     rows = {r.doc_id: r for r in out}
     # doc 0 tops both lists: rrf = 1/61 + 1/61
     assert rows[0].bm25_rank == 1 and rows[0].cos_rank == 1
@@ -146,3 +152,36 @@ def test_bm25_postings_memo_shared_across_consumers(spark, tmp_path):
     first = rp._POSTINGS_MEMO[key]
     rp._bm25_scores(spark, str(tmp_path)).collect()
     assert rp._POSTINGS_MEMO[key] is first
+    assert rp.release(str(tmp_path)) == 1
+    assert key not in rp._POSTINGS_MEMO
+
+
+def test_release_invalidates_postings_after_in_session_corpus_rewrite(
+    spark, tmp_path
+):
+    """A corpus rewritten under the same sf_dir within one application
+    must not serve stale checkpointed postings once release() is called
+    (without it the memo WOULD — that is the documented hazard)."""
+    from automotive_big_data_analysis_spark.operators import rag_prep as rp
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/documents.parquet")
+
+    write([(0, "alpha alpha beta gamma delta epsilon", "en", "s", 36)])
+    first = rp.docs_bm25_topk(spark, str(tmp_path)).collect()
+    assert [r.doc_id for r in first] == [0]
+    # rewrite the corpus in-session: different docs, different top terms
+    write(
+        [
+            (7, "omega omega omega kappa sigma theta", "en", "s", 36),
+            (8, "omega kappa sigma zeta lambda mubar", "en", "s", 36),
+        ]
+    )
+    rp.release(str(tmp_path))  # the fixture-side invalidation contract
+    fresh = rp.docs_bm25_topk(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in fresh} == {7, 8}  # stale memo would say {0}
+    rp.release(str(tmp_path))
