@@ -2,10 +2,13 @@
 embedding, label).
 
 Training-data-pipeline extension: brute-force cosine top-k as the
-correctness baseline, with three scale paths — hyperplane-LSH buckets,
-IVF coarse-quantizer cells (nprobe=2), and product-quantization codes
-with ADC scoring (composing as IVF-PQ at real scale) — plus cosine
-near-dup pairs (blocked GEMM) and per-label centroids. All scoring runs
+correctness baseline, with three scale paths — multi-probe hyperplane-LSH
+(Hamming radius ``LSH_RADIUS``), IVF coarse-quantizer cells
+(``NPROBE`` = 4), and product-quantization codes with ADC scoring
+(composing as IVF-PQ, shipped with an exact-cosine rerank stage —
+``knn_ivfpq_rerank``, recall@5 0.82) — plus cosine near-dup pairs
+(blocked GEMM) and per-label centroids; every operating point is
+chosen from the measured ``knn_recall_tradeoff`` frontier. All scoring runs
 in JVM higher-order functions (``functions/vectors.py``); the DuckDB
 oracle executes the same arithmetic via ``list_dot_product``.
 
@@ -90,21 +93,45 @@ def _sigged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_postings(spark, sf_dir)
 
 
+# Multi-probe Hamming radius for knn_lsh, chosen from the measured
+# knn_recall_tradeoff frontier (round 7, sf0.01): radius 0 — the single
+# signature bucket — gave recall@5 = 0.04 (too low to ship); radius 1
+# reached 0.18; radius 2 reached 0.42 for 769 scanned candidate rows,
+# still ~26x under brute force. The sweep stays the tool for re-deriving
+# this per corpus; raising recall further is IVF/IVF-PQ-rerank territory
+# (knn_ivf at NPROBE=4 reaches 0.82 at comparable scan cost).
+LSH_RADIUS = 2
+
+
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via random-hyperplane LSH: candidates share the query's
-    8-bit signature bucket; exact cosine ranks within the bucket. Trades
-    recall for a |bucket|-bounded candidate set — the 100 TB path.
-    Signatures come from the stored bucket index (built once per corpus
-    snapshot, bucketed by ``sig`` so bucket-equality joins co-locate)."""
+    """ANN top-5 via MULTI-PROBE random-hyperplane LSH: each query scans
+    every bucket whose 8-bit signature is within Hamming distance
+    ``LSH_RADIUS`` of its own (the standard recall lever that needs no
+    extra tables — the probe set is the query row exploded over the 37
+    XOR masks of weight ≤ 2); exact cosine ranks within the probed
+    buckets. Trades recall for a probe-bounded candidate set — the
+    100 TB path. Signatures come from the stored bucket index (built
+    once per corpus snapshot, bucketed by ``sig`` so bucket-equality
+    joins co-locate); the probe side stays |queries| x |masks| rows,
+    always broadcast. Masks are distinct, so each (query, candidate)
+    pair is discovered at most once — no dedup stage needed."""
     emb = _sigged_corpus(spark, sf_dir)
+    mask_arr = F.array(
+        *[F.lit(m) for m, _ in _lsh_probe_masks(LSH_RADIUS)]
+    )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.explode(mask_arr).alias("mask"),
         F.col("sig").alias("qsig"),
+    ).select(
+        "query_id",
+        "qv",
+        F.col("qsig").bitwiseXOR(F.col("mask")).alias("psig"),
     )
     scored = emb.join(
         F.broadcast(queries),
-        (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("query_id")),
+        (F.col("sig") == F.col("psig")) & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
         "vec_id",
@@ -127,9 +154,11 @@ IVF_K = 64  # max coarse cells — FIXED, independent of corpus size
 # low to ship; nprobe=4 reaches 0.82 for ~2× the scanned rows (still
 # ~6× cheaper than brute force); nprobe=8 reaches 1.00 at ~4× cheaper.
 # 4 balances the frontier's knee; the sweep itself stays the tool for
-# re-deriving this per corpus. (IVF-PQ recall is capped ~0.1-0.2 by PQ
-# code distortion REGARDLESS of nprobe — the fix there is finer
-# subquantizers, not more probes; see COVERAGE.md.)
+# re-deriving this per corpus. (IVF-PQ's ADC stage alone is capped
+# ~0.3 by PQ code distortion REGARDLESS of nprobe — which is why the
+# SHIPPED answer is the three-stage ``knn_ivfpq_rerank``: exact cosine
+# over the ADC top-RERANK_R candidates, recall@5 0.82 at sf0.01;
+# see COVERAGE.md.)
 NPROBE = 4
 MAX_NPROBE = 8  # stored-postings truncation: searches may probe up to this
 
@@ -842,15 +871,18 @@ def _recall_frontier_rows(
     )
 
 
-def _lsh_probe_masks() -> list[tuple[int, int]]:
-    """All (xor-mask, Hamming distance) pairs up to the swept radius —
-    37 masks for 8 planes at radius ≤ 2. Multi-probe LSH: a query also
-    scans the buckets whose signature differs in ≤ radius bits, the
-    standard recall lever that needs no extra tables."""
+def _lsh_probe_masks(radius: int | None = None) -> list[tuple[int, int]]:
+    """All (xor-mask, Hamming distance) pairs up to ``radius`` (default:
+    the swept maximum) — 37 masks for 8 planes at radius ≤ 2.
+    Multi-probe LSH: a query also scans the buckets whose signature
+    differs in ≤ radius bits, the standard recall lever that needs no
+    extra tables. ``knn_lsh`` ships at ``LSH_RADIUS``; the tradeoff
+    sweep enumerates every radius in ``TRADEOFF_RADII``."""
+    r = max(TRADEOFF_RADII) if radius is None else radius
     return [
         (m, bin(m).count("1"))
         for m in range(2**V.N_PLANES)
-        if bin(m).count("1") <= max(TRADEOFF_RADII)
+        if bin(m).count("1") <= r
     ]
 
 
@@ -1461,7 +1493,10 @@ _IVF_FILTERED_SQL = f"""
 
 ORACLE: dict[str, str] = {
     "knn_bruteforce": _knn_sql("TRUE"),
-    "knn_lsh": _knn_sql("e.sig = q.qsig"),
+    # multi-probe: any bucket within Hamming radius LSH_RADIUS of the
+    # query signature (the 37-XOR-mask explode on the Spark side is
+    # exactly this predicate, mask-enumerated)
+    "knn_lsh": _knn_sql(f"bit_count(xor(e.sig, q.qsig)) <= {LSH_RADIUS}"),
     "knn_ivf": _IVF_SQL,
     "knn_ivf_filtered": _IVF_FILTERED_SQL,
     "embedding_cosine_dups": None,  # filled below
