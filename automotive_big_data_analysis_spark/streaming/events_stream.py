@@ -266,22 +266,49 @@ def conversion_stream(
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "value")
 
 
+# Shuffle-partition count scoped to the streaming gates: every stateful
+# streaming operator maintains ONE state store per shuffle partition, and
+# every micro-batch checkpoints every store — so the gates' constant
+# factor is (stores x partitions x micro-batches) of checkpoint I/O. At
+# the session default of 32, the stream-stream join gate paid eight state
+# stores x 32 partitions x 4 micro-batches for a 100k-event replay
+# (~7 s); the aggregate/join VALUES are partitioning-independent (the
+# hash gates prove it), so the harness runs the stream at a bounded
+# count sized to the replay, not the batch session. Production sizes
+# this to the cluster and the keyspace, same knob.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
 def run_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = STREAM_SHUFFLE_PARTITIONS,
 ) -> DataFrame:
     """Drive a bounded stream to completion into an in-memory table and
-    return the batch DataFrame of results (test/demo harness)."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    return the batch DataFrame of results (test/demo harness). The
+    shuffle-partition override is captured by the streaming query at
+    start and restored for the session afterwards — batch plans in the
+    same session never see it."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {query_name}")
 
 
 def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
