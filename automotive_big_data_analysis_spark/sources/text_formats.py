@@ -58,6 +58,14 @@ def _interchange_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INTERCHANGE_VERSION = 1  # bump when EVENTS_TEXT_SCHEMA changes
 
+# Deterministic corruption rule for the dead-letter mirror: every event
+# whose id is divisible by this is written as a TRUNCATED record (cut
+# mid-key, unparseable by any JSON parser) — ~1% of the corpus. Both
+# engines can therefore state the clean/quarantined split as a pure
+# predicate on event_id, which is what makes the quarantine connector
+# value-hash-oracleable.
+CORRUPT_MOD = 97
+
 
 def _ensure_written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write the events interchange files once per (corpus, format).
@@ -89,13 +97,30 @@ def _ensure_written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
                     path
                 ):
                     shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
-        writer = _interchange_frame(spark, sf_dir).write.mode("overwrite")
+        frame = _interchange_frame(spark, sf_dir)
+        writer = frame.write.mode("overwrite")
         if fmt == "csv":
             writer.option("header", "true").csv(path)
         elif fmt == "jsonl_gzip":
             writer.option("compression", "gzip").json(path)
         elif fmt == "orc":
             writer.orc(path)
+        elif fmt == "jsonl_dirty":
+            # the upstream-producer-bug simulation: rows on the
+            # CORRUPT_MOD rule are cut mid-key (never valid JSON), the
+            # rest serialize normally — one text file set with ~1%
+            # injected corruption for the quarantine connector
+            good = F.to_json(F.struct(*[F.col(c) for c in frame.columns]))
+            bad = F.concat(
+                F.lit('{"event_id": '),
+                F.col("event_id").cast("string"),
+                F.lit(', "ts_us": '),
+            )
+            frame.select(
+                F.when(F.col("event_id") % CORRUPT_MOD == 0, bad)
+                .otherwise(good)
+                .alias("value")
+            ).write.mode("overwrite").text(path)
         else:
             writer.json(path)
     return path
@@ -105,7 +130,7 @@ def ensure_mirrors(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the interchange mirrors for the corpus — the
     upstream-producer scaffolding the bench harness pre-writes (and
     times separately) so connector queries measure the READ path only."""
-    for fmt in ("jsonl", "csv", "jsonl_gzip", "orc"):
+    for fmt in ("jsonl", "csv", "jsonl_gzip", "orc", "jsonl_dirty"):
         _ensure_written(spark, sf_dir, fmt)
 
 
@@ -202,6 +227,57 @@ def idempotent_reingest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _summary(replayed.dropDuplicates(["event_id"]))
 
 
+def jsonl_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: PERMISSIVE/dead-letter ingest — the landing
+    tier that CANNOT halt on one bad record (FAILFAST is the
+    interchange-contract stance; a public ingest endpoint quarantines
+    instead). Reads a mirror with ~1% deterministically injected
+    truncated records, parses with ``from_json`` +
+    ``columnNameOfCorruptRecord`` (the corrupt row keeps its RAW line —
+    the dead-letter payload a production pipeline ships to the
+    quarantine sink for replay after the producer fix), and emits the
+    two-tier accounting: the per-type summary over CLEAN rows plus the
+    ``quarantined`` row counting what was refused. The oracle states
+    the identical split as a predicate on the parquet table — equality
+    proves the parser quarantined EXACTLY the injected rows and the
+    clean tier lost nothing.
+
+    Scale shape: ONE text scan — tier tagging is a projection and both
+    tiers aggregate in the same (tier, event_type) hash aggregate with
+    map-side partial combine; no second pass over the landing files
+    (the production variant forks the same parsed frame to a data sink
+    and a dead-letter sink inside one ``foreachBatch``).
+
+    Quarantined accounting semantics: ``n_events`` counts refused
+    lines; hours/value/users are NULL — unknown, not zero (nothing was
+    parsed), and both engines agree NULL-for-empty through the shared
+    aggregate shapes."""
+    path = _ensure_written(spark, sf_dir, "jsonl_dirty")
+    parsed = spark.read.text(path).select(
+        F.from_json(
+            "value",
+            EVENTS_TEXT_SCHEMA + ", _corrupt_record string",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("p")
+    )
+    is_clean = F.col("p._corrupt_record").isNull()
+    tagged = parsed.select(
+        F.when(is_clean, F.lit("clean"))
+        .otherwise(F.lit("quarantined"))
+        .alias("tier"),
+        F.when(is_clean, F.col("p.event_type")).alias("event_type"),
+        F.when(is_clean, F.timestamp_micros(F.col("p.ts_us"))).alias("ts"),
+        F.when(is_clean, F.col("p.value")).alias("value"),
+        F.when(is_clean, F.col("p.user_id")).alias("user_id"),
+    )
+    return tagged.groupBy("tier", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.date_trunc("hour", "ts")).alias("n_hours"),
+        ex.dsum("value", 6).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 _SUMMARY_SQL = f"""
     SELECT event_type, COUNT(*) AS n_events,
            COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours,
@@ -210,12 +286,33 @@ _SUMMARY_SQL = f"""
     FROM events GROUP BY event_type
 """
 
+_QUARANTINE_SQL = f"""
+    WITH tagged AS (
+        SELECT CASE WHEN event_id % {CORRUPT_MOD} = 0
+                    THEN 'quarantined' ELSE 'clean' END AS tier,
+               CASE WHEN event_id % {CORRUPT_MOD} != 0
+                    THEN event_type END AS event_type,
+               CASE WHEN event_id % {CORRUPT_MOD} != 0 THEN ts END AS ts,
+               CASE WHEN event_id % {CORRUPT_MOD} != 0
+                    THEN value END AS value,
+               CASE WHEN event_id % {CORRUPT_MOD} != 0
+                    THEN user_id END AS user_id
+        FROM events
+    )
+    SELECT tier, event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours,
+           {ex.dsum_sql("value", 6)} AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM tagged GROUP BY tier, event_type
+"""
+
 ORACLE: dict[str, str] = {
     "source_jsonl_events": _SUMMARY_SQL,
     "source_csv_events": _SUMMARY_SQL,
     "source_jsonl_gzip_events": _SUMMARY_SQL,
     "source_orc_events": _SUMMARY_SQL,
     "source_idempotent_reingest_events": _SUMMARY_SQL,
+    "source_jsonl_quarantine_events": _QUARANTINE_SQL,
 }
 
 QUERIES = {
@@ -224,4 +321,5 @@ QUERIES = {
     "source_jsonl_gzip_events": jsonl_gzip_events_summary,
     "source_orc_events": orc_events_summary,
     "source_idempotent_reingest_events": idempotent_reingest_summary,
+    "source_jsonl_quarantine_events": jsonl_quarantine_summary,
 }

@@ -182,6 +182,63 @@ def test_text_format_sources_roundtrip_and_failfast(spark, tmp_path):
         reader.json(str(bad)).collect()
 
 
+def test_quarantine_connector_splits_exactly_and_keeps_raw_lines(spark):
+    """The dead-letter path must quarantine EXACTLY the injected corrupt
+    rows (no clean row lost, no corrupt row smuggled into aggregates),
+    the clean tier must equal the batch summary over the complement,
+    and the corrupt rows must retain their raw line (the dead-letter
+    payload) — all over ONE scan of the landing files."""
+    from pyspark.sql import functions as F
+
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.plans import explain as px
+    from automotive_big_data_analysis_spark.sources import text_formats as tf
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    n_total = ev.count()
+    n_corrupt = ev.where(F.col("event_id") % tf.CORRUPT_MOD == 0).count()
+    assert 0 < n_corrupt < n_total  # the injection rule actually fires
+
+    df = tf.jsonl_quarantine_summary(spark, sf)
+    assert len(px.read_schemas(df)) == 1  # one pass over the landing files
+    rows = df.collect()
+    dead = [r for r in rows if r.tier == "quarantined"]
+    clean = [r for r in rows if r.tier == "clean"]
+    assert len(dead) == 1
+    assert dead[0].n_events == n_corrupt
+    # unknown, not zero: nothing was parsed from the refused lines
+    assert dead[0].event_type is None and dead[0].total_value is None
+    assert sum(r.n_events for r in clean) == n_total - n_corrupt
+    # clean tier == batch summary over the complement of the corruption rule
+    want = {
+        tuple(r)
+        for r in tf._summary(
+            ev.where(F.col("event_id") % tf.CORRUPT_MOD != 0)
+        ).collect()
+    }
+    assert {tuple(r)[1:] for r in sorted(map(tuple, clean))} == {
+        t for t in want
+    }
+    # dead-letter payload: every corrupt line is retained verbatim
+    path = tf._ensure_written(spark, sf, "jsonl_dirty")
+    parsed = spark.read.text(path).select(
+        F.from_json(
+            "value",
+            tf.EVENTS_TEXT_SCHEMA + ", _corrupt_record string",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("p")
+    )
+    raws = [
+        r[0]
+        for r in parsed.where(F.col("p._corrupt_record").isNotNull())
+        .select("p._corrupt_record")
+        .collect()
+    ]
+    assert len(raws) == n_corrupt
+    assert all(raw.startswith('{"event_id": ') for raw in raws)
+
+
 def test_stored_table_rebuilds_on_source_change(spark, tmp_path):
     """The content fingerprint must change when the source table is
     regenerated, so a stored index can never serve structures built from
