@@ -62,6 +62,33 @@ def _calibrate() -> float:
     return round(_time.time() - t0, 3)
 
 
+# Quiet-window gate (round-7 verdict item 1): this host's ambient noise
+# comes in WAVES — the same code has measured 175.6 s in a quiet window
+# (probes 0.09-0.12) and 220.5 s in a degraded one (probes 0.285/0.315),
+# with individual medians inflated 2-4.5x. A probe above this threshold
+# means the window would overstate steady-state cost, so the harness
+# WAITS for a quiet window (bounded) instead of recording noise as the
+# number of record; if the budget runs out it proceeds but marks the
+# JSON ``degraded: true`` so no reader mistakes the total for steady
+# state. Threshold ~2x the quiet baseline.
+QUIET_PROBE_S = 0.2
+QUIET_WAIT_STEP_S = 30.0
+
+
+def _wait_quiet(budget_s: float, history: list[float]) -> float:
+    """Probe until quiet or the wait budget is spent; returns the last
+    probe. Every reading lands in ``history`` (reported in the JSON)."""
+    probe = _calibrate()
+    history.append(probe)
+    spent = 0.0
+    while probe > QUIET_PROBE_S and spent < budget_s:
+        time.sleep(QUIET_WAIT_STEP_S)
+        spent += QUIET_WAIT_STEP_S
+        probe = _calibrate()
+        history.append(probe)
+    return probe
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -199,6 +226,14 @@ def main() -> None:
                 (base_dot + "_", base_us + "_", base_dot + "_nb", base_us + "_nb")
             ):
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    # gate the builds on a quiet window too — identical-code index
+    # builds measured 2-5x apart across noise waves in round 7
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "900"))
+    probe_history: list[float] = []
+    t0 = time.time()
+    _wait_quiet(wait_budget, probe_history)
+    wait_budget -= time.time() - t0
+
     index_build: dict[str, float] = {}
     for fam, build in (
         ("text_mirror", lambda: _tf.ensure_mirrors(spark, sf_dir)),
@@ -212,7 +247,11 @@ def main() -> None:
         build()
         index_build[fam] = round(time.time() - t0, 3)
 
-    calib_before = _calibrate()
+    # re-gate right before the measured suite (the builds take ~a minute
+    # — long enough for a wave to arrive), spending whatever wait budget
+    # remains; calib_before is the LAST probe, i.e. the window the suite
+    # actually starts in
+    calib_before = _wait_quiet(max(wait_budget, 0.0), probe_history)
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     # Ambient-noise bursts on this host are INTERMITTENT (a quiet
@@ -269,6 +308,16 @@ def main() -> None:
                 # total by the host's condition during THIS run
                 "calib_probe_before": calib_before,
                 "calib_probe_after": calib_after,
+                # every probe taken while gating on a quiet window
+                "probe_history": probe_history,
+                # True = the suite ran in a noise-degraded window (no
+                # quiet window arrived within the wait budget, or noise
+                # hit mid-run): treat the totals as upper bounds, not
+                # steady state
+                "degraded": bool(
+                    calib_before > QUIET_PROBE_S
+                    or calib_after > QUIET_PROBE_S
+                ),
                 "corpus_preread_s": corpus_preread,
                 # one-time per-corpus-snapshot builds (wiped + rebuilt
                 # every run); per-query numbers are warm-index reads
