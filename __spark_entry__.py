@@ -26,138 +26,93 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness sweep checks the FIRST 50 registered queries
 # (dict order) per round, so ordering is a verification-coverage decision.
-# Round-7 policy (per round-6 VERDICT item 1 — evidence FRESHNESS): the
-# window holds (a) all 15 queries whose newest driver-green row is r4 or
-# older (the stale backlog the verdict named), (b) the TWENTY-SIX
-# queries NEW this round (sixteen from sessions 1–2 listed first, ten
-# more in the session-3/4 blocks below) — the ANN recall/cost frontier
-# sweep, the two
-# driver-gated streaming queries (hourly rollup + session windows), the
-# gzip codec-path, schema-evolution, idempotent-reingest, and
-# CDC-merge connectors, the exact-rerank IVF-PQ third stage, the incremental
-# index-update drift report, the RAG chunking report, the filtered IVF
-# search, the epoch-shuffle order, the compaction + layout-skipping
-# maintenance pair, the CDC incremental-view-maintenance rollup, and
-# the embedding semantic-dedup keep decision — (c) every query
-# whose results or code changed this round (the NPROBE 2→4
-# operating-point move re-scores the whole IVF family and the recall
-# report; the range-bucket rank rework behind the RFM/decile queries;
-# the fingerprinted text mirrors behind the JSONL/CSV connectors; the
-# re-attach fix behind the bucketed join; the MinHash candidate-builder
-# split), and (d) the thinnest-evidence r5-newest queries: 8 of the 14
-# with a single green round [5]. Displaced past position 50: only
-# untouched queries that are r6-green or whose families carry fresher
-# in-window kin — deepest evidence, lowest re-check value; all are
-# covered by this round's committed local sweeps. After this rotation
-# every registered query's newest driver-green row is r5+ once the r7
-# gate runs (the verdict's done-criterion).
+# Round-8 policy (per round-7 VERDICT item 2 — close the FRESHNESS
+# backlog): the window holds
+#   (a) the ENTIRE stale backlog — pricing_summary (last r4-stale hash
+#       evidence; its four-round smoke-only exception ends here) plus
+#       all 41 queries whose newest driver-green row is r5 (knn_lsh is
+#       among them AND ships a changed operating point this round:
+#       multi-probe Hamming radius 2 per the r7 frontier);
+#   (b) the one query NEW this round — the PERMISSIVE/dead-letter
+#       quarantine connector;
+#   (c) the one query whose VALUES changed — knn_recall_report (its LSH
+#       row re-scores 0.04 → 0.42 at the shipped multi-probe point);
+#   (d) the queries whose code or physical plan changed value-neutrally
+#       — events_heavy_hitters_cms (sketch probe reworked to one
+#       (d,bucket) join: one fact scan instead of ~6), the four
+#       streaming gates (bounded harness shuffle partitions: state
+#       stores per partition drop 32 → 8; hashes must not move), and
+#       knn_recall_tradeoff (probe-mask helper reworked for knn_lsh;
+#       it is also the frontier evidence the new operating point cites).
+# After the r8 gate, every registered query's newest driver-green row
+# is r6+ (the verdict's done criterion). Displaced past position 50:
+# only r6/r7-green queries untouched this round — with two adjudicated
+# exceptions: docs_bm25_topk and docs_hybrid_rrf (r7-green) whose only
+# r8 change is the added postings-memo release() hook OUTSIDE the query
+# path (stale-memo invalidation), covered by a dedicated staleness test
+# and re-verified green against their DuckDB oracles at sf0.01 this
+# session. Local oracle evidence for the full registry is refreshed in
+# the ORACLE_*_r08 sweep files (both layouts, three SFs).
 _SWEEP_PRIORITY = [
-    # (a) newest driver-green row is r4 or older — the stale backlog
-    "cross_nation_volume",
-    "cube_order_stats",
-    "customer_order_distribution",
-    "customer_running_balance",
-    "daily_revenue_moving_avg",
-    "disjunctive_part_revenue",
-    "idle_rich_customers",
-    "large_volume_customers",
-    "local_supplier_volume",
-    "price_histogram",
-    # (pricing_summary — also r4-stale — is the one stale-backlog entry
-    # left out: it is entry()'s flagship, smoke-run by the driver every
-    # round (rows+schema), its Q1 shape has in-window kin, and the slot
-    # went to the zero-evidence hybrid-RRF fusion query.)
-    "revenue_by_nation",
-    "rollup_order_counts",
-    "segment_share",
-    "year_trend",
-    # (b) new this round — zero prior driver evidence, highest priority
+    # (a) the stale backlog: r4 flagship first, then the 41 r5 queries
+    "pricing_summary",
+    "approx_part_stats",
+    "asof_purchase_attribution",
+    "contamination_stats",
+    "customer_supplier_nations",
+    "customers_without_orders",
+    "dedup_exact_stats",
+    "distinct_priorities",
+    "docs_embedding_quality_corr",
+    "docs_length_gate",
+    "embedding_norm_stats",
+    "events_error_bursts",
+    "events_funnel",
+    "events_hourly_anomalies",
+    "events_hourly_rollup",
+    "events_session_window",
+    "events_sessionize",
+    "events_sliding_counts",
+    "events_user_retention",
+    "filtered_scan",
+    "idle_customers_except",
+    "knn_bruteforce",
+    "knn_lsh",  # also (d): ships the multi-probe radius-2 point in r8
+    "multimodal_frame_plan",
+    "order_price_delta",
+    "pack_token_shards",
+    "point_lookup",
+    "priority_union",
+    "sample_lineitem_stats",
+    "sample_orders_split",
+    "sample_stratified_documents",
+    "sample_weighted_documents",
+    "temperature_rebalance",
+    "text_bpe_pairs",
+    "text_fingerprint_stats",
+    "text_lang_confusion",
+    "text_quality_scores",
+    "text_repetition_stats",
+    "text_tfidf_topterms",
+    "text_token_stats",
+    "top_orders",
+    "top_parts_per_brand",
+    # (b) new this round — zero prior driver evidence
+    "source_jsonl_quarantine_events",
+    # (c) values changed: LSH row re-scored at the multi-probe point
+    "knn_recall_report",
+    # (d) code/plan changed value-neutrally this round
+    "events_heavy_hitters_cms",
     "knn_recall_tradeoff",
     "stream_hourly_rollup",
-    "knn_ivfpq_rerank",
-    "source_jsonl_gzip_events",
-    "knn_index_update_stats",
-    "docs_chunk_stats",
-    "knn_ivf_filtered",
-    "training_epoch_order",
-    "maintenance_compaction_plan",
     "stream_user_sessions",
-    "source_schema_evolution_events",
-    "source_idempotent_reingest_events",
-    "maintenance_layout_skipping",
-    "source_cdc_merge_events",
-    "cdc_ivm_hourly_rollup",
-    "embedding_semantic_keep_stats",
-    # (c) results or code changed this round
-    # (embedding_kmeans and dedup_minhash_lsh_pairs — both r6-green with
-    # value-neutral r7 changes, and both with in-window kin consuming
-    # their artifacts: knn_ivf reads the kmeans codebook, the dedup
-    # quality report reads the MinHash candidates — were displaced for
-    # the two session-4 sketch/advisor queries above.)
-    "knn_ivf",            # NPROBE 2→4 (frontier-chosen operating point)
-    "knn_ivfpq",          # NPROBE 2→4
-    "knn_pq",             # trained sub-codebooks change the codes
-    "knn_recall_report",  # re-scored at the new operating point
-    # (orders_rfm_segments and order_value_deciles — r6-green, and the
-    # literal-boundary rank rework is value-neutral with the same
-    # two-pass machinery exercised in-window by training_epoch_order —
-    # were displaced for the containment audit and BM25 retrieval.
-    # bucketed_join_revenue — r6-green; its r7 re-attach fix changes the
-    # cross-session DDL path, which the stored-table lifecycle TEST
-    # exercises directly and the single-session driver gate cannot —
-    # was displaced for the stream-stream join gate.)
-    # (b cont.) session-3 additions — zero prior driver evidence
-    "dedup_quality_report",
-    "dedup_corpus_overlap",
-    "sample_leakage_safe_split",
-    "maintenance_clustering_advisor",
-    "stream_curated_documents",
-    # (b cont.) session-4 additions — zero prior driver evidence: the
-    # ORC columnar connector, duplicate token-span (exact-substring
-    # dedup accounting), the per-lang quality~tokens least-squares fit,
-    # Bloom-filter join-prune scoring, and the minute→hour→day
-    # re-aggregation hierarchy.
-    "source_orc_events",
-    "dedup_span_stats",
-    "docs_quality_regression",
-    "bloom_prune_join_stats",
-    "events_rollup_hierarchy",
-    "events_heavy_hitters_cms",
-    "maintenance_skew_advisor",
-    "dedup_containment_pairs",
-    "docs_bm25_topk",
     "stream_conversions",
-    "docs_hybrid_rrf",
-    # Displaced for the ten session-3/4 queries above (zero driver
-    # evidence outranks everything green): the five single-[5]-green
-    # queries events_funnel / events_sessionize / events_user_retention
-    # / pack_token_shards / temperature_rebalance (each with fresher
-    # in-window kin — the streaming gates replay the sessionize/rollup
-    # logic, training_epoch_order rides the same two-pass prefix
-    # machinery), the remaining three [5]-green approx_part_stats /
-    # contamination_stats / text_bpe_pairs (untouched code), and the
-    # two r6-green connectors source_jsonl_events / source_csv_events,
-    # whose round-7 change (fingerprinted mirror path) is value-neutral
-    # and shared verbatim by the in-window gzip and ORC connectors.
-    # All ten are green on this round's committed local sweeps.
-    # (d cont.) all eleven two-green-round [3,5] queries
-    # (asof_purchase_attribution, events_error_bursts, knn_bruteforce,
-    # knn_lsh, dedup_exact_stats, embedding_norm_stats,
-    # multimodal_frame_plan, text_token_stats, text_quality_scores,
-    # text_lang_confusion, text_fingerprint_stats) and the [5]-green
-    # text_tfidf_topterms, text_repetition_stats,
-    # sample_weighted_documents, docs_embedding_quality_corr,
-    # docs_length_gate, and events_hourly_anomalies are displaced — each family has fresher
-    # in-window kin — making room for the eight queries NEW this
-    # session: the RAG chunking report, the filtered IVF search, the
-    # epoch-shuffle order, the compaction planner, the layout-skipping
-    # report, the second streaming gate (session windows), and the
-    # schema-evolution + idempotent-reingest + CDC-merge connectors.
+    "stream_curated_documents",
 ]
 # The window is exactly full (50 entries). Everything displaced past
-# position 50 is r6-green or ≥4-rounds-green AND untouched this round;
-# local oracle evidence for the full registry is refreshed in the
-# ORACLE_*_r07 sweep files (both layouts + sf0.001 + sf0.1).
+# position 50 is r6- or r7-green and untouched this round (see the two
+# adjudicated exceptions above); the full registry is re-verified by
+# this round's committed local sweeps.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
