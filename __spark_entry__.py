@@ -33,26 +33,28 @@ def entry(spark: SparkSession) -> DataFrame:
 #       all 41 queries whose newest driver-green row is r5 (knn_lsh is
 #       among them AND ships a changed operating point this round:
 #       multi-probe Hamming radius 2 per the r7 frontier);
-#   (b) the one query NEW this round — the PERMISSIVE/dead-letter
-#       quarantine connector;
+#   (b) the two queries NEW this round — the PERMISSIVE/dead-letter
+#       quarantine connector and the bzip2 splittable-codec connector;
 #   (c) the one query whose VALUES changed — knn_recall_report (its LSH
 #       row re-scores 0.04 → 0.42 at the shipped multi-probe point);
 #   (d) the queries whose code or physical plan changed value-neutrally
 #       — events_heavy_hitters_cms (sketch probe reworked to one
 #       (d,bucket) join: one fact scan instead of ~6), the four
 #       streaming gates (bounded harness shuffle partitions: state
-#       stores per partition drop 32 → 8; hashes must not move), and
-#       knn_recall_tradeoff (probe-mask helper reworked for knn_lsh;
-#       it is also the frontier evidence the new operating point cites).
+#       stores per partition drop 32 → 8; hashes must not move).
 # After the r8 gate, every registered query's newest driver-green row
 # is r6+ (the verdict's done criterion). Displaced past position 50:
-# only r6/r7-green queries untouched this round — with two adjudicated
-# exceptions: docs_bm25_topk and docs_hybrid_rrf (r7-green) whose only
-# r8 change is the added postings-memo release() hook OUTSIDE the query
-# path (stale-memo invalidation), covered by a dedicated staleness test
-# and re-verified green against their DuckDB oracles at sf0.01 this
-# session. Local oracle evidence for the full registry is refreshed in
-# the ORACLE_*_r08 sweep files (both layouts, three SFs).
+# only r6/r7-green queries untouched this round — with three
+# adjudicated exceptions: docs_bm25_topk and docs_hybrid_rrf (r7-green)
+# whose only r8 change is the added postings-memo release() hook
+# OUTSIDE the query path (stale-memo invalidation), covered by a
+# dedicated staleness test; and knn_recall_tradeoff (r7-green), whose
+# r8 change is a pure helper-signature refactor (_lsh_probe_masks
+# gained a radius arg; the no-arg path it uses is identical) — all
+# three re-verified green against their DuckDB oracles at sf0.01 this
+# session, displaced so both zero-evidence connectors fit. Local
+# oracle evidence for the full registry is refreshed in the
+# ORACLE_*_r08 sweep files (both layouts, three SFs).
 _SWEEP_PRIORITY = [
     # (a) the stale backlog: r4 flagship first, then the 41 r5 queries
     "pricing_summary",
@@ -99,11 +101,11 @@ _SWEEP_PRIORITY = [
     "top_parts_per_brand",
     # (b) new this round — zero prior driver evidence
     "source_jsonl_quarantine_events",
+    "source_jsonl_bzip2_events",
     # (c) values changed: LSH row re-scored at the multi-probe point
     "knn_recall_report",
     # (d) code/plan changed value-neutrally this round
     "events_heavy_hitters_cms",
-    "knn_recall_tradeoff",
     "stream_hourly_rollup",
     "stream_user_sessions",
     "stream_conversions",

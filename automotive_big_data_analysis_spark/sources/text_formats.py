@@ -20,7 +20,7 @@ Scale notes: text scans have NO predicate pushdown or column pruning
 FileScan json/csv with empty PushedFilters), which is WHY the ingest
 job's first act is a parquet/bucketed rewrite; compression-codec choice
 governs splittability (gzip text is unsplittable — one task per file;
-plain or zstd-framed text splits). The one-time writes here mirror the
+plain, bzip2-block, or zstd-framed text splits). The one-time writes here mirror the
 corpus into /tmp (idempotent per corpus basename, _SUCCESS-guarded)
 purely to exercise the read path.
 """
@@ -103,6 +103,8 @@ def _ensure_written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             writer.option("header", "true").csv(path)
         elif fmt == "jsonl_gzip":
             writer.option("compression", "gzip").json(path)
+        elif fmt == "jsonl_bzip2":
+            writer.option("compression", "bzip2").json(path)
         elif fmt == "orc":
             writer.orc(path)
         elif fmt == "jsonl_dirty":
@@ -130,7 +132,7 @@ def ensure_mirrors(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the interchange mirrors for the corpus — the
     upstream-producer scaffolding the bench harness pre-writes (and
     times separately) so connector queries measure the READ path only."""
-    for fmt in ("jsonl", "csv", "jsonl_gzip", "orc", "jsonl_dirty"):
+    for fmt in ("jsonl", "csv", "jsonl_gzip", "jsonl_bzip2", "orc", "jsonl_dirty"):
         _ensure_written(spark, sf_dir, fmt)
 
 
@@ -193,6 +195,24 @@ def jsonl_gzip_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-writes to a splittable columnar format first, and why producers
     should prefer many medium files or a framed codec like zstd)."""
     return _summary(_read_events_text(spark, sf_dir, "jsonl_gzip"))
+
+
+def jsonl_bzip2_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: same contract over BZIP2-compressed JSONL —
+    the SPLITTABLE compressed-text codec (the contrast to the gzip
+    connector's scale story). A bzip2 stream is a sequence of
+    independently decodable blocks with a findable magic marker, so
+    Hadoop's input format can split ONE huge .bz2 file into many tasks
+    — the property that makes it the safe default when a producer
+    insists on single-file compressed text drops (gzip would serialize
+    that scan to one task; zstd would be the modern choice but needs
+    the native Hadoop codec, absent in this sandbox — documented in
+    COVERAGE.md alongside the spark-avro gap). The trade: bzip2
+    compresses and decompresses far slower than gzip/zstd, which is why
+    the ingest tier still rewrites to columnar immediately. Correctness
+    contract identical to the other connectors: the parquet-table
+    oracle proves the codec round-trip lost nothing."""
+    return _summary(_read_events_text(spark, sf_dir, "jsonl_bzip2"))
 
 
 def orc_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +331,7 @@ ORACLE: dict[str, str] = {
     "source_csv_events": _SUMMARY_SQL,
     "source_jsonl_gzip_events": _SUMMARY_SQL,
     "source_orc_events": _SUMMARY_SQL,
+    "source_jsonl_bzip2_events": _SUMMARY_SQL,
     "source_idempotent_reingest_events": _SUMMARY_SQL,
     "source_jsonl_quarantine_events": _QUARANTINE_SQL,
 }
@@ -320,6 +341,7 @@ QUERIES = {
     "source_csv_events": csv_events_summary,
     "source_jsonl_gzip_events": jsonl_gzip_events_summary,
     "source_orc_events": orc_events_summary,
+    "source_jsonl_bzip2_events": jsonl_bzip2_events_summary,
     "source_idempotent_reingest_events": idempotent_reingest_summary,
     "source_jsonl_quarantine_events": jsonl_quarantine_summary,
 }

@@ -369,6 +369,23 @@ def test_gzip_jsonl_connector_matches_plain(spark):
     assert parts and all(f.endswith(".gz") for f in parts)
 
 
+def test_bzip2_jsonl_connector_matches_plain(spark):
+    """The bzip2 codec path (the SPLITTABLE compressed-text codec) must
+    be value-identical to the plain JSONL connector, over genuinely
+    bzip2-compressed files."""
+    from automotive_big_data_analysis_spark.sources import text_formats as tf
+
+    sf = "/root/testdata/sf0.001"
+    plain = {tuple(r) for r in tf.jsonl_events_summary(spark, sf).collect()}
+    bz = {tuple(r) for r in tf.jsonl_bzip2_events_summary(spark, sf).collect()}
+    assert bz == plain
+    path = tf._ensure_written(spark, sf, "jsonl_bzip2")
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert parts and all(f.endswith(".bz2") for f in parts)
+    with open(os.path.join(path, parts[0]), "rb") as fh:
+        assert fh.read(3) == b"BZh"  # the bzip2 magic, really compressed
+
+
 def test_stored_table_prunes_superseded_fingerprints(spark, tmp_path):
     """Regenerating the source must not only force a fresh build
     (fingerprint in the path) but also remove the superseded
