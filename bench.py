@@ -269,6 +269,17 @@ def main() -> None:
     # resident blocks never tax later groups.
     retry_threshold = 2.0
     n_reruns = 2
+    # Noise waves are INTERMITTENT — a quiet before/after bracket does
+    # not preclude a mid-suite burst landing on one rep (observed: a
+    # 72 s first run retrying to 1.1/0.8 s under quiet brackets). Each
+    # RETRY rep is therefore probe-gated: wait (against a shared,
+    # bounded budget) until the host is quiet before timing, and record
+    # the rep's probe next to its measurement so every recorded median
+    # is auditable against the host's condition at that moment.
+    retry_probes: dict[str, list[float]] = {}
+    retry_wait_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_RETRY_WAIT", "300")
+    )
     for names, release in groups:
         for name in names:
             t0 = time.time()
@@ -278,14 +289,32 @@ def main() -> None:
             release()
         for name in [n for n in names if timings[n] > retry_threshold]:
             runs = [timings[name]]
+            probes = []
             for _ in range(n_reruns):
+                t0 = time.time()
+                probes.append(_wait_quiet(retry_wait_budget, probe_history))
+                retry_wait_budget = max(
+                    retry_wait_budget - (time.time() - t0), 0.0
+                )
                 t0 = time.time()
                 queries[name](spark, sf_dir).collect()
                 runs.append(round(time.time() - t0, 3))
                 if release is not None:
                     release()
             raw_runs[name] = runs
-            timings[name] = sorted(runs)[len(runs) // 2]
+            retry_probes[name] = probes
+            # the recorded number: median over the reps whose gate probe
+            # attests a quiet host (noise can never be the number of
+            # record); if the wait budget ran dry and fewer than two
+            # reps are attested-quiet, fall back to the median of all
+            # (raw_runs + retry_probes keep the full picture auditable)
+            quiet = [
+                r
+                for r, p in zip(runs[1:], probes)
+                if p <= QUIET_PROBE_S
+            ]
+            pool = quiet if len(quiet) >= 2 else runs
+            timings[name] = sorted(pool)[len(pool) // 2]
         if release is not None:
             release()
     calib_after = _calibrate()
@@ -302,6 +331,9 @@ def main() -> None:
                 # all raw runs (first + retries) for queries over the
                 # retry threshold; the recorded timing is their median
                 "raw_runs": raw_runs,
+                # the quiet-gate probe taken immediately before each
+                # retry rep (pairs with raw_runs[name][1:])
+                "retry_probes": retry_probes,
                 "unit": "sec",
                 "n_queries": len(timings),
                 # ambient-noise probe (~0.1 s quiet): scale a recorded
@@ -310,6 +342,11 @@ def main() -> None:
                 "calib_probe_after": calib_after,
                 # every probe taken while gating on a quiet window
                 "probe_history": probe_history,
+                # probes above threshold observed at any point (waves
+                # are intermittent — the brackets alone can miss them)
+                "noise_waves": sum(
+                    1 for p in probe_history if p > QUIET_PROBE_S
+                ),
                 # True = the suite ran in a noise-degraded window (no
                 # quiet window arrived within the wait budget, or noise
                 # hit mid-run): treat the totals as upper bounds, not
