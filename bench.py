@@ -313,8 +313,17 @@ def main() -> None:
                 for r, p in zip(runs[1:], probes)
                 if p <= QUIET_PROBE_S
             ]
-            pool = quiet if len(quiet) >= 2 else runs
-            timings[name] = sorted(pool)[len(pool) // 2]
+            pool = sorted(quiet if len(quiet) >= 2 else runs)
+            n = len(pool)
+            # true median: even-sized pools average the middle pair
+            # (taking the upper element would systematically record the
+            # WORSE of two quiet reps — observed overstating a steady
+            # ~4 s query as 7.1 s)
+            timings[name] = (
+                pool[n // 2]
+                if n % 2
+                else round((pool[n // 2 - 1] + pool[n // 2]) / 2, 3)
+            )
         if release is not None:
             release()
     calib_after = _calibrate()
