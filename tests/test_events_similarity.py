@@ -112,6 +112,27 @@ def test_knn_lsh_subset_of_bruteforce(spark, emb_dir):
     assert (0, 1) in {(r.query_id, r.vec_id) for r in lsh_rows}
 
 
+def test_knn_lsh_multiprobe_reaches_beyond_the_exact_bucket(spark):
+    """The shipped multi-probe operating point must (a) only ever score
+    candidates within Hamming distance LSH_RADIUS of the query signature
+    and (b) actually surface neighbors OUTSIDE the radius-0 bucket — the
+    whole point of the r7→r8 move off recall@5 = 0.04."""
+    sf = "/root/testdata/sf0.001"
+    sigs = {
+        r.vec_id: r.sig
+        for r in sim._lsh_postings(spark, sf).select("vec_id", "sig").collect()
+    }
+    got = sim.knn_lsh(spark, sf).collect()
+    assert got  # the probed buckets are non-empty on the real corpus
+    dists = [
+        bin(sigs[r.vec_id] ^ sigs[r.query_id]).count("1") for r in got
+    ]
+    assert all(d <= sim.LSH_RADIUS for d in dists)
+    # at least one returned neighbor lives outside the exact bucket
+    # (radius-0 search would never have found it)
+    assert any(d > 0 for d in dists)
+
+
 def test_knn_ivf_structure_and_planted_pair(spark, emb_dir):
     rows = sim.knn_ivf(spark, emb_dir).collect()
     # fixture: vec 0 is the only id % 97 == 0 → one cell holds everything,
