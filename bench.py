@@ -227,8 +227,12 @@ def main() -> None:
             ):
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     # gate the builds on a quiet window too — identical-code index
-    # builds measured 2-5x apart across noise waves in round 7
-    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "900"))
+    # builds measured 2-5x apart across noise waves in round 7.
+    # Default budgets are sized so a fully-noisy window adds <= ~9 min
+    # to the run (an unattended harness must finish even when the host
+    # never goes quiet — the degraded flag then carries the verdict);
+    # local runs raise them via the env vars to ride out long waves.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "300"))
     probe_history: list[float] = []
     t0 = time.time()
     _wait_quiet(wait_budget, probe_history)
@@ -278,7 +282,7 @@ def main() -> None:
     # is auditable against the host's condition at that moment.
     retry_probes: dict[str, list[float]] = {}
     retry_wait_budget = float(
-        os.environ.get("SPARK_GRAFT_BENCH_RETRY_WAIT", "300")
+        os.environ.get("SPARK_GRAFT_BENCH_RETRY_WAIT", "240")
     )
     for names, release in groups:
         for name in names:
