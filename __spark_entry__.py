@@ -33,8 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #       all 41 queries whose newest driver-green row is r5 (knn_lsh is
 #       among them AND ships a changed operating point this round:
 #       multi-probe Hamming radius 2 per the r7 frontier);
-#   (b) the two queries NEW this round — the PERMISSIVE/dead-letter
-#       quarantine connector and the bzip2 splittable-codec connector;
+#   (b) the three queries NEW this round — the PERMISSIVE/dead-letter
+#       quarantine connector, the bzip2 splittable-codec connector, and
+#       the PII-redaction scrubber (registered POST-freeze: the five
+#       committed r8 sweeps cover the 140-query snapshot; the scrubber
+#       carries its own five-config oracle addendum,
+#       ORACLE_ADDENDUM_r08.txt);
 #   (c) the one query whose VALUES changed — knn_recall_report (its LSH
 #       row re-scores 0.04 → 0.42 at the shipped multi-probe point);
 #   (d) the queries whose code or physical plan changed value-neutrally
@@ -102,11 +106,16 @@ _SWEEP_PRIORITY = [
     # (b) new this round — zero prior driver evidence
     "source_jsonl_quarantine_events",
     "source_jsonl_bzip2_events",
+    "docs_pii_scrub",
     # (c) values changed: LSH row re-scored at the multi-probe point
     "knn_recall_report",
     # (d) code/plan changed value-neutrally this round
+    # (stream_hourly_rollup — r7-green — was displaced for the
+    # post-freeze PII scrubber: its only r8 change is the shared
+    # bounded-partition harness, which its three sibling gates exercise
+    # in-window and the batch/stream hash tests pin directly; it stays
+    # green on this round's five committed local sweeps.)
     "events_heavy_hitters_cms",
-    "stream_hourly_rollup",
     "stream_user_sessions",
     "stream_conversions",
     "stream_curated_documents",

@@ -260,6 +260,107 @@ def fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# —— PII scrubbing (the compliance stage of a training-data pipeline) ——
+# One regex inventory shared VERBATIM by both engines (conservative
+# patterns valid in Java regex and RE2 alike — no lookarounds, no
+# engine-specific classes). A production pipeline runs exactly this
+# shape at ingest: detect, count, redact, and PROVE zero residuals.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\b", "[PHONE]"),
+    "ipv4": (
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "[IP]",
+    ),
+    "url": (r"https?://[^\s]+", "[URL]"),
+}
+
+
+def _redacted(col):
+    out = col if not isinstance(col, str) else F.col(col)
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: document counts, per-class PII match counts, total
+    characters redacted, and the residual match count AFTER redaction
+    (structurally zero — the self-check a compliance stage must emit).
+    On THIS synthetic corpus every match count is zero (probed round 8:
+    no emails/phones/IPs/URLs exist in ``documents.text``) — the
+    ``dedup_containment_pairs`` measured-empty precedent: the corpus
+    measurement documents the fact, the planted-fixture tests carry the
+    proof that the machinery detects, counts, and redacts exactly.
+
+    Scale shape: pure map-side JVM regexp projection over ONE documents
+    scan (no UDF, no second pass — the redaction chain and the residual
+    re-scan are expressions in the same projection), then a
+    |langs|-row partial-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = [F.col("lang")]
+    for name, (pat, _tok) in PII_PATTERNS.items():
+        cols.append(F.regexp_count("text", F.lit(pat)).alias(f"m_{name}"))
+        cols.append(
+            F.aggregate(
+                F.regexp_extract_all("text", F.lit(pat), F.lit(0)),
+                F.lit(0),
+                lambda acc, x: acc + F.length(x),
+            ).alias(f"c_{name}")
+        )
+    resid = F.lit(0)
+    for pat, _tok in PII_PATTERNS.values():
+        resid = resid + F.regexp_count(_redacted("text"), F.lit(pat))
+    cols.append(resid.alias("resid"))
+    c_all = F.lit(0)
+    for name in PII_PATTERNS:
+        c_all = c_all + F.col(f"c_{name}")
+    per_doc = docs.select(*cols).withColumn("c_all", c_all)
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(f"m_{name}").cast("long").alias(f"n_{name}")
+            for name in PII_PATTERNS
+        ],
+        F.sum("c_all").cast("long").alias("chars_redacted"),
+        F.sum("resid").cast("long").alias("residual_matches"),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    m_cols, c_terms, r_terms = [], [], []
+    red = "text"
+    for pat, token in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    for name, (pat, _tok) in PII_PATTERNS.items():
+        m_cols.append(
+            f"len(regexp_extract_all(text, '{pat}')) AS m_{name}"
+        )
+        c_terms.append(
+            "coalesce(list_sum(list_transform("
+            f"regexp_extract_all(text, '{pat}'), x -> length(x))), 0)"
+        )
+        r_terms.append(f"len(regexp_extract_all({red}, '{pat}'))")
+    sums = ",\n               ".join(
+        f"CAST(SUM(m_{name}) AS BIGINT) AS n_{name}"
+        for name in PII_PATTERNS
+    )
+    return f"""
+        WITH t AS (
+            SELECT lang,
+                   {", ".join(m_cols)},
+                   ({" + ".join(c_terms)}) AS c_all,
+                   ({" + ".join(r_terms)}) AS resid
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               {sums},
+               CAST(SUM(c_all) AS BIGINT) AS chars_redacted,
+               CAST(SUM(resid) AS BIGINT) AS residual_matches
+        FROM t GROUP BY lang
+    """
+
+
 _TOKENS = r"regexp_extract_all(text, '\S+')"
 
 
@@ -615,4 +716,7 @@ QUERIES = {
     "text_fingerprint_stats": fingerprint_stats,
     "text_tfidf_topterms": tfidf_topterms,
     "text_collocation_lift": collocation_lift,
+    "docs_pii_scrub": pii_scrub,
 }
+
+ORACLE["docs_pii_scrub"] = _pii_oracle_sql()

@@ -250,3 +250,48 @@ def test_collocation_lift_ranks_fixed_phrase_first(spark, tmp_path_factory):
     assert abs(top.lift - (20 * 120) / (20 * 20)) < 1e-9
     lifts = [r.lift for r in out]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_pii_scrub_counts_and_redacts_planted_pii(spark, tmp_path_factory):
+    """The planted-fixture proof for docs_pii_scrub (the real corpus
+    measures zero matches — this test carries the machinery's weight):
+    exact per-class match counts, exact redacted-char accounting, and a
+    structurally zero residual after the redaction chain."""
+    from automotive_big_data_analysis_spark.operators import text_analysis as ta
+
+    path = str(tmp_path_factory.mktemp("pii_docs"))
+    rows = [
+        # 2 emails (16 chars total: a@b.com=7 + c.d@e.org=9)
+        (0, "mail a@b.com and c.d@e.org thanks", "en", "s", 0),
+        # 1 phone (12 chars), 1 ipv4 (9 chars)
+        (1, "call 555-123-4567 from 10.0.0.12 now", "en", "s", 0),
+        # 1 url (16 chars) in the other language bucket
+        (2, "ver https://x.io/a ahora", "es", "s", 0),
+        # clean doc: contributes only to n_docs
+        (3, "nothing sensitive here at all", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    got = {r.lang: r for r in ta.pii_scrub(spark, path).collect()}
+    en, es = got["en"], got["es"]
+    assert (en.n_docs, en.n_email, en.n_phone, en.n_ipv4, en.n_url) == (3, 2, 1, 1, 0)
+    assert en.chars_redacted == 16 + 12 + 9
+    assert (es.n_docs, es.n_email, es.n_phone, es.n_ipv4, es.n_url) == (1, 0, 0, 0, 1)
+    assert es.chars_redacted == len("https://x.io/a")  # the URL, 14 chars
+    assert all(r.residual_matches == 0 for r in got.values())
+
+
+def test_pii_scrub_measures_empty_on_the_synthetic_corpus(spark):
+    """The registered measurement on the driver corpus: zero matches in
+    every class (probed round 8 — documents.text holds no PII-shaped
+    strings), with the doc accounting still exact and residuals zero.
+    The dedup_containment_pairs measured-empty precedent."""
+    from tests.conftest import SF_SMALL
+    from automotive_big_data_analysis_spark.operators import text_analysis as ta
+
+    rows = ta.pii_scrub(spark, SF_SMALL).collect()
+    assert rows and sum(r.n_docs for r in rows) > 0
+    for r in rows:
+        assert (r.n_email, r.n_phone, r.n_ipv4, r.n_url) == (0, 0, 0, 0)
+        assert r.chars_redacted == 0 and r.residual_matches == 0
