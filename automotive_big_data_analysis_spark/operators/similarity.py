@@ -3,14 +3,22 @@ embedding, label).
 
 Training-data-pipeline extension: brute-force cosine top-k as the
 correctness baseline, with three scale paths — multi-probe hyperplane-LSH
-(Hamming radius ``LSH_RADIUS``), IVF coarse-quantizer cells
-(``NPROBE`` = 4), and product-quantization codes with ADC scoring
-(composing as IVF-PQ, shipped with an exact-cosine rerank stage —
-``knn_ivfpq_rerank``, recall@5 0.82) — plus cosine near-dup pairs
-(blocked GEMM) and per-label centroids; every operating point is
-chosen from the measured ``knn_recall_tradeoff`` frontier. All scoring runs
-in JVM higher-order functions (``functions/vectors.py``); the DuckDB
-oracle executes the same arithmetic via ``list_dot_product``.
+(Hamming radius ``LSH_RADIUS``), IVF coarse-quantizer cells, and
+product-quantization codes with ADC scoring (composing as IVF-PQ,
+shipped with an exact-cosine rerank stage — ``knn_ivfpq_rerank``) —
+plus cosine near-dup pairs (blocked GEMM) and per-label centroids.
+Since round 9 the IVF operating point is CORPUS-DERIVED (``ivf_params``:
+K = clamp(ceil(2·√N), 8, 65536) cells, nprobe = ceil(K/3), stored
+postings depth ceil(K/2)) — round 8 measured that the previous fixed
+point decays with corpus growth (recall@5 0.82 → 0.56 at 10×); the
+derived rule holds recall@5 ≥ 0.8 at bench scale (0.82 at sf0.1,
+0.84 at sf0.01 — ``scripts/calibrate_ivf.py``), and the probe/K
+fractions themselves are calibrated from the measured
+``knn_recall_tradeoff`` frontier, which stays the per-corpus
+recalibration instrument. All scoring runs in JVM higher-order
+functions (``functions/vectors.py``); the DuckDB oracle executes the
+same arithmetic via ``list_dot_product`` and derives the SAME integer
+parameters from a COUNT(*) scalar subquery.
 
 Scale shape: the query side of a top-k search is small → broadcast it; the
 corpus side streams partition-parallel with no shuffle until the final
@@ -42,11 +50,15 @@ _SHARED: dict[tuple, DataFrame] = {}
 
 def release(sf_dir: str | None = None) -> int:
     """Drop any session-resident index memos (none since the stored-index
-    migration — retained for harness compatibility)."""
+    migration — retained for harness compatibility). Also drops the
+    cached corpus row counts that parameterize the IVF index, so a
+    rewritten corpus re-derives its operating point."""
     dropped = 0
     for key in [k for k in _SHARED if sf_dir is None or k[1] == sf_dir]:
         _SHARED.pop(key)
         dropped += 1
+    for key in [k for k in _N_CACHE if sf_dir is None or k == sf_dir]:
+        _N_CACHE.pop(key)
     return dropped
 # The corpus has no near-identical embeddings (max pairwise cosine ≈0.51),
 # so the pair threshold is set where the operator has observable output.
@@ -99,7 +111,7 @@ def _sigged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reached 0.18; radius 2 reached 0.42 for 769 scanned candidate rows,
 # still ~26x under brute force. The sweep stays the tool for re-deriving
 # this per corpus; raising recall further is IVF/IVF-PQ-rerank territory
-# (knn_ivf at NPROBE=4 reaches 0.82 at comparable scan cost).
+# (knn_ivf at the derived ceil(K/3) probe depth holds recall@5 ≥ 0.8).
 LSH_RADIUS = 2
 
 
@@ -147,36 +159,104 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_SEED_MOD = 97  # every 97th vec_id is an initializer candidate
-IVF_K = 64  # max coarse cells — FIXED, independent of corpus size
-# Default search operating point, chosen from the knn_recall_tradeoff
-# frontier (round 7, sf0.01): nprobe=2 gave IVF recall@5 = 0.56 — too
-# low to ship; nprobe=4 reaches 0.82 for ~2× the scanned rows (still
-# ~6× cheaper than brute force); nprobe=8 reaches 1.00 at ~4× cheaper.
-# 4 balances the frontier's knee; the sweep itself stays the tool for
-# re-deriving this per corpus. (IVF-PQ's ADC stage alone is capped
-# ~0.3 by PQ code distortion REGARDLESS of nprobe — which is why the
-# SHIPPED answer is the three-stage ``knn_ivfpq_rerank``: exact cosine
-# over the ADC top-RERANK_R candidates, recall@5 0.82 at sf0.01;
-# see COVERAGE.md.)
-NPROBE = 4
-MAX_NPROBE = 8  # stored-postings truncation: searches may probe up to this
+# —— Corpus-derived IVF operating point (round 9) ————————————————————
+# Round 8 measured that a FIXED operating point decays as the corpus
+# grows: the previous seed rule's effective cell count rose linearly
+# with N (N/97 cells) while nprobe stayed 4, so the probed share of the
+# corpus shrank — recall@5 0.82 (sf0.01) → 0.56 (sf0.1). The scalable
+# design sizes BOTH knobs from the corpus snapshot (classic K ≈ c·√N):
+#
+#   K      = clamp(ceil(IVF_K_FACTOR · √N), IVF_K_MIN, IVF_K_MAX)
+#   seeds  = the K rows with the smallest md5(vec_id) — a deterministic
+#            uniform K-subset of WHATEVER id set the corpus has (dense,
+#            sparse, post-delete); Spark takes it as a TakeOrdered
+#            top-K, never a global sort
+#   nprobe = ceil(K / 3)     (shipped search depth)
+#   depth  = ceil(K / 2)     (stored postings truncation; the filtered
+#                             search and the tradeoff sweep's max)
+#
+# The K/3 and K/2 fractions are CALIBRATED from the measured recall
+# frontier (scripts/calibrate_ivf.py, round 9, three SFs × three c):
+# at sf0.1 (N=2000 → K=90) nprobe=30 gives recall@5 0.82 scanning
+# ~33% of the corpus (vs 0.80 at 38% for the old point, which decayed
+# with N); at sf0.01 (N=500 → K=45) nprobe=15 gives 0.84. On this
+# synthetic corpus the
+# embeddings are near-unclustered, so recall tracks the scanned
+# FRACTION — the ~1/3 probe share is the measured recall price of THIS
+# data; clustered corpora calibrate to far smaller fractions, and
+# ``knn_recall_tradeoff`` remains the per-snapshot instrument that
+# re-derives it. All arithmetic is integer (// is floor-div in both
+# engines) except ceil(c·√N), which is IEEE-identical in Python and
+# DuckDB; the oracle derives the same numbers in SQL (``_PARAMS_CTE``).
+IVF_K_FACTOR = 2.0
+IVF_K_MIN = 8
+IVF_K_MAX = 65536  # a 2^16-cell codebook covers ~10^9-vector corpora
 
-# Initializer: the first IVF_K candidates of the deterministic seed rule.
-# The cap is the scale fix for the round-4 flagged flaw — uncapped
-# (vec_id % 97) cells grow LINEARLY with the corpus, making the
-# |corpus| × |cells| coarse-assignment and PQ-encode passes O(N²/97) at
-# 100×. With K fixed (production: 256–65536, tuned to corpus size; 64
-# here so every test SF exercises the cap path structure), those passes
-# are O(N·K) — linear in the corpus. At the test SFs (≤2000 vectors) the
-# cap does not bind, so the initializer picks the same ids as before.
-def _seed_cond():
-    return (F.col("vec_id") % IVF_SEED_MOD == 0) & (
-        F.col("vec_id") < IVF_SEED_MOD * IVF_K
+_N_CACHE: dict[str, int] = {}
+
+
+class IvfParams:
+    """Derived per-corpus index parameters (pure function of N)."""
+
+    __slots__ = ("n", "k", "nprobe", "maxprobe", "levels")
+
+    def __init__(self, n: int):
+        import math
+
+        self.n = n
+        self.k = min(
+            max(math.ceil(IVF_K_FACTOR * math.sqrt(n)), IVF_K_MIN), IVF_K_MAX
+        )
+        k = self.k
+        self.nprobe = (k + 2) // 3
+        self.maxprobe = (k + 1) // 2
+        # tradeoff sweep depths: ceil(K/16, K/8, K/4, K/3, K/2)
+        self.levels = tuple(
+            sorted(
+                {
+                    (k + 15) // 16,
+                    (k + 7) // 8,
+                    (k + 3) // 4,
+                    (k + 2) // 3,
+                    (k + 1) // 2,
+                }
+            )
+        )
+
+
+def _corpus_n(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus row count — the single scalar that parameterizes the IVF
+    index. Counted once per (process, corpus) and cached; this is an
+    index-build-time metadata lookup (parquet count-star, satisfied
+    from footer statistics), not a hot-path collect. ``release()``
+    drops the cache entry so a rewritten corpus re-derives."""
+    if sf_dir not in _N_CACHE:
+        _N_CACHE[sf_dir] = load_table(spark, sf_dir, "embeddings").count()
+    return _N_CACHE[sf_dir]
+
+
+def ivf_params(spark: SparkSession, sf_dir: str) -> IvfParams:
+    """The corpus snapshot's derived IVF operating point."""
+    return IvfParams(_corpus_n(spark, sf_dir))
+
+
+def _seed_rows(emb: DataFrame, k: int) -> DataFrame:
+    """Deterministic initializer: the ``k`` rows with the smallest
+    md5(vec_id) — a uniform pseudo-random K-subset of WHATEVER id set
+    the corpus has (a stride/modulo rule silently under-seeds sparse id
+    sets: the history split's ids exclude every 5th, which a stride
+    that shares a factor with 5 would miss entirely). ``orderBy +
+    limit`` plans as a distributed TakeOrdered (per-partition top-K,
+    K-row driver merge), never a global sort; the oracle replays the
+    same set with ROW_NUMBER over the same md5 key."""
+    return (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select("vec_id", "v")
     )
 
 
-def _train_centroids(emb: DataFrame, iters: int) -> DataFrame:
+def _train_centroids(emb: DataFrame, iters: int, p: IvfParams) -> DataFrame:
     """(cid, cv): Lloyd-trained centroids from the capped deterministic
     initializer — the coarse-quantizer TRAINER (``embedding_kmeans`` is
     the same loop exposed as a query; the IVF/PQ family consumes this).
@@ -189,7 +269,7 @@ def _train_centroids(emb: DataFrame, iters: int) -> DataFrame:
     K×dim model state is ``localCheckpoint``-ed per round to truncate
     lineage. Determinism across engines: ascending-index distance folds,
     cid tiebreaks, DECIMAL(25,10) mean accumulation (order-free)."""
-    cents = emb.where(_seed_cond()).select(
+    cents = _seed_rows(emb, p.k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     for _ in range(iters):
@@ -223,16 +303,19 @@ ANN_INDEX_LOCATION = "/tmp/abda_ann_index"
 ANN_INDEX_BUCKETS = 8
 
 
-def _index_tag() -> str:
+def _index_tag(p: IvfParams) -> str:
     """Index paths encode every parameter that shapes the structures, so
-    a constant change builds a fresh index instead of silently reading
-    one trained under the old definition (cf. dedup.pair_index_table).
-    ``MAX_NPROBE`` is part of the tag because the stored cells table is
-    truncated to r ≤ MAX_NPROBE at build time — widening it must build
-    fresh postings, never serve the old truncated ones (round-6 ADVICE)."""
+    a constant (or corpus-size) change builds a fresh index instead of
+    silently reading one trained under the old definition (cf.
+    dedup.pair_index_table). ``p.maxprobe`` is part of the tag because
+    the stored cells table is truncated to r ≤ maxprobe at build time —
+    widening it must build fresh postings, never serve the old
+    truncated ones (round-6 ADVICE). Since round 9 the k/depth
+    components are corpus-derived, so a corpus that grows re-tags and
+    retrains automatically."""
     return (
-        f"k{IVF_K}s{IVF_SEED_MOD}i{KM_ITERS}m{PQ_M}p{MAX_NPROBE}"
-        f"q{PQ_SUBK}e{PQ_SEED_MOD}h{V.N_PLANES}"
+        f"k{p.k}i{KM_ITERS}m{PQ_M}p{p.maxprobe}"
+        f"q{PQ_SUBK}h{V.N_PLANES}"
     )
 
 
@@ -249,7 +332,7 @@ def _stored_index(spark: SparkSession, sf_dir: str, name: str, bucket_col: str, 
         ANN_INDEX_LOCATION,
         "ann_idx",
         sf_dir,
-        _index_tag(),
+        _index_tag(ivf_params(spark, sf_dir)),
         name,
         bucket_col,
         build,
@@ -280,29 +363,29 @@ def _lsh_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cell_id, cv): the TRAINED fixed-K coarse codebook — a stored
-    index artifact (trained once per corpus snapshot, persisted,
-    re-read by every search). Always tiny (≤ IVF_K rows) and always
-    broadcast."""
+    """(cell_id, cv): the TRAINED coarse codebook — a stored index
+    artifact (trained once per corpus snapshot, persisted, re-read by
+    every search). K is corpus-derived (≈ 2·√N, ``ivf_params``); at
+    ≤ 2^16 cells the codebook always stays broadcast-sized."""
     return _stored_index(
         spark,
         sf_dir,
         "codebook",
         "cell_id",
-        lambda: _train_centroids(_emb(spark, sf_dir), KM_ITERS).select(
-            F.col("cid").alias("cell_id"), F.col("cv")
-        ),
+        lambda: _train_centroids(
+            _emb(spark, sf_dir), KM_ITERS, ivf_params(spark, sf_dir)
+        ).select(F.col("cid").alias("cell_id"), F.col("cv")),
     )
 
 
 def _ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cell_id, r≤MAX_NPROBE): each vector's nearest coarse
+    """(vec_id, cell_id, r ≤ ceil(K/2)): each vector's nearest coarse
     cells — the stored coarse-quantizer assignment (the IVF
-    postings-list skeleton), bucketed by vec_id. Stored to MAX_NPROBE
-    depth so the probe count is a QUERY-time knob (searches filter
-    r ≤ nprobe) — sweeping the recall/cost frontier never retrains.
-    Slim build: the ranking window shuffles (id, cell, score) triples
-    only, once per corpus snapshot."""
+    postings-list skeleton), bucketed by vec_id. Stored to the derived
+    maxprobe depth so the probe count is a QUERY-time knob (searches
+    filter r ≤ nprobe) — sweeping the recall/cost frontier never
+    retrains. Slim build: the ranking window shuffles (id, cell, score)
+    triples only, once per corpus snapshot."""
 
     def build() -> DataFrame:
         emb = _emb(spark, sf_dir)
@@ -317,7 +400,7 @@ def _ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (
             cell_rank.withColumn("r", F.row_number().over(w_cell))
-            .where(F.col("r") <= MAX_NPROBE)
+            .where(F.col("r") <= ivf_params(spark, sf_dir).maxprobe)
             .select("vec_id", "cell_id", "r")
         )
 
@@ -325,30 +408,35 @@ def _ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_ivf(
-    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
 ) -> DataFrame:
-    """ANN top-5 via an IVF coarse quantizer: a TRAINED fixed-K codebook
-    (``_codebook`` — Lloyd's algorithm from the capped deterministic
-    initializer) defines cells; every vector is assigned to its nearest
-    centroid by cosine; each query scores only vectors in its NPROBE
-    nearest cells.
+    """ANN top-5 via an IVF coarse quantizer: a TRAINED corpus-sized
+    codebook (``_codebook`` — Lloyd's algorithm from the md5-top-K
+    deterministic initializer, K ≈ 2·√N) defines cells; every vector is
+    assigned to its nearest centroid by cosine; each query scores only
+    vectors in its nprobe = ceil(K/3) nearest cells (the operating
+    point calibrated from the measured sf0.1 frontier — recall@5 0.82;
+    see the module header).
 
     Scale shape: assignment is |corpus| × K against a broadcast codebook
-    (K fixed → linear in the corpus); search is bucket-local
-    like the LSH variant, but cells follow the data distribution instead
-    of random hyperplanes, so recall degrades more gracefully on
-    clustered corpora. At 100 TB the cell id becomes the partition key
-    and per-cell postings lists are co-located — the classic IVF layout.
-    Assignment ties and near-ties round to 6 decimals with a cell-id
-    tiebreak so the cell structure is bit-identical on every engine."""
+    (K ∝ √N → the encode pass grows as N^1.5, the classic IVF build
+    cost); search is bucket-local like the LSH variant, but cells
+    follow the data distribution instead of random hyperplanes, so
+    recall degrades more gracefully on clustered corpora. At 100 TB the
+    cell id becomes the partition key and per-cell postings lists are
+    co-located — the classic IVF layout. Assignment ties and near-ties
+    round to 6 decimals with a cell-id tiebreak so the cell structure
+    is bit-identical on every engine."""
     emb = _emb(spark, sf_dir)
+    if nprobe is None:
+        nprobe = ivf_params(spark, sf_dir).nprobe
     ranked_cells = _ranked_cells(spark, sf_dir)
     assign = (
         ranked_cells.where(F.col("r") == 1)
         .join(emb, "vec_id")
         .select("vec_id", "v", "cell_id")
     )
-    # probe depth is a query-time filter over the MAX_NPROBE-deep stored
+    # probe depth is a query-time filter over the ceil(K/2)-deep stored
     # postings skeleton
     probes = ranked_cells.where(
         (F.col("vec_id") < N_QUERIES) & (F.col("r") <= nprobe)
@@ -386,10 +474,11 @@ def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     system needs (tenant, license, language, freshness filters).
 
     The production subtlety this operator encodes: a post-filter thins
-    every cell's surviving candidates, so a filtered search that kept the
-    unfiltered probe depth would silently lose recall. The standard fix
-    is probing DEEPER under filters — this searches at MAX_NPROBE (8,
-    the full stored postings depth) instead of the unfiltered default 4.
+    every cell's surviving candidates, so a filtered search that kept
+    the unfiltered probe depth would silently lose recall. The standard
+    fix is probing DEEPER under filters — this searches at the full
+    stored postings depth (ceil(K/2)) instead of the unfiltered default
+    ceil(K/3).
 
     Scale shape: identical to :func:`knn_ivf` — stored cells + broadcast
     probes/queries, bucket-local scoring — with the label predicate
@@ -404,7 +493,8 @@ def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "cell_id")
     )
     probes = ranked_cells.where(
-        (F.col("vec_id") < N_QUERIES) & (F.col("r") <= MAX_NPROBE)
+        (F.col("vec_id") < N_QUERIES)
+        & (F.col("r") <= ivf_params(spark, sf_dir).maxprobe)
     ).select(F.col("vec_id").alias("query_id"), "cell_id")
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -429,22 +519,32 @@ def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PQ_M = 8  # subspaces; PQ code = M small ids instead of DIM floats
+# PQ resolution, chosen from the round-9 (M, SUBK) sweep at sf0.1
+# (measured under the corpus-derived IVF candidate set, final seed
+# rule): subdividing FINER (M 8→16, subdim 8→4) lifts ADC-only
+# recall@5 0.22 → 0.28 and — the part that matters — cleans the ADC
+# ORDERING enough that RERANK_R=150 recovers the FULL IVF candidate
+# ceiling at every test SF (0.82/0.84/0.76 at sf0.1/0.01/0.001), where
+# the 8×32 point left 0.06 on the table at sf0.1 (rr@150 0.76 vs 0.82
+# ceiling) and needed R≈350 to close it. Growing the sub-codebook at
+# fixed M (8×128) buys the same ordering for 56-bit codes vs 80 — the
+# chosen 16×32 keeps the per-subspace codebooks tiny (32×4 floats) and
+# the encode pass cheaper (|corpus|×32×16 vs ×128×8 sub-distances).
+PQ_M = 16  # subspaces; PQ code = M small ids instead of DIM floats
 PQ_SUBDIM = V.DIM // PQ_M
 PQ_SUBK = 32  # sub-centroids per subspace (classic PQ: 256 at scale)
-PQ_SEED_MOD = 29  # deterministic sub-codebook initializer stride
 
 
-def _pq_seed_cond():
-    """Capped deterministic initializer for the sub-codebooks — the
-    ``_seed_cond`` pattern with its own stride so the sub-quantizers
-    decorrelate from the coarse cells (the round-7 recall frontier
-    showed IVF-PQ capped at ~0.1-0.2 recall REGARDLESS of probe depth —
-    the shared-codebook slices were the distortion floor, so the
-    sub-codebooks are now TRAINED per subspace like classic PQ)."""
-    return (F.col("vec_id") % PQ_SEED_MOD == 0) & (
-        F.col("vec_id") < PQ_SEED_MOD * PQ_SUBK
-    )
+# Sub-codebook initializer: the same md5 top-K rule as the coarse
+# codebook (``_seed_rows``), truncated at PQ_SUBK — the resolution knob
+# is PQ_SUBK itself, never silently capped by seed availability (the
+# pre-round-9 modulo rule topped out at N/29 sub-centroids on small
+# corpora). The md5 order is id-keyed, so the sub-quantizer seed SET is
+# the K-prefix of the coarse seed set — harmless: sub-codebooks train
+# on SUBSPACE slices (their own Lloyd rounds), which decorrelates them
+# from the coarse cells (the round-7 recall frontier showed shared
+# codebook SLICES were the distortion floor; trained-per-subspace fixed
+# it).
 
 
 def _subvectors(emb: DataFrame) -> DataFrame:
@@ -482,8 +582,10 @@ def _pq_subcodebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dimension means, localCheckpoint per round."""
 
     def build() -> DataFrame:
-        subs = _subvectors(_emb(spark, sf_dir))
-        cents = subs.where(_pq_seed_cond()).select(
+        emb = _emb(spark, sf_dir)
+        subs = _subvectors(emb)
+        seed_ids = _seed_rows(emb, PQ_SUBK).select("vec_id")
+        cents = subs.join(F.broadcast(seed_ids), "vec_id").select(
             "m", F.col("vec_id").alias("cid"), F.col("sv").alias("sc")
         )
         for _ in range(KM_ITERS):
@@ -570,12 +672,12 @@ def _pq_query_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via product quantization with asymmetric distance
     computation (ADC) — the memory-side ANN method: each vector compresses
-    to ``PQ_M`` codebook ids (one per 8-dim subspace; sub-codebooks
+    to ``PQ_M`` codebook ids (one per PQ_SUBDIM-dim subspace; sub-codebooks
     are TRAINED per subspace — classic PQ, ``_pq_subcodebook``; the
     encode pass stays |corpus| × PQ_SUBK × M with PQ_SUBK fixed), and a
     query scores a vector
     by summing its PRECOMPUTED query→centroid sub-distances for the
-    vector's codes — the scan touches 8 small ints per vector, never the
+    vector's codes — the scan touches M small ints per vector, never the
     floats.
 
     Scale shape: encoding is |corpus| × |cells| × M against a broadcast
@@ -586,7 +688,7 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells prune the scan, codes compress what remains.
 
     Determinism: sub-distances are identical left-to-right folds on both
-    engines; the 8 per-subspace distances accumulate in DECIMAL(25,10)
+    engines; the M per-subspace distances accumulate in DECIMAL(25,10)
     (order-free — they arrive via a groupBy) and ranking orders by the
     exact decimal before rounding for display."""
     codes = _pq_codes(spark, sf_dir)
@@ -614,17 +716,18 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_ivfpq(
-    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
 ) -> DataFrame:
     """ANN top-5 via IVF-PQ — the production ANN layout: the IVF coarse
-    quantizer prunes the candidate set to the query's NPROBE nearest
-    cells, and PQ/ADC scores the survivors from their 8 codebook ids —
-    the scan touches neither the full corpus nor any full vector.
+    quantizer prunes the candidate set to the query's nprobe nearest
+    cells (corpus-derived ceil(K/3) by default), and PQ/ADC scores the
+    survivors from their M codebook ids — the scan touches neither the
+    full corpus nor any full vector.
 
     This composes :func:`knn_ivf`'s cell assignment with :func:`knn_pq`'s
     code table; both stay broadcast-or-bucket-local, so at 100 TB the
-    per-cell postings lists hold (vec_id, 8 codes) rows and a query reads
-    NPROBE postings lists against a broadcast distance-lookup table.
+    per-cell postings lists hold (vec_id, M codes) rows and a query reads
+    nprobe postings lists against a broadcast distance-lookup table.
 
     Both index structures come from the shared STORED builders
     (``_ranked_cells`` / ``_pq_codes``) — one coarse assignment and one
@@ -645,10 +748,12 @@ def knn_ivfpq(
 
 
 def _ivfpq_adc_scored(
-    spark: SparkSession, sf_dir: str, nprobe: int
+    spark: SparkSession, sf_dir: str, nprobe: int | None
 ) -> DataFrame:
     """(query_id, vec_id, adec): the IVF-pruned, ADC-scored candidate
     relation shared by :func:`knn_ivfpq` and the re-ranked variant."""
+    if nprobe is None:
+        nprobe = ivf_params(spark, sf_dir).nprobe
     ranked_cells = _ranked_cells(spark, sf_dir)
     cell_assign = ranked_cells.where(F.col("r") == 1).select(
         "vec_id", F.col("cell_id").alias("vcell")
@@ -685,23 +790,27 @@ def _ivfpq_adc_scored(
 
 
 RERANK_R = 150  # exact-rescored shortlist per query (30×k — at this
-# R the rerank recovers the FULL IVF candidate ceiling: measured
-# recall@5 0.62/0.76/0.82 at R=50/100/150 vs the 0.82 ceiling; the
-# residual gap to 1.0 is governed by nprobe, not R)
+# R the rerank recovers the FULL IVF candidate ceiling at every test SF
+# under the round-9 PQ point (M=16): measured recall@5 0.82/0.84/0.76
+# at sf0.1/0.01/0.001 = the IVF ceilings exactly; the residual gap to
+# 1.0 is governed by nprobe, not R. R is a resolution-dependent knob:
+# the same sweep showed the old M=8 codes needed R≈350 to recover the
+# sf0.1 ceiling — sharper codes buy a 2.3× smaller rerank read.)
 
 
 def knn_ivfpq_rerank(
-    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
 ) -> DataFrame:
     """ANN top-5 via the full production three-stage pipeline: IVF
-    prunes to NPROBE cells, PQ/ADC shortlists the top ``RERANK_R``
+    prunes to nprobe cells, PQ/ADC shortlists the top ``RERANK_R``
     candidates from codes alone, and an EXACT cosine pass re-ranks only
     those R full vectors per query. This is the standard answer to the
-    PQ distortion ceiling the round-7 frontier exposed (ADC-only recall
-    saturates ~0.32-0.36 for ANY sub-codebook size/iterations on this
-    corpus — measured 32/64/128/256 sub-centroids, 2-8 Lloyd rounds):
-    re-ranking recovers recall up to the IVF candidate ceiling while
-    reading just R × DIM floats per query instead of a full scan.
+    PQ distortion ceiling (ADC-only recall saturates ~0.34 at the
+    round-9 resolution point — and sub-codebook SIZE barely moves it;
+    see the PQ_M comment): re-ranking recovers recall up to the IVF
+    candidate ceiling while reading just R × DIM floats per query
+    instead of a full scan — measured to recover the ceiling exactly
+    at every test SF.
 
     Scale shape: stages 1-2 are the stored-index scans of
     :func:`knn_ivfpq`; stage 3 reads R full vectors per query via a
@@ -793,7 +902,7 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_indexes(spark: SparkSession, sf_dir: str) -> None:
     """Force-build every stored ANN index artifact for the corpus (the
-    trained coarse codebook, the MAX_NPROBE-deep postings skeleton, the
+    trained coarse codebook, the ceil(K/2)-deep postings skeleton, the
     PQ code table). The once-per-corpus-snapshot training step the
     bench harness times as ``index_build_s`` — searches then measure
     warm-index reads, which is the production steady state."""
@@ -805,9 +914,11 @@ def build_indexes(spark: SparkSession, sf_dir: str) -> None:
     _pq_codes(spark, sf_dir)
 
 
-TRADEOFF_NPROBES = (1, 2, 4, 8)  # IVF / IVF-PQ probe depths swept
+# IVF / IVF-PQ probe depths swept: corpus-derived fractions of K
+# (ceil of K/16, K/8, K/4, K/3, K/2 — ``IvfParams.levels``); max level
+# = the stored postings depth by construction. LSH radii stay static
+# (the signature width is corpus-independent).
 TRADEOFF_RADII = (0, 1, 2)  # LSH Hamming multi-probe radii swept
-assert max(TRADEOFF_NPROBES) <= MAX_NPROBE  # stored postings depth
 
 
 def _probe_levels(levels: tuple[int, ...]):
@@ -890,11 +1001,13 @@ def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recall-vs-scanned-rows frontier for every tunable ANN method
     — the evaluation that picks an operating point (round-6 recall
     report: LSH recall@5 0.04, IVF-PQ 0.10 at the defaults — too low to
-    ship, so sweep the knobs): IVF and IVF-PQ over nprobe ∈
-    ``TRADEOFF_NPROBES``, LSH over Hamming multi-probe radius ∈
-    ``TRADEOFF_RADII``. Output per (method, probe): micro-averaged
-    recall@k against the brute-force ground truth plus the scanned
-    candidate-row count — the cost axis of the frontier.
+    ship, so sweep the knobs): IVF and IVF-PQ over the corpus-derived
+    probe depths (``IvfParams.levels`` — ceil of K/16 … K/2; the
+    shipped ceil(K/3) point and the stored-depth maximum are both
+    levels), LSH over Hamming multi-probe radius ∈ ``TRADEOFF_RADII``.
+    Output per (method, probe): micro-averaged recall@k against the
+    brute-force ground truth plus the scanned candidate-row count — the
+    cost axis of the frontier.
 
     Scale shape: every level reuses ONE scoring pass per method (each
     candidate pair carries the probe depth that discovered it: the
@@ -904,6 +1017,7 @@ def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweeping never retrains. Deterministic end-to-end, so DuckDB
     replays the whole frontier exactly."""
     emb = _emb(spark, sf_dir)
+    levels = ivf_params(spark, sf_dir).levels
     bf = knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     truth = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -918,8 +1032,7 @@ def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "cell_id")
     )
     probes = ranked_cells.where(
-        (F.col("vec_id") < N_QUERIES)
-        & (F.col("r") <= max(TRADEOFF_NPROBES))
+        (F.col("vec_id") < N_QUERIES) & (F.col("r") <= max(levels))
     ).select(F.col("vec_id").alias("query_id"), "cell_id", F.col("r").alias("pr"))
     cand = (
         assign.join(F.broadcast(probes), "cell_id")
@@ -933,7 +1046,7 @@ def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
     )
     ivf = _recall_frontier_rows(
-        ivf_scored, bf, truth, TRADEOFF_NPROBES, "ivf", [F.col("cos").desc()]
+        ivf_scored, bf, truth, levels, "ivf", [F.col("cos").desc()]
     )
 
     codes = _pq_codes(spark, sf_dir)
@@ -956,7 +1069,7 @@ def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(ex.dec("qd2")).alias("adec"))
     )
     ivfpq = _recall_frontier_rows(
-        pq_scored, bf, truth, TRADEOFF_NPROBES, "ivfpq", [F.col("adec").asc()]
+        pq_scored, bf, truth, levels, "ivfpq", [F.col("adec").asc()]
     )
 
     # —— LSH: Hamming multi-probe; depth = the discovering mask's radius —
@@ -1164,8 +1277,9 @@ def embedding_kmeans(
 ) -> DataFrame:
     """Distributed k-means (Lloyd's algorithm): the coarse-quantizer
     TRAINER, exposed as a query — the IVF family consumes the same loop
-    through ``_codebook``. Initial centroids are the capped deterministic
-    seed set (``_seed_cond``, ≤ IVF_K vectors); each of ``KM_ITERS``
+    through ``_codebook``. Initial centroids are the corpus-sized
+    deterministic seed set (``_seed_rows``: the K ≈ 2·√N rows with
+    the smallest md5(vec_id)); each of ``KM_ITERS``
     rounds assigns every vector to its nearest centroid (squared L2,
     centroid-id tiebreak) and recomputes centroids as per-dimension
     means; output is the final assignment's per-cluster size and inertia.
@@ -1196,7 +1310,7 @@ def embedding_kmeans(
             F.col("cell_id").alias("cid"), F.col("cv")
         )
     else:
-        centroids = _train_centroids(emb, iters)
+        centroids = _train_centroids(emb, iters, ivf_params(spark, sf_dir))
     d2 = V.sq_dist_unrolled("v", "cv")
     final = (
         emb.join(F.broadcast(centroids))
@@ -1221,17 +1335,17 @@ def _hist_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cell_id, cv): the coarse codebook trained on HISTORY ONLY
     (vec_id % SPLIT_MOD != 0) — the frozen model an incremental ingest
     assigns against. Stored like the full codebook, under its own
-    table name."""
-    return _stored_index(
-        spark,
-        sf_dir,
-        "codebook_hist",
-        "cell_id",
-        lambda: _train_centroids(
-            _emb(spark, sf_dir).where(F.col("vec_id") % SPLIT_MOD != 0),
-            KM_ITERS,
-        ).select(F.col("cid").alias("cell_id"), F.col("cv")),
-    )
+    table name. Its K derives from the HISTORY row count (the
+    corpus the model was trained on), exactly as the oracle's scalar
+    subquery counts its history CTE."""
+
+    def build() -> DataFrame:
+        hist = _emb(spark, sf_dir).where(F.col("vec_id") % SPLIT_MOD != 0)
+        return _train_centroids(hist, KM_ITERS, IvfParams(hist.count())).select(
+            F.col("cid").alias("cell_id"), F.col("cv")
+        )
+
+    return _stored_index(spark, sf_dir, "codebook_hist", "cell_id", build)
 
 
 def index_update_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1291,6 +1405,72 @@ def index_update_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ex.davg(F.when(F.col("incoming"), F.col("c"))).alias(
                 "avg_cos_incoming"
             ),
+        )
+    )
+
+
+# Retrain-decision thresholds (round 9 — closes the index-maintenance
+# lifecycle: knn_index_update_stats REPORTS drift; this query DECIDES).
+# A cell votes 'retrain' when its incoming batch fits the frozen
+# centroid measurably worse than history did (cosine drop ≥
+# DRIFT_RETRAIN) on enough incoming evidence (≥ MIN_INCOMING rows —
+# small cells would otherwise flap on noise); a cell votes 'hot' when
+# incoming DOMINATES it (share ≥ SHARE_HOT — post-ingest skew: the
+# cell's postings list grows unboundedly and wants a split/retrain);
+# 'keep' otherwise, retrain taking precedence over hot.
+DRIFT_RETRAIN = 0.05
+MIN_INCOMING = 5
+SHARE_HOT = 0.5
+
+
+def index_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision a nightly index-maintenance job acts on: fold the
+    per-cell drift report (:func:`index_update_stats`) through the
+    threshold rule into one row per verdict class — how many cells
+    (and how much of the incoming batch) demand a retrain, are running
+    hot, or can keep the frozen quantizer. The corpus-sized codebook
+    (``ivf_params``) makes the retrain actionable: a retrain re-derives
+    K from the grown corpus and re-tags the stored index
+    (``_index_tag``), so acting on this verdict is exactly one
+    ``build_indexes`` call.
+
+    Scale shape: input is the |cells|-row report (already aggregated —
+    the corpus was touched once by the update pass); everything here is
+    arithmetic over ≤ K rows plus a ≤ 3-row rollup. Deterministic:
+    drift is a difference of round-6 decimal means, thresholds are
+    shared literals, and the CASE precedence is identical in the DuckDB
+    replay."""
+    per_cell = index_update_stats(spark, sf_dir)
+    drift = F.round(
+        F.col("avg_cos_history") - F.col("avg_cos_incoming"), 6
+    )
+    verdict = (
+        F.when(
+            (F.col("n_incoming") >= MIN_INCOMING)
+            & (drift >= DRIFT_RETRAIN),
+            F.lit("retrain"),
+        )
+        .when(
+            (F.col("n_incoming") >= MIN_INCOMING)
+            & (F.col("incoming_share") >= SHARE_HOT),
+            F.lit("hot"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        per_cell.select(
+            verdict.alias("verdict"),
+            "n_history",
+            "n_incoming",
+            drift.alias("drift"),
+        )
+        .groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("n_history").cast("long").alias("n_history"),
+            F.sum("n_incoming").cast("long").alias("n_incoming"),
+            ex.davg("drift").alias("avg_drift"),
+            F.round(F.max("drift"), 6).alias("max_drift"),
         )
     )
 
@@ -1356,9 +1536,25 @@ def _knn_sql(candidate_filter: str) -> str:
     """
 
 
-_SEED_WHERE = (
-    f"vec_id % {IVF_SEED_MOD} = 0 AND vec_id < {IVF_SEED_MOD * IVF_K}"
-)
+# The SQL mirror of ``IvfParams``: one row (n, k, nprobe, maxprobe)
+# derived from COUNT(*) of the ``e`` CTE it follows — the oracle sizes
+# the index to the same corpus the query ran on, so the committed SQL
+# strings stay static while the operating point tracks corpus growth.
+# All integer arithmetic (// is floor-div in DuckDB and Python alike);
+# the one float step, CEIL(2.0·SQRT(n)), is IEEE-identical across
+# engines.
+_PARAMS_CTE = f"""
+    , pk AS (
+        SELECT n, k,
+               (k + 2) // 3 AS nprobe, (k + 1) // 2 AS maxprobe
+        FROM (
+            SELECT n,
+                   LEAST(GREATEST(CAST(CEIL({IVF_K_FACTOR} * SQRT(n))
+                                       AS BIGINT), {IVF_K_MIN}),
+                         {IVF_K_MAX}) AS k
+            FROM (SELECT COUNT(*) AS n FROM e)
+        )
+    )"""
 
 
 def _km_assign_sql(cent: str, out: str) -> str:
@@ -1394,13 +1590,21 @@ def _km_update_sql(assigned: str, out: str) -> str:
 
 
 # Unrolled KM_ITERS=2 training rounds ending in the trained codebook
-# (`seeds`): the exact SQL mirror of _train_centroids / _codebook. Every
-# IVF-family oracle shares this prefix so the index structure is
-# bit-identical across engines.
+# (`seeds`): the exact SQL mirror of _train_centroids / _codebook,
+# prefixed by the derived-parameter row (``pk``). Every IVF-family
+# oracle shares this prefix so the index structure is bit-identical
+# across engines.
 _TRAIN_CTES = (
-    f"""
+    _PARAMS_CTE
+    + """
     , c0 AS (
-        SELECT vec_id AS cid, v AS cv FROM e WHERE {_SEED_WHERE}
+        SELECT cid, cv FROM (
+            SELECT vec_id AS cid, v AS cv,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS sr
+            FROM e
+        ), pk WHERE sr <= pk.k
     )"""
     + _km_assign_sql("c0", "ta0")
     + _km_update_sql("ta0", "tc1")
@@ -1429,7 +1633,7 @@ _IVF_SQL = f"""
         SELECT vec_id, v, cell_id FROM ranked_cells WHERE r = 1
     ), probes AS (
         SELECT vec_id AS query_id, cell_id FROM ranked_cells
-        WHERE vec_id < {N_QUERIES} AND r <= {NPROBE}
+        WHERE vec_id < {N_QUERIES} AND r <= (SELECT nprobe FROM pk)
     ), q AS (
         SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
     ), scored AS (
@@ -1470,7 +1674,7 @@ _IVF_FILTERED_SQL = f"""
         WHERE r = 1 AND label % {FILTER_LABEL_MOD} = 0
     ), probes AS (
         SELECT vec_id AS query_id, cell_id FROM ranked_cells
-        WHERE vec_id < {N_QUERIES} AND r <= {MAX_NPROBE}
+        WHERE vec_id < {N_QUERIES} AND r <= (SELECT maxprobe FROM pk)
     ), q AS (
         SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
     ), scored AS (
@@ -1581,11 +1785,6 @@ ORACLE["embedding_kmeans"] = (
 # unit vectors ADC's squared-L2 ordering equals the cosine ordering)
 _VN = "list_transform(v, x -> x / sqrt(list_dot_product(v, v)))"
 
-_PQ_SEED_WHERE = (
-    f"vec_id % {PQ_SEED_MOD} = 0 AND vec_id < {PQ_SEED_MOD * PQ_SUBK}"
-)
-
-
 def _pq_assign_sql(cent: str, out: str) -> str:
     """One per-subspace Lloyd assignment round: nearest sub-centroid by
     squared L2 with a (d2, cid) tiebreak — ``m`` rides along as a plain
@@ -1626,23 +1825,33 @@ def _pq_update_sql(assigned: str, out: str) -> str:
 # subvectors → KM_ITERS=2 unrolled per-subspace training rounds → the
 # trained sub-codebooks → encode distances / codes / query ADC table.
 # The exact SQL mirror of _subvectors / _pq_subcodebook / _pq_codes /
-# _pq_query_dists.
-_PQ_CTES = (
-    f"""
+# _pq_query_dists. A function (not a module constant) so the PQ
+# resolution sweep can rebuild it under patched PQ_M / PQ_SUBK.
+def _pq_ctes() -> str:
+    return (
+        f"""
     , subs AS (
         SELECT vec_id, m.m AS m,
                ({_VN})[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}]
                    AS sv
         FROM e CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) AS m
+    ), pqseed AS (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS sr
+            FROM e
+        ) WHERE sr <= {PQ_SUBK}
     ), sc0 AS (
-        SELECT m, vec_id AS cid, sv AS sc FROM subs
-        WHERE {_PQ_SEED_WHERE}
+        SELECT s.m, s.vec_id AS cid, s.sv AS sc
+        FROM subs s JOIN pqseed p ON p.vec_id = s.vec_id
     )"""
-    + _pq_assign_sql("sc0", "sa0")
-    + _pq_update_sql("sa0", "sc1")
-    + _pq_assign_sql("sc1", "sa1")
-    + _pq_update_sql("sa1", "sc2")
-    + f"""
+        + _pq_assign_sql("sc0", "sa0")
+        + _pq_update_sql("sa0", "sc1")
+        + _pq_assign_sql("sc1", "sa1")
+        + _pq_update_sql("sa1", "sc2")
+        + f"""
     , sseeds AS (SELECT m, cid AS cell_id, sc FROM sc2)
     , dists AS (
         SELECT s.vec_id, s.m, ss.cell_id,
@@ -1662,12 +1871,13 @@ _PQ_CTES = (
         SELECT vec_id AS query_id, m, cell_id, d2 AS qd2
         FROM dists WHERE vec_id < {N_QUERIES}
     )"""
-)
+    )
+
 
 ORACLE["knn_pq"] = f"""
     WITH e AS (
         SELECT vec_id, {_V} AS v FROM embeddings
-    ){_PQ_CTES}, scored AS (
+    ){_pq_ctes()}, scored AS (
         SELECT q.query_id, c.vec_id,
                SUM(CAST(q.qd2 AS {ex.SQL_DEC})) AS adec
         FROM codes c
@@ -1704,13 +1914,13 @@ def _ivfpq_sql(rerank: bool) -> str:
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS r
             FROM cr
-        ) WHERE r <= {NPROBE}
+        ) WHERE r <= (SELECT nprobe FROM pk)
     ), ca AS (
         SELECT vec_id, cell_id AS vcell FROM rc WHERE r = 1
     ), probes AS (
         SELECT vec_id AS query_id, cell_id FROM rc
         WHERE vec_id < {N_QUERIES}
-    ){_PQ_CTES}, cand AS (
+    ){_pq_ctes()}, cand AS (
         SELECT p.query_id, ca.vec_id
         FROM ca JOIN probes p ON ca.vcell = p.cell_id
         WHERE ca.vec_id != p.query_id
@@ -1867,8 +2077,6 @@ def _tradeoff_sql() -> str:
         lsh_signature_sql,
     )
 
-    max_np = max(TRADEOFF_NPROBES)
-    np_vals = ", ".join(f"({x})" for x in TRADEOFF_NPROBES)
     rd_vals = ", ".join(f"({x})" for x in TRADEOFF_RADII)
     mask_vals = ", ".join(f"({m}, {d})" for m, d in _lsh_probe_masks())
     cosev = (
@@ -1907,7 +2115,7 @@ def _tradeoff_sql() -> str:
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS r
             FROM cr
-        ) WHERE r <= {max_np}
+        ) WHERE r <= (SELECT maxprobe FROM pk)
     ), ca AS (
         SELECT rc.vec_id, rc.cell_id AS vcell, e.v
         FROM rc JOIN e ON e.vec_id = rc.vec_id WHERE rc.r = 1
@@ -1921,7 +2129,7 @@ def _tradeoff_sql() -> str:
     ), ivf_scored AS (
         SELECT c.query_id, c.vec_id, c.pr, {cosev.format(v="c.v")} AS cos
         FROM icand c JOIN q ON q.query_id = c.query_id
-    ){_PQ_CTES}, pq_scored AS (
+    ){_pq_ctes()}, pq_scored AS (
         SELECT c.query_id, c.vec_id, c.pr,
                SUM(CAST(qd.qd2 AS {ex.SQL_DEC})) AS adec
         FROM icand c
@@ -1941,7 +2149,11 @@ def _tradeoff_sql() -> str:
                       sqrt(list_dot_product(e.v, e.v))), 6) AS cos
         FROM e JOIN psigs p
              ON e.sig = p.psig AND e.vec_id != p.query_id
-    ), np AS (SELECT * FROM (VALUES {np_vals}) AS l(probe)
+    ), np AS (
+        SELECT DISTINCT CAST(probe AS INTEGER) AS probe FROM (
+            SELECT UNNEST([(k + 15) // 16, (k + 7) // 8, (k + 3) // 4,
+                           (k + 2) // 3, (k + 1) // 2]) AS probe FROM pk
+        )
     ), rd AS (SELECT * FROM (VALUES {rd_vals}) AS l(probe)
     ){_frontier_sql("lsh", "lsh_scored", "rd", "cos DESC")}
     {_frontier_sql("ivf", "ivf_scored", "np", "cos DESC")}
@@ -2014,6 +2226,33 @@ ORACLE["knn_index_update_stats"] = f"""
     FROM asn GROUP BY cell_id
 """
 
+# Decision layer over the drift report: the full update-stats oracle
+# nests as a CTE, then the same thresholds/CASE/rollup replay in SQL.
+ORACLE["knn_index_retrain_decision"] = f"""
+    WITH per_cell AS ({ORACLE["knn_index_update_stats"]}),
+    judged AS (
+        SELECT CASE
+                 WHEN n_incoming >= {MIN_INCOMING}
+                      AND ROUND(avg_cos_history - avg_cos_incoming, 6)
+                          >= {DRIFT_RETRAIN}
+                      THEN 'retrain'
+                 WHEN n_incoming >= {MIN_INCOMING}
+                      AND incoming_share >= {SHARE_HOT}
+                      THEN 'hot'
+                 ELSE 'keep'
+               END AS verdict,
+               n_history, n_incoming,
+               ROUND(avg_cos_history - avg_cos_incoming, 6) AS drift
+        FROM per_cell
+    )
+    SELECT verdict, COUNT(*) AS n_cells,
+           CAST(SUM(n_history) AS BIGINT) AS n_history,
+           CAST(SUM(n_incoming) AS BIGINT) AS n_incoming,
+           {ex.davg_sql("drift")} AS avg_drift,
+           ROUND(MAX(drift), 6) AS max_drift
+    FROM judged GROUP BY verdict
+"""
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
@@ -2025,6 +2264,7 @@ QUERIES = {
     "knn_recall_report": knn_recall_report,
     "knn_recall_tradeoff": knn_recall_tradeoff,
     "knn_index_update_stats": index_update_stats,
+    "knn_index_retrain_decision": index_retrain_decision,
     "embedding_projection_quality": projection_quality,
     "embedding_cosine_dups": cosine_dup_pairs,
     "embedding_semantic_keep_stats": semantic_keep_stats,
