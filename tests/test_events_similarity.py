@@ -234,13 +234,15 @@ def test_knn_ivfpq_agrees_with_pq_on_shared_pairs(spark):
         assert d == sorted(d)
 
 
-def test_kmeans_single_seed_collapses_to_one_cluster(spark, emb_dir):
-    # the crafted corpus has one seed (vec 0) -> K = 1: everything lands in
-    # its cluster and the centroid is the global mean
+def test_kmeans_derived_seed_count_partitions_corpus(spark, emb_dir):
+    # the crafted 20-vector corpus derives K = ceil(2*sqrt(20)) = 9 seeds;
+    # every vector lands in exactly one surviving cluster
+    p = sim.ivf_params(spark, emb_dir)
+    assert p.k == 9
     rows = sim.embedding_kmeans(spark, emb_dir).collect()
-    assert len(rows) == 1
-    assert rows[0].n_vectors == 20
-    assert rows[0].inertia > 0
+    assert 0 < len(rows) <= p.k
+    assert sum(r.n_vectors for r in rows) == 20
+    assert sum(r.inertia for r in rows) > 0
 
 
 def test_kmeans_lloyd_iterations_never_increase_inertia(spark):
@@ -258,13 +260,8 @@ def test_kmeans_lloyd_iterations_never_increase_inertia(spark):
 
     n = load_table(spark, SF_SMOKE, "embeddings").count()
     assert sum(r.n_vectors for r in rows) == n
-    # cluster count is bounded by the seed count and never zero
-    n_seeds = (
-        load_table(spark, SF_SMOKE, "embeddings")
-        .where(F.col("vec_id") % sim.IVF_SEED_MOD == 0)
-        .count()
-    )
-    assert 0 < len(rows) <= n_seeds
+    # cluster count is bounded by the derived seed count and never zero
+    assert 0 < len(rows) <= sim.ivf_params(spark, SF_SMOKE).k
 
 
 def test_similarity_stored_index_lifecycle(spark):
@@ -290,7 +287,8 @@ def test_similarity_stored_index_lifecycle(spark):
     )
 
     tag = (
-        f"{sim._index_tag()}nb{sim.ANN_INDEX_BUCKETS}"
+        f"{sim._index_tag(sim.ivf_params(spark, SF_SMOKE))}"
+        f"nb{sim.ANN_INDEX_BUCKETS}"
         f"_{source_fingerprint(SF_SMOKE, 'embeddings')}"
     )
     base = f"{os.path.basename(SF_SMOKE.rstrip('/')).replace('.', '_')}_{tag}"
@@ -374,29 +372,33 @@ def test_knn_recall_tradeoff_frontier_consistent(spark):
     from automotive_big_data_analysis_spark.operators import similarity as sim
 
     sf = "/root/testdata/sf0.001"
+    params = sim.ivf_params(spark, sf)
     rows = {
         (r.method, r.probe): r
         for r in sim.knn_recall_tradeoff(spark, sf).collect()
     }
     assert {m for m, _ in rows} == {"lsh", "ivf", "ivfpq"}
     for m, levels in (
-        ("ivf", sim.TRADEOFF_NPROBES),
-        ("ivfpq", sim.TRADEOFF_NPROBES),
+        ("ivf", params.levels),
+        ("ivfpq", params.levels),
         ("lsh", sim.TRADEOFF_RADII),
     ):
         assert [p for mm, p in sorted(rows) if mm == m] == sorted(levels)
         cand = [rows[(m, p)].cand_rows for p in sorted(levels)]
         assert cand == sorted(cand)  # deeper probe scans at least as much
     # exact-scored methods: recall non-decreasing in depth
-    for m, levels in (("ivf", sim.TRADEOFF_NPROBES), ("lsh", sim.TRADEOFF_RADII)):
+    for m, levels in (("ivf", params.levels), ("lsh", sim.TRADEOFF_RADII)):
         rec = [rows[(m, p)].recall_at_k for p in sorted(levels)]
         assert rec == sorted(rec)
+    # the shipped operating point and the stored depth are both levels
+    assert params.nprobe in params.levels
+    assert max(params.levels) == params.maxprobe
     report = {
         r.method: r.recall_at_k
         for r in sim.knn_recall_report(spark, sf).collect()
     }
-    assert rows[("ivf", sim.NPROBE)].recall_at_k == report["ivf"]
-    assert rows[("ivfpq", sim.NPROBE)].recall_at_k == report["ivfpq"]
+    assert rows[("ivf", params.nprobe)].recall_at_k == report["ivf"]
+    assert rows[("ivfpq", params.nprobe)].recall_at_k == report["ivfpq"]
     # knn_lsh ships the multi-probe operating point (round-7 frontier:
     # radius 0 = 0.04 recall@5 at sf0.01 was too low to ship)
     assert rows[("lsh", sim.LSH_RADIUS)].recall_at_k == report["lsh"]
@@ -454,6 +456,58 @@ def test_index_update_stats_semantics(spark):
             assert -1.0 <= r.avg_cos_incoming <= 1.0
 
 
+def test_ivf_params_match_duckdb_derivation(spark):
+    """The Spark-side integer derivation (IvfParams) and the oracle's
+    scalar-subquery derivation (_PARAMS_CTE) must agree on every
+    component for a spread of corpus sizes — a drifted formula would
+    silently desync the two engines' index structures."""
+    import duckdb
+
+    for n in (1, 7, 20, 100, 499, 500, 2000, 10_000, 1_000_000):
+        p = sim.IvfParams(n)
+        sql = sim._PARAMS_CTE.replace(
+            "FROM (SELECT COUNT(*) AS n FROM e)", f"FROM (SELECT {n} AS n)"
+        )
+        row = duckdb.sql(f"WITH x AS (SELECT 1){sql} SELECT * FROM pk").fetchone()
+        assert row == (n, p.k, p.nprobe, p.maxprobe), (n, row)
+        assert p.maxprobe >= p.nprobe >= 1
+        assert max(p.levels) == p.maxprobe and p.nprobe in p.levels
+
+
+def test_seed_rows_survive_sparse_id_sets(spark):
+    """Regression (round 9): the history split excludes every 5th id, so
+    an id-stride seed rule can pick ZERO seeds (stride 10 ∩ ids≠0 mod 5
+    = ∅ — it zeroed knn_index_update_stats during development). The md5
+    top-K rule must yield exactly K seeds from any id subset."""
+    emb = sim._emb(spark, "/root/testdata/sf0.001")
+    hist = emb.where(F.col("vec_id") % sim.SPLIT_MOD != 0)
+    k = sim.IvfParams(hist.count()).k
+    seeds = sim._seed_rows(hist, k).collect()
+    assert len(seeds) == k
+    assert all(r.vec_id % sim.SPLIT_MOD != 0 for r in seeds)
+
+
+def test_index_retrain_decision_accounts(spark):
+    """The decision rollup partitions the drift report exactly: verdict
+    classes are from the fixed vocabulary, cell/row counts reconcile
+    with knn_index_update_stats, and every 'retrain' class carries
+    enough incoming evidence by construction."""
+    sf = "/root/testdata/sf0.001"
+    per_cell = sim.index_update_stats(spark, sf).collect()
+    rows = sim.index_retrain_decision(spark, sf).collect()
+    assert {r.verdict for r in rows} <= {"retrain", "hot", "keep"}
+    assert sum(r.n_cells for r in rows) == len(per_cell)
+    assert sum(r.n_history for r in rows) == sum(c.n_history for c in per_cell)
+    assert sum(r.n_incoming for r in rows) == sum(
+        c.n_incoming for c in per_cell
+    )
+    for r in rows:
+        if r.verdict == "retrain":
+            # a retrain verdict requires drift evidence at the threshold
+            assert r.max_drift >= sim.DRIFT_RETRAIN
+            assert r.n_incoming >= sim.MIN_INCOMING
+
+
 def test_knn_ivf_filtered_honors_predicate_and_probes_deeper(spark):
     """Filtered search: every result satisfies the metadata predicate,
     per-query ranks are contiguous with non-increasing cosine, and the
@@ -479,7 +533,8 @@ def test_knn_ivf_filtered_honors_predicate_and_probes_deeper(spark):
         assert cosines == sorted(cosines, reverse=True)
     # deeper probing under filters: the filtered search uses the full
     # stored postings depth, not the unfiltered default
-    assert sim.MAX_NPROBE > sim.NPROBE
+    p = sim.ivf_params(spark, sf)
+    assert p.maxprobe > p.nprobe
 
 
 def test_semantic_keep_accounts_exactly(spark):

@@ -205,13 +205,19 @@ def test_knn_pq_broadcasts_query_table_over_stored_codes(spark):
 
 
 def test_ivf_codebook_fixed_k_and_broadcast(spark):
-    """IVF scale fix (round-4 flag): the coarse codebook is TRAINED with
-    a corpus-independent cell cap, so the |corpus| x |cells| assignment
-    pass stays O(N*K); the codebook side must be broadcast in both the
-    trainer rounds and the search, never shuffled against the corpus."""
+    """IVF scale shape (round-4 flag, re-derived round 9): the coarse
+    codebook is TRAINED at the corpus-derived K ≈ 2·√N (sublinear — the
+    round-8 frontier showed the old linear-with-N effective cell count
+    decayed recall at fixed nprobe), so the |corpus| x |cells|
+    assignment pass is O(N^1.5) at build and the codebook side must be
+    broadcast in both the trainer rounds and the search, never shuffled
+    against the corpus."""
     similarity.release()
+    p = similarity.ivf_params(spark, SF)
+    assert p.k <= similarity.IVF_K_MAX  # clamped, never corpus-linear
     cb = similarity._codebook(spark, SF)
-    assert cb.count() <= similarity.IVF_K  # fixed K, never corpus-linear
+    # ≤ K cells (Lloyd may drop emptied clusters), never corpus-sized
+    assert 0 < cb.count() <= p.k < p.n
     df = similarity.knn_ivf(spark, SF)
     # probes + queries broadcast in the search; the trainer's rounds are
     # behind the codebook checkpoint
