@@ -288,8 +288,15 @@ def run_to_memory(
     """Drive a bounded stream to completion into an in-memory table and
     return the batch DataFrame of results (test/demo harness). The
     shuffle-partition override is captured by the streaming query at
-    start and restored for the session afterwards — batch plans in the
-    same session never see it."""
+    start and restored for the session afterwards — batch plans issued
+    SEQUENTIALLY in the same session never see it. NOT concurrency-safe
+    (round-9 ADVICE): the set/restore mutates session-global conf, so a
+    batch query or second stream planned CONCURRENTLY in this session
+    would silently pick up the bounded value — fine in this repo's
+    single-threaded harness/tests by construction; a concurrent harness
+    would scope the override via a cloned SparkSession
+    (``spark.newSession()`` shares the catalog but isolates conf)
+    instead of set/restore."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:

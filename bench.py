@@ -276,14 +276,22 @@ def main() -> None:
     # Noise waves are INTERMITTENT — a quiet before/after bracket does
     # not preclude a mid-suite burst landing on one rep (observed: a
     # 72 s first run retrying to 1.1/0.8 s under quiet brackets). Each
-    # RETRY rep is therefore probe-gated: wait (against a shared,
-    # bounded budget) until the host is quiet before timing, and record
-    # the rep's probe next to its measurement so every recorded median
-    # is auditable against the host's condition at that moment.
-    retry_probes: dict[str, list[float]] = {}
+    # RETRY rep is therefore probe-BRACKETED (round-9 fix for the r8
+    # blind spot, where one stream_conversions rep passed its 0.17 s
+    # gate probe and then caught a burst MID-rep — the artifact of
+    # record said 6.89 s against a 2.87 s pin): wait (against a shared,
+    # bounded budget) until the host is quiet before timing, probe
+    # AGAIN right after the rep, and count a rep as attested-quiet only
+    # when BOTH brackets are under the threshold. If a mid-rep wave
+    # disqualifies reps, run extras (bounded) until two reps are
+    # attested-quiet or the budget is gone. retry_probes[name][i] is
+    # the [gate, after] pair for raw_runs[name][1:][i].
+    retry_probes: dict[str, list[list[float]]] = {}
+    fallback_medians: list[str] = []
     retry_wait_budget = float(
         os.environ.get("SPARK_GRAFT_BENCH_RETRY_WAIT", "240")
     )
+    max_extra_reruns = 2
     for names, release in groups:
         for name in names:
             t0 = time.time()
@@ -293,31 +301,50 @@ def main() -> None:
             release()
         for name in [n for n in names if timings[n] > retry_threshold]:
             runs = [timings[name]]
-            probes = []
-            for _ in range(n_reruns):
+            probes: list[list[float]] = []
+
+            def _n_quiet() -> int:
+                return sum(
+                    1
+                    for g, a in probes
+                    if g <= QUIET_PROBE_S and a <= QUIET_PROBE_S
+                )
+
+            while len(runs) - 1 < n_reruns or (
+                _n_quiet() < 2
+                and len(runs) - 1 < n_reruns + max_extra_reruns
+                and retry_wait_budget > 0
+            ):
                 t0 = time.time()
-                probes.append(_wait_quiet(retry_wait_budget, probe_history))
+                gate = _wait_quiet(retry_wait_budget, probe_history)
                 retry_wait_budget = max(
                     retry_wait_budget - (time.time() - t0), 0.0
                 )
                 t0 = time.time()
                 queries[name](spark, sf_dir).collect()
                 runs.append(round(time.time() - t0, 3))
+                after = _calibrate()
+                probe_history.append(after)
+                probes.append([gate, after])
                 if release is not None:
                     release()
             raw_runs[name] = runs
             retry_probes[name] = probes
-            # the recorded number: median over the reps whose gate probe
-            # attests a quiet host (noise can never be the number of
-            # record); if the wait budget ran dry and fewer than two
-            # reps are attested-quiet, fall back to the median of all
-            # (raw_runs + retry_probes keep the full picture auditable)
+            # the recorded number: median over the reps BOTH of whose
+            # bracket probes attest a quiet host (noise can never be
+            # the number of record); if the wait budget ran dry and
+            # fewer than two reps are attested-quiet, fall back to the
+            # median of all — and say so (fallback_medians + degraded)
             quiet = [
                 r
-                for r, p in zip(runs[1:], probes)
-                if p <= QUIET_PROBE_S
+                for r, (g, a) in zip(runs[1:], probes)
+                if g <= QUIET_PROBE_S and a <= QUIET_PROBE_S
             ]
-            pool = sorted(quiet if len(quiet) >= 2 else runs)
+            if len(quiet) >= 2:
+                pool = sorted(quiet)
+            else:
+                pool = sorted(runs)
+                fallback_medians.append(name)
             n = len(pool)
             # true median: even-sized pools average the middle pair
             # (taking the upper element would systematically record the
@@ -344,9 +371,14 @@ def main() -> None:
                 # all raw runs (first + retries) for queries over the
                 # retry threshold; the recorded timing is their median
                 "raw_runs": raw_runs,
-                # the quiet-gate probe taken immediately before each
-                # retry rep (pairs with raw_runs[name][1:])
+                # per retry rep: the [gate, after] probe BRACKET
+                # (pairs with raw_runs[name][1:]); a rep counts as
+                # attested-quiet only when both are under threshold
                 "retry_probes": retry_probes,
+                # queries whose recorded median had to fall back to
+                # non-quiet reps (wait budget exhausted) — any entry
+                # here also sets degraded
+                "fallback_medians": fallback_medians,
                 "unit": "sec",
                 "n_queries": len(timings),
                 # ambient-noise probe (~0.1 s quiet): scale a recorded
@@ -360,13 +392,17 @@ def main() -> None:
                 "noise_waves": sum(
                     1 for p in probe_history if p > QUIET_PROBE_S
                 ),
-                # True = the suite ran in a noise-degraded window (no
-                # quiet window arrived within the wait budget, or noise
-                # hit mid-run): treat the totals as upper bounds, not
-                # steady state
+                # True = some recorded number is NOT attested steady
+                # state: the suite's start/end bracket was noisy, OR
+                # any retried query's median fell back to non-quiet
+                # reps (round-9 ADVICE: the old expression tested only
+                # the suite brackets, so a mid-suite wave that forced
+                # the fallback left degraded=false). Treat the totals
+                # as upper bounds, not steady state.
                 "degraded": bool(
                     calib_before > QUIET_PROBE_S
                     or calib_after > QUIET_PROBE_S
+                    or fallback_medians
                 ),
                 "corpus_preread_s": corpus_preread,
                 # one-time per-corpus-snapshot builds (wiped + rebuilt

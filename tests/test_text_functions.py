@@ -265,7 +265,7 @@ def test_pii_scrub_counts_and_redacts_planted_pii(spark, tmp_path_factory):
         (0, "mail a@b.com and c.d@e.org thanks", "en", "s", 0),
         # 1 phone (12 chars), 1 ipv4 (9 chars)
         (1, "call 555-123-4567 from 10.0.0.12 now", "en", "s", 0),
-        # 1 url (16 chars) in the other language bucket
+        # 1 url (14 chars) in the other language bucket
         (2, "ver https://x.io/a ahora", "es", "s", 0),
         # clean doc: contributes only to n_docs
         (3, "nothing sensitive here at all", "en", "s", 0),
@@ -280,6 +280,40 @@ def test_pii_scrub_counts_and_redacts_planted_pii(spark, tmp_path_factory):
     assert (es.n_docs, es.n_email, es.n_phone, es.n_ipv4, es.n_url) == (1, 0, 0, 0, 1)
     assert es.chars_redacted == len("https://x.io/a")  # the URL, 14 chars
     assert all(r.residual_matches == 0 for r in got.values())
+
+
+def test_pii_scrub_planted_mirror_is_nonvacuous_and_reused(spark):
+    """The round-9 planted mirror: every PII class lands NON-ZERO
+    counts (the oracle finally certifies real sums), residuals stay
+    zero after redaction, the per-class counts equal the plant rule's
+    residue-class sizes, and a second call reuses the fingerprinted
+    mirror files instead of rewriting."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from automotive_big_data_analysis_spark.operators import text_analysis as ta
+    from automotive_big_data_analysis_spark.catalog import load_table
+
+    rows = ta.pii_scrub_planted(spark, SF_SMOKE).collect()
+    assert rows
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    tot = {
+        c: sum(getattr(r, c) for r in rows)
+        for c in ("n_email", "n_phone", "n_ipv4", "n_url")
+    }
+    # plants are one string per residue class: counts = class sizes
+    assert tot["n_email"] == (n + ta.PLANT_EMAIL_MOD - 1) // ta.PLANT_EMAIL_MOD
+    assert tot["n_phone"] == (n + ta.PLANT_PHONE_MOD - 1) // ta.PLANT_PHONE_MOD
+    assert tot["n_ipv4"] == (n + ta.PLANT_IP_MOD - 1) // ta.PLANT_IP_MOD
+    assert tot["n_url"] == (n + ta.PLANT_URL_MOD - 1) // ta.PLANT_URL_MOD
+    assert all(v > 0 for v in tot.values())
+    assert sum(r.chars_redacted for r in rows) > 0
+    assert all(r.residual_matches == 0 for r in rows)
+    # mirror reuse: same fingerprint -> same path, no rewrite
+    path = ta._planted_mirror_path(spark, SF_SMOKE)
+    mtime = os.path.getmtime(f"{path}/_SUCCESS")
+    assert ta._planted_mirror_path(spark, SF_SMOKE) == path
+    assert os.path.getmtime(f"{path}/_SUCCESS") == mtime
 
 
 def test_pii_scrub_measures_empty_on_the_synthetic_corpus(spark):
