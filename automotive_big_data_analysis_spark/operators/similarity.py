@@ -1113,6 +1113,47 @@ def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(ivf).unionByName(ivfpq)
 
 
+RECALL_TARGET = 0.8  # the recall floor an operating point must clear
+
+
+def knn_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autotune-as-a-query (round 9 — the FAISS-autotune shape): fold
+    the measured recall/cost frontier (:func:`knn_recall_tradeoff`)
+    into each method's RECOMMENDED operating point — the cheapest probe
+    depth whose measured recall@k clears ``RECALL_TARGET``, or, when no
+    depth clears it (LSH on this corpus), the best-recall point with
+    ``meets_target = false``. This is the query a pipeline runs against
+    each corpus snapshot to re-derive the knobs the IVF family ships as
+    the closed-form ceil(K/3) default — the closed form is the cheap
+    standing rule; this is the measured authority it's calibrated
+    against.
+
+    Scale shape: input is the |methods| × |levels| frontier (already
+    micro-averaged — the corpus was scanned by the sweep, once per
+    method); the selection is a rank over ≤ ~15 rows. Deterministic:
+    the tie rule (clears-target first, then cheapest probe, then best
+    recall) is a shared ORDER BY replayed exactly in DuckDB."""
+    fr = knn_recall_tradeoff(spark, sf_dir)
+    meets = F.col("recall_at_k") >= RECALL_TARGET
+    w = Window.partitionBy("method").orderBy(
+        meets.desc(),
+        F.when(meets, F.col("probe")).otherwise(F.lit(2**31 - 1)).asc(),
+        F.col("recall_at_k").desc(),
+        F.col("probe").asc(),
+    )
+    return (
+        fr.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "method",
+            "probe",
+            "recall_at_k",
+            "cand_rows",
+            meets.alias("meets_target"),
+        )
+    )
+
+
 def projection_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss projection audit: per label, how well the
     fixed random projection to ``vectors.PROJ_DIM`` dims preserves
@@ -2166,6 +2207,27 @@ def _tradeoff_sql() -> str:
 
 ORACLE["knn_recall_tradeoff"] = _tradeoff_sql()
 
+# Autotune selection over the frontier: the full tradeoff oracle nests
+# as a CTE; the shared tie rule (clears-target, then cheapest probe,
+# then best recall) replays exactly.
+ORACLE["knn_operating_point"] = f"""
+    WITH fr AS ({ORACLE["knn_recall_tradeoff"]}),
+    ranked AS (
+        SELECT method, probe, recall_at_k, cand_rows,
+               (recall_at_k >= {RECALL_TARGET}) AS meets_target,
+               ROW_NUMBER() OVER (
+                   PARTITION BY method
+                   ORDER BY (recall_at_k >= {RECALL_TARGET}) DESC,
+                            CASE WHEN recall_at_k >= {RECALL_TARGET}
+                                 THEN probe ELSE {2**31 - 1} END ASC,
+                            recall_at_k DESC, probe ASC
+               ) AS rn
+        FROM fr
+    )
+    SELECT method, probe, recall_at_k, cand_rows, meets_target
+    FROM ranked WHERE rn = 1
+"""
+
 
 def _projection_quality_sql() -> str:
     comps = V.projection_sql("v")
@@ -2263,6 +2325,7 @@ QUERIES = {
     "knn_ivfpq_rerank": knn_ivfpq_rerank,
     "knn_recall_report": knn_recall_report,
     "knn_recall_tradeoff": knn_recall_tradeoff,
+    "knn_operating_point": knn_operating_point,
     "knn_index_update_stats": index_update_stats,
     "knn_index_retrain_decision": index_retrain_decision,
     "embedding_projection_quality": projection_quality,

@@ -456,6 +456,38 @@ def test_index_update_stats_semantics(spark):
             assert -1.0 <= r.avg_cos_incoming <= 1.0
 
 
+def test_knn_operating_point_selects_frontier_knee(spark):
+    """Autotune consistency: one row per method; the chosen row exists
+    in the frontier with identical recall/cost; when any level clears
+    the target, the choice is the CHEAPEST clearing probe; otherwise
+    the best-recall point with meets_target=false; and IVF's
+    recommendation equals the shipped closed-form ceil(K/3) default."""
+    sf = "/root/testdata/sf0.001"
+    fr = {
+        (r.method, r.probe): r
+        for r in sim.knn_recall_tradeoff(spark, sf).collect()
+    }
+    ops = {r.method: r for r in sim.knn_operating_point(spark, sf).collect()}
+    assert set(ops) == {"lsh", "ivf", "ivfpq"}
+    for m, op in ops.items():
+        src = fr[(m, op.probe)]
+        assert (op.recall_at_k, op.cand_rows) == (
+            src.recall_at_k,
+            src.cand_rows,
+        )
+        clearing = [
+            p for (mm, p), r in fr.items()
+            if mm == m and r.recall_at_k >= sim.RECALL_TARGET
+        ]
+        if clearing:
+            assert op.meets_target and op.probe == min(clearing)
+        else:
+            assert not op.meets_target
+            assert op.recall_at_k == max(
+                r.recall_at_k for (mm, _), r in fr.items() if mm == m
+            )
+
+
 def test_ivf_params_match_duckdb_derivation(spark):
     """The Spark-side integer derivation (IvfParams) and the oracle's
     scalar-subquery derivation (_PARAMS_CTE) must agree on every
