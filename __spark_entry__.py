@@ -33,22 +33,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #       retrained, so every index-reading ranking changed; knn_lsh and
 #       knn_bruteforce do not read the retrained structures and their
 #       values are unchanged — both r8-green, displaced);
-#   (b) the two queries NEW this round — the retrain-decision rollup
-#       (completes the index-maintenance lifecycle) and the
-#       PII-planted-mirror scrub (the non-vacuous oracle for the r8
-#       scrubber);
-#   (c) 39 of the 46-query r6 freshness cohort (newest driver-green row
+#   (b) the four queries NEW this round — the retrain-decision rollup
+#       (completes the index-maintenance lifecycle), the frontier
+#       autotune selection, the PII-planted-mirror scrub (the
+#       non-vacuous oracle for the r8 scrubber), and the
+#       applyInPandasWithState custom-stateful-operator gate
+#       (stream_user_totals — registered post-freeze with its own
+#       five-config oracle addendum, ORACLE_ADDENDUM_r09.txt, the r8
+#       PII-scrubber precedent);
+#   (c) 38 of the 46-query r6 freshness cohort (newest driver-green row
 #       = r6; embedding_kmeans is in the cohort AND value-changed by
-#       (a)). The cohort is 46 and (a)+(b) take 11 slots, so SEVEN
-#       cohort members are displaced to r10 — chosen as the seven whose
+#       (a)). The cohort is 46 and (a)+(b) take 12 slots, so EIGHT
+#       cohort members are displaced to r10 — chosen as the eight whose
 #       code is untouched since r6 and whose shapes are pure relational
 #       aggregates with the most stable oracles (forecast_revenue_
 #       change, order_priority_check, promo_revenue_ratio,
 #       shipping_priority, small_quantity_revenue, nation_market_share,
-#       returned_item_revenue) — all seven re-verified green on this
-#       round's committed local sweeps (ORACLE_*_r09), leaving them the
-#       ONLY sub-r7 driver evidence after this gate; they lead the r10
-#       window.
+#       returned_item_revenue, priority_status_pivot) — all eight
+#       re-verified green on this round's committed local sweeps
+#       (ORACLE_*_r09), leaving them the ONLY sub-r7 driver evidence
+#       after this gate; they lead the r10 window.
 # docs_pii_scrub (r8-green) had a value-neutral refactor (its body
 # became the shared _scrub_rollup helper, exercised in-window by the
 # planted sibling) — displaced, covered by sweeps + fixture tests.
@@ -66,6 +70,7 @@ _SWEEP_PRIORITY = [
     "knn_index_retrain_decision",
     "knn_operating_point",
     "docs_pii_scrub_planted",
+    "stream_user_totals",
     # (c) the r6 freshness cohort (40 of 46; embedding_kmeans is also
     # value-changed by (a))
     "embedding_kmeans",
@@ -94,7 +99,6 @@ _SWEEP_PRIORITY = [
     "parts_supplier_counts",
     "pipeline_curation_report",
     "pipeline_curation_sampled",
-    "priority_status_pivot",
     "quantity_percentiles",
     "salted_type_totals",
     "sole_supplier_orders",

@@ -181,28 +181,41 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
     driver-side. With ``GroupStateTimeout.EventTimeTimeout`` + a
     watermark the same operator finalizes and evicts idle users; the
     running-totals profile keeps ``NoTimeout`` so results are exactly
-    reproducible under any micro-batch split."""
+    reproducible under any micro-batch split.
+
+    Exactness (round 9 — what makes this HASH-gateable): the state
+    accumulates value as INTEGER MICRO-UNITS (floor(v·1e6 + 0.5), the
+    repo's shared rounding tree), so the running total is an
+    order-free integer sum — bit-identical under ANY micro-batch
+    split or arrival order — and the emitted ``total_value`` is one
+    deterministic quantize of that integer, replayed exactly by the
+    DuckDB oracle. A raw float accumulator would make the final state
+    depend on addition order, which batching controls."""
+    import math
+
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, micro = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, total))
+            v = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+            micro += int(np.floor(v * 1e6 + 0.5).sum())
+        state.update((n, micro))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 2)],
+                "total_value": [math.floor(micro / 10000.0 + 0.5) / 100.0],
             }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         "user_id long, n_events long, total_value double",
-        "n long, total double",
+        "n long, micro long",
         "update",
         GroupStateTimeout.NoTimeout,
     )
@@ -437,6 +450,44 @@ def stream_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query #5 for the streaming layer (round 9): the
+    JSONL landing-directory stream driven through the CUSTOM STATEFUL
+    operator (``user_totals_stream`` — ``applyInPandasWithState``,
+    user-keyed running totals in integer micro-units), with the FINAL
+    snapshot per user extracted from the update-mode emissions and
+    hash-verified against the identical batch aggregate from the
+    parquet table. This gates the one streaming surface the other four
+    gates don't touch: arbitrary user state in the state store, updated
+    by Python against Arrow batches.
+
+    Determinism: n_events is strictly increasing per user across
+    emissions (the operator only fires for keys with new rows), so the
+    struct-max picks the final snapshot; the state itself is an
+    order-free integer sum, so micro-batch boundaries change WHICH
+    intermediate snapshots exist, never the final one."""
+    import uuid
+
+    from automotive_big_data_analysis_spark.sources.text_formats import (
+        _ensure_written,
+    )
+
+    path = _ensure_written(spark, sf_dir, "jsonl")
+    totals = user_totals_stream(read_event_stream_jsonl(spark, path))
+    name = f"stream_totals_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory(totals, name, output_mode="update")
+    rows = out.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value")).alias("s")
+    ).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.total_value").alias("total_value"),
+    )
+    result = spark.createDataFrame(rows.collect(), rows.schema)
+    spark.catalog.dropTempView(name)
+    return result
+
+
 def _session_oracle_sql() -> str:
     from automotive_big_data_analysis_spark.operators.events import (
         _SESSION_CTE,
@@ -463,6 +514,18 @@ ORACLE: dict[str, str] = {
         FROM events GROUP BY 1, 2
     """,
     "stream_user_sessions": _session_oracle_sql(),
+    # identical per-user totals from the parquet table, replaying the
+    # operator's integer micro-unit arithmetic exactly: each value
+    # quantizes via the shared floor tree, the sum is an order-free
+    # BIGINT, and the final quantize mirrors the operator's emit
+    "stream_user_totals": """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(FLOOR(SUM(CAST(FLOOR(COALESCE(value, 0) * 1000000
+                                         + 0.5) AS BIGINT))
+                          / 10000.0 + 0.5) AS BIGINT) / 100.0
+                   AS total_value
+        FROM events GROUP BY user_id
+    """,
     # identical click→purchase attribution join from the parquet table
     "stream_conversions": f"""
         WITH clicks AS (
@@ -489,4 +552,5 @@ QUERIES = {
     "stream_hourly_rollup": stream_hourly_rollup,
     "stream_user_sessions": stream_user_sessions,
     "stream_conversions": stream_conversions,
+    "stream_user_totals": stream_user_totals,
 }

@@ -121,10 +121,17 @@ def test_stateful_user_totals_match_batch(spark, stream_dir):
     for r in got.collect():  # later snapshots have strictly larger n_events
         if r.user_id not in final or r.n_events > final[r.user_id][0]:
             final[r.user_id] = (r.n_events, r.total_value)
+    # mirror the operator's exact integer micro-unit arithmetic (an
+    # order-free sum — which is what makes the final state identical
+    # under any micro-batch split)
+    micro = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6 + 0.5)
     batch = (
         spark.read.parquet(f"{stream_dir}/events.parquet")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.floor(F.sum(micro) / 10000.0 + 0.5) / 100.0).alias("tv"),
+        )
     )
     expected = {r.user_id: (r.n, r.tv) for r in batch.collect()}
     assert final == expected
