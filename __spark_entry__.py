@@ -56,6 +56,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # docs_pii_scrub (r8-green) had a value-neutral refactor (its body
 # became the shared _scrub_rollup helper, exercised in-window by the
 # planted sibling) — displaced, covered by sweeps + fixture tests.
+# knn_lsh_multitable (registry 146, landed after the window froze)
+# is registered PAST the window with five-config local oracle
+# evidence (ORACLE_ADDENDUM_r09.txt) — the r4/r7 late-registration
+# precedent; it leads the r10 window alongside the eight displaced
+# cohort members. knn_recall_report (in-window, position 6) gates its
+# changed values (the new lsh_mt row) at the driver.
 _SWEEP_PRIORITY = [
     # (a) values changed: the corpus-derived IVF/PQ index rework
     "knn_ivf",

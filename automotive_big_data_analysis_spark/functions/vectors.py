@@ -28,6 +28,22 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
+# Independent plane-sets for MULTI-TABLE LSH (OR-amplification: a
+# candidate is probed if ANY table buckets it with the query, so the
+# per-table miss rates multiply). Seeded separately from the
+# single-table planes; literals inlined into both engines like
+# HYPERPLANES.
+LSH_TABLES = 4
+_mt_rng = np.random.RandomState(LSH_SEED + 1)
+MT_HYPERPLANES: list[list[list[float]]] = [
+    [
+        [round(float(x), 4) for x in row]
+        for row in _mt_rng.standard_normal((N_PLANES, DIM))
+    ]
+    for _ in range(LSH_TABLES)
+]
+
+
 PROJ_SEED = 11
 PROJ_DIM = 16  # JL target dimensionality for the reduction stage
 
@@ -176,6 +192,30 @@ def lsh_signature_sql(vec_expr: str) -> str:
     """The identical signature as DuckDB SQL over a double-list expression."""
     terms = []
     for b, plane in enumerate(HYPERPLANES):
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0 "
+            f"THEN {2**b} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_signature_mt(a: Column, tbl: int) -> Column:
+    """Table-``tbl`` signature of the multi-table family (same packing
+    rule as :func:`lsh_signature`, over that table's own planes)."""
+    sig = F.lit(0)
+    for b, plane in enumerate(MT_HYPERPLANES[tbl]):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        sig = sig + F.when(dot(a, plane_col) >= 0, F.lit(2**b)).otherwise(
+            F.lit(0)
+        )
+    return sig
+
+
+def lsh_signature_mt_sql(vec_expr: str, tbl: int) -> str:
+    """The identical table-``tbl`` signature as DuckDB SQL."""
+    terms = []
+    for b, plane in enumerate(MT_HYPERPLANES[tbl]):
         lit = "[" + ", ".join(str(v) for v in plane) + "]"
         terms.append(
             f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0 "
