@@ -77,7 +77,7 @@ _SWEEP_PRIORITY = [
     "knn_operating_point",
     "docs_pii_scrub_planted",
     "stream_user_totals",
-    # (c) the r6 freshness cohort (40 of 46; embedding_kmeans is also
+    # (c) the r6 freshness cohort (38 of 46; embedding_kmeans is also
     # value-changed by (a))
     "embedding_kmeans",
     "bucketed_join_revenue",

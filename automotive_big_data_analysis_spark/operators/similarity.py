@@ -57,7 +57,11 @@ def release(sf_dir: str | None = None) -> int:
     for key in [k for k in _SHARED if sf_dir is None or k[1] == sf_dir]:
         _SHARED.pop(key)
         dropped += 1
-    for key in [k for k in _N_CACHE if sf_dir is None or k == sf_dir]:
+    for key in [
+        k
+        for k in _N_CACHE
+        if sf_dir is None or k.split("@", 1)[0] == sf_dir
+    ]:
         _N_CACHE.pop(key)
     return dropped
 # The corpus has no near-identical embeddings (max pairwise cosine ≈0.51),
@@ -226,13 +230,22 @@ class IvfParams:
 
 def _corpus_n(spark: SparkSession, sf_dir: str) -> int:
     """Corpus row count — the single scalar that parameterizes the IVF
-    index. Counted once per (process, corpus) and cached; this is an
-    index-build-time metadata lookup (parquet count-star, satisfied
-    from footer statistics), not a hot-path collect. ``release()``
-    drops the cache entry so a rewritten corpus re-derives."""
-    if sf_dir not in _N_CACHE:
-        _N_CACHE[sf_dir] = load_table(spark, sf_dir, "embeddings").count()
-    return _N_CACHE[sf_dir]
+    index. Counted once per (process, corpus GENERATION) and cached;
+    this is an index-build-time metadata lookup (parquet count-star,
+    satisfied from footer statistics), not a hot-path collect. The
+    cache key folds in ``source_fingerprint`` (file names/sizes/mtimes
+    — metadata-only, same staleness rule the stored-index paths use),
+    so a corpus rewritten in-process self-invalidates and re-derives N
+    without relying on callers to invoke ``release()`` (round-9
+    ADVICE)."""
+    from automotive_big_data_analysis_spark.sources.stored import (
+        source_fingerprint,
+    )
+
+    key = f"{sf_dir}@{source_fingerprint(sf_dir, 'embeddings')}"
+    if key not in _N_CACHE:
+        _N_CACHE[key] = load_table(spark, sf_dir, "embeddings").count()
+    return _N_CACHE[key]
 
 
 def ivf_params(spark: SparkSession, sf_dir: str) -> IvfParams:

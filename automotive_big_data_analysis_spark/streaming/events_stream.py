@@ -202,7 +202,11 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             v = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
-            micro += int(np.floor(v * 1e6 + 0.5).sum())
+            # cast each quantized value to int64 BEFORE summing so the
+            # accumulation is integer end-to-end (a float64 sum of
+            # integer-valued doubles loses exactness past 2^53; the
+            # DuckDB oracle casts each FLOOR to BIGINT before summing)
+            micro += int(np.floor(v * 1e6 + 0.5).astype(np.int64).sum())
         state.update((n, micro))
         yield pd.DataFrame(
             {
