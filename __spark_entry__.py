@@ -26,101 +26,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness sweep checks the FIRST 50 registered queries
 # (dict order) per round, so ordering is a verification-coverage decision.
-# Round-9 policy (per round-8 VERDICT items 1/2/6): the window holds
-#   (a) the eight queries whose VALUES changed with the corpus-derived
-#       IVF/PQ rework (K ≈ 2·√N codebook, md5 top-K seeds, ceil(K/3)
-#       probe depth, M=16 PQ subspaces — every index structure
-#       retrained, so every index-reading ranking changed; knn_lsh and
-#       knn_bruteforce do not read the retrained structures and their
-#       values are unchanged — both r8-green, displaced);
-#   (b) the four queries NEW this round — the retrain-decision rollup
-#       (completes the index-maintenance lifecycle), the frontier
-#       autotune selection, the PII-planted-mirror scrub (the
-#       non-vacuous oracle for the r8 scrubber), and the
-#       applyInPandasWithState custom-stateful-operator gate
-#       (stream_user_totals — registered post-freeze with its own
-#       five-config oracle addendum, ORACLE_ADDENDUM_r09.txt, the r8
-#       PII-scrubber precedent);
-#   (c) 38 of the 46-query r6 freshness cohort (newest driver-green row
-#       = r6; embedding_kmeans is in the cohort AND value-changed by
-#       (a)). The cohort is 46 and (a)+(b) take 12 slots, so EIGHT
-#       cohort members are displaced to r10 — chosen as the eight whose
-#       code is untouched since r6 and whose shapes are pure relational
-#       aggregates with the most stable oracles (forecast_revenue_
-#       change, order_priority_check, promo_revenue_ratio,
-#       shipping_priority, small_quantity_revenue, nation_market_share,
-#       returned_item_revenue, priority_status_pivot) — all eight
-#       re-verified green on this round's committed local sweeps
-#       (ORACLE_*_r09), leaving them the ONLY sub-r7 driver evidence
-#       after this gate; they lead the r10 window.
-# docs_pii_scrub (r8-green) had a value-neutral refactor (its body
-# became the shared _scrub_rollup helper, exercised in-window by the
-# planted sibling) — displaced, covered by sweeps + fixture tests.
-# knn_lsh_multitable (registry 146, landed after the window froze)
-# is registered PAST the window with five-config local oracle
-# evidence (ORACLE_ADDENDUM_r09.txt) — the r4/r7 late-registration
-# precedent; it leads the r10 window alongside the eight displaced
-# cohort members. knn_recall_report (in-window, position 6) gates its
-# changed values (the new lsh_mt row) at the driver.
-_SWEEP_PRIORITY = [
-    # (a) values changed: the corpus-derived IVF/PQ index rework
-    "knn_ivf",
-    "knn_ivf_filtered",
-    "knn_pq",
-    "knn_ivfpq",
-    "knn_ivfpq_rerank",
-    "knn_recall_report",
-    "knn_recall_tradeoff",
-    "knn_index_update_stats",
-    # (b) new this round — zero prior driver evidence
-    "knn_index_retrain_decision",
-    "knn_operating_point",
-    "docs_pii_scrub_planted",
-    "stream_user_totals",
-    # (c) the r6 freshness cohort (38 of 46; embedding_kmeans is also
-    # value-changed by (a))
-    "embedding_kmeans",
-    "bucketed_join_revenue",
-    "dedup_cdc_chunks",
-    "dedup_components",
-    "dedup_incremental_stats",
-    "dedup_keep_stats",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_pairs",
-    "dedup_simhash_groups",
-    "embedding_cosine_dups",
-    "embedding_label_centroids",
-    "embedding_outlier_scores",
-    "embedding_projection_quality",
-    "events_markov_transitions",
-    "events_props_key_rollup",
-    "events_props_value_per_type",
-    "events_salted_severity_join",
-    "events_top_users",
-    "events_type_share",
-    "important_parts_share",
-    "multimodal_media_features",
-    "order_value_deciles",
-    "orders_rfm_segments",
-    "parts_supplier_counts",
-    "pipeline_curation_report",
-    "pipeline_curation_sampled",
-    "quantity_percentiles",
-    "salted_type_totals",
-    "sole_supplier_orders",
-    "source_csv_events",
-    "source_jsonl_events",
-    "supplier_customer_balance",
-    "text_collocation_lift",
-    "text_lang_trigram_confusion",
-    "text_word_topk",
-    "text_wordpiece_stats",
-    "top_customer_per_nation",
-    "top_revenue_suppliers",
-]
-# The window is exactly full (50 entries). Everything displaced past
-# position 50 is r6+ driver-green and value-unchanged this round; the
+# Round-10 policy (per round-9 VERDICT items 1/3/5): the window drains
+# the evidence queue to ZERO —
+#   (a) the TWO queries with no driver row ever: knn_lsh_multitable
+#       (registered post-freeze in r9; five-config local addendum,
+#       ORACLE_ADDENDUM_r09.txt) and stream_user_totals_evict (NEW this
+#       round — the EventTimeTimeout finalize-and-evict gate, closing
+#       the last untested streaming semantics class);
+#   (b) the two queries whose VALUES changed this round:
+#       knn_recall_tradeoff and knn_operating_point both gained the
+#       multi-table LSH rows (lsh_mt radius axis, lsh_mt_tables
+#       table-count axis) that put the shipped L=4/radius-2 operating
+#       point under registered frontier governance (r9 VERDICT item 3);
+#   (c) the eight r6-cohort relational queries displaced from the r9
+#       window (their newest driver-green row is r6 — the oldest in the
+#       registry; all eight re-verified on the committed r9 AND r10
+#       local sweeps);
+#   (d) the ENTIRE 38-query r7 freshness cohort (newest driver row =
+#       r7; with 2+2+8 taking 12 slots, the remaining 38 fit exactly).
+# After this gate, every registered query is driver-green at least once
+# and none has evidence older than r8. Everything displaced past
+# position 50 is r8/r9 driver-green and value-unchanged this round; the
 # full registry is re-verified by this round's committed local sweeps.
+_SWEEP_PRIORITY = [
+    # (a) no driver row ever
+    "knn_lsh_multitable",
+    "stream_user_totals_evict",
+    # (b) values changed: multi-table LSH frontier governance
+    "knn_recall_tradeoff",
+    "knn_operating_point",
+    # (c) the displaced r6 cohort — oldest driver evidence in the registry
+    "forecast_revenue_change",
+    "nation_market_share",
+    "order_priority_check",
+    "priority_status_pivot",
+    "promo_revenue_ratio",
+    "returned_item_revenue",
+    "shipping_priority",
+    "small_quantity_revenue",
+    # (d) the complete r7 freshness cohort
+    "bloom_prune_join_stats",
+    "cdc_ivm_hourly_rollup",
+    "cross_nation_volume",
+    "cube_order_stats",
+    "customer_order_distribution",
+    "customer_running_balance",
+    "daily_revenue_moving_avg",
+    "dedup_containment_pairs",
+    "dedup_corpus_overlap",
+    "dedup_quality_report",
+    "dedup_span_stats",
+    "disjunctive_part_revenue",
+    "docs_bm25_topk",
+    "docs_chunk_stats",
+    "docs_hybrid_rrf",
+    "docs_quality_regression",
+    "embedding_semantic_keep_stats",
+    "events_rollup_hierarchy",
+    "idle_rich_customers",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "maintenance_clustering_advisor",
+    "maintenance_compaction_plan",
+    "maintenance_layout_skipping",
+    "maintenance_skew_advisor",
+    "price_histogram",
+    "revenue_by_nation",
+    "rollup_order_counts",
+    "sample_leakage_safe_split",
+    "segment_share",
+    "source_cdc_merge_events",
+    "source_idempotent_reingest_events",
+    "source_jsonl_gzip_events",
+    "source_orc_events",
+    "source_schema_evolution_events",
+    "stream_hourly_rollup",
+    "training_epoch_order",
+    "year_trend",
+]
+# The window is exactly full (50 entries).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -663,6 +663,22 @@ PQ_M = 16  # subspaces; PQ code = M small ids instead of DIM floats
 PQ_SUBDIM = V.DIM // PQ_M
 PQ_SUBK = 32  # sub-centroids per subspace (classic PQ: 256 at scale)
 
+# OPQ rotation: measured and REJECTED (round 10, verdict item 4 —
+# ``scripts/probe_opq.py``, a numpy replication of this pipeline whose
+# identity baseline reproduces the engine's frontier exactly at sf0.01
+# max depth, 0.56, and the sf0.1 non-monotone dip). The ADC ordering's
+# probe-depth non-monotonicity at sf0.1 IS a subspace-energy-imbalance
+# artifact — an OPQ-P rotation (PCA eigenbasis, eigendirections dealt
+# round-robin to subspaces; Ge et al. CVPR 2013) lifts sf0.1 recall at
+# every level (0.28→0.38 at the shipped probe depth, decay gone) — but
+# it LOSES at sf0.01 (0.50 vs 0.54 at the shipped depth; the 500-row
+# covariance estimate overfits), and seeded random rotations lose at
+# both SFs. Against the pre-registered two-SF consistency bar the
+# rotation does not ship; the production answer to ADC distortion
+# stays ``knn_ivfpq_rerank`` (exact rescoring already recovers the
+# full IVF candidate ceiling at every SF: 0.82/0.84/0.76). Measured
+# rows for both SFs and all four configs are in COVERAGE.md round 10.
+
 
 # Sub-codebook initializer: the same md5 top-K rule as the coarse
 # codebook (``_seed_rows``), truncated at PQ_SUBK — the resolution knob

@@ -62,6 +62,40 @@ def _calibrate() -> float:
     return round(_time.time() - t0, 3)
 
 
+def _calibrate_io() -> float:
+    """Fixed IO-side probe (~0.01 s on this host when quiet): write
+    4 MiB, ``fsync`` it, drop its pages (``posix_fadvise DONTNEED``),
+    read it back, unlink.
+
+    Round-9 lesson: the CPU probe is blind to an IO-side wave class —
+    two bench retries measured 8-21 s under QUIET CPU brackets on
+    queries that pin at ~2 s isolated (shuffle/checkpoint writes were
+    the inflated path, not compute). fsync latency and post-drop read
+    throughput are exactly what device contention inflates, so gating
+    on BOTH probes closes that blind spot."""
+    import tempfile
+    import time as _time
+
+    t0 = _time.time()
+    fd, path = tempfile.mkstemp(prefix="abda_ioprobe_", dir="/tmp")
+    try:
+        buf = b"\xa5" * (1 << 20)
+        for _ in range(4):
+            os.write(fd, buf)
+        os.fsync(fd)
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+        except (AttributeError, OSError):
+            pass  # probe still times write+fsync+cached read
+        os.lseek(fd, 0, os.SEEK_SET)
+        while os.read(fd, 1 << 20):
+            pass
+    finally:
+        os.close(fd)
+        os.unlink(path)
+    return round(_time.time() - t0, 3)
+
+
 # Quiet-window gate (round-7 verdict item 1): this host's ambient noise
 # comes in WAVES — the same code has measured 175.6 s in a quiet window
 # (probes 0.09-0.12) and 220.5 s in a degraded one (probes 0.285/0.315),
@@ -70,23 +104,35 @@ def _calibrate() -> float:
 # WAITS for a quiet window (bounded) instead of recording noise as the
 # number of record; if the budget runs out it proceeds but marks the
 # JSON ``degraded: true`` so no reader mistakes the total for steady
-# state. Threshold ~2x the quiet baseline.
+# state. CPU threshold ~2x its quiet baseline; IO threshold ~6-10x its
+# (spikier — fsync latency jitters even on a quiet host) ~0.010-0.016 s
+# quiet baseline. A window is quiet only when BOTH probes pass.
 QUIET_PROBE_S = 0.2
+IO_QUIET_PROBE_S = 0.1
 QUIET_WAIT_STEP_S = 30.0
 
 
-def _wait_quiet(budget_s: float, history: list[float]) -> float:
-    """Probe until quiet or the wait budget is spent; returns the last
-    probe. Every reading lands in ``history`` (reported in the JSON)."""
-    probe = _calibrate()
-    history.append(probe)
+def _quiet(cpu: float, io: float) -> bool:
+    return cpu <= QUIET_PROBE_S and io <= IO_QUIET_PROBE_S
+
+
+def _wait_quiet(
+    budget_s: float, history: list[float], io_history: list[float]
+) -> tuple[float, float]:
+    """Probe (CPU, IO) until both are quiet or the wait budget is
+    spent; returns the last (cpu, io) pair. Every reading lands in the
+    histories (reported in the JSON, index-aligned)."""
+    cpu, io = _calibrate(), _calibrate_io()
+    history.append(cpu)
+    io_history.append(io)
     spent = 0.0
-    while probe > QUIET_PROBE_S and spent < budget_s:
+    while not _quiet(cpu, io) and spent < budget_s:
         time.sleep(QUIET_WAIT_STEP_S)
         spent += QUIET_WAIT_STEP_S
-        probe = _calibrate()
-        history.append(probe)
-    return probe
+        cpu, io = _calibrate(), _calibrate_io()
+        history.append(cpu)
+        io_history.append(io)
+    return cpu, io
 
 
 def main() -> None:
@@ -234,8 +280,9 @@ def main() -> None:
     # local runs raise them via the env vars to ride out long waves.
     wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "300"))
     probe_history: list[float] = []
+    io_probe_history: list[float] = []
     t0 = time.time()
-    _wait_quiet(wait_budget, probe_history)
+    _wait_quiet(wait_budget, probe_history, io_probe_history)
     wait_budget -= time.time() - t0
 
     index_build: dict[str, float] = {}
@@ -255,7 +302,9 @@ def main() -> None:
     # — long enough for a wave to arrive), spending whatever wait budget
     # remains; calib_before is the LAST probe, i.e. the window the suite
     # actually starts in
-    calib_before = _wait_quiet(max(wait_budget, 0.0), probe_history)
+    calib_before, calib_io_before = _wait_quiet(
+        max(wait_budget, 0.0), probe_history, io_probe_history
+    )
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     # Ambient-noise bursts on this host are INTERMITTENT (a quiet
@@ -285,8 +334,11 @@ def main() -> None:
     # when BOTH brackets are under the threshold. If a mid-rep wave
     # disqualifies reps, run extras (bounded) until two reps are
     # attested-quiet or the budget is gone. retry_probes[name][i] is
-    # the [gate, after] pair for raw_runs[name][1:][i].
+    # the CPU [gate, after] pair for raw_runs[name][1:][i];
+    # retry_io_probes[name][i] is the same rep's IO [gate, after] pair
+    # (round-10: a rep is attested-quiet only when all FOUR pass).
     retry_probes: dict[str, list[list[float]]] = {}
+    retry_io_probes: dict[str, list[list[float]]] = {}
     fallback_medians: list[str] = []
     retry_wait_budget = float(
         os.environ.get("SPARK_GRAFT_BENCH_RETRY_WAIT", "240")
@@ -302,12 +354,13 @@ def main() -> None:
         for name in [n for n in names if timings[n] > retry_threshold]:
             runs = [timings[name]]
             probes: list[list[float]] = []
+            io_probes: list[list[float]] = []
 
             def _n_quiet() -> int:
                 return sum(
                     1
-                    for g, a in probes
-                    if g <= QUIET_PROBE_S and a <= QUIET_PROBE_S
+                    for (g, a), (gi, ai) in zip(probes, io_probes)
+                    if _quiet(g, gi) and _quiet(a, ai)
                 )
 
             while len(runs) - 1 < n_reruns or (
@@ -316,29 +369,35 @@ def main() -> None:
                 and retry_wait_budget > 0
             ):
                 t0 = time.time()
-                gate = _wait_quiet(retry_wait_budget, probe_history)
+                gate, gate_io = _wait_quiet(
+                    retry_wait_budget, probe_history, io_probe_history
+                )
                 retry_wait_budget = max(
                     retry_wait_budget - (time.time() - t0), 0.0
                 )
                 t0 = time.time()
                 queries[name](spark, sf_dir).collect()
                 runs.append(round(time.time() - t0, 3))
-                after = _calibrate()
+                after, after_io = _calibrate(), _calibrate_io()
                 probe_history.append(after)
+                io_probe_history.append(after_io)
                 probes.append([gate, after])
+                io_probes.append([gate_io, after_io])
                 if release is not None:
                     release()
             raw_runs[name] = runs
             retry_probes[name] = probes
+            retry_io_probes[name] = io_probes
             # the recorded number: median over the reps BOTH of whose
-            # bracket probes attest a quiet host (noise can never be
-            # the number of record); if the wait budget ran dry and
-            # fewer than two reps are attested-quiet, fall back to the
-            # median of all — and say so (fallback_medians + degraded)
+            # bracket probe PAIRS (CPU and IO) attest a quiet host
+            # (noise can never be the number of record); if the wait
+            # budget ran dry and fewer than two reps are
+            # attested-quiet, fall back to the median of all — and say
+            # so (fallback_medians + degraded)
             quiet = [
                 r
-                for r, (g, a) in zip(runs[1:], probes)
-                if g <= QUIET_PROBE_S and a <= QUIET_PROBE_S
+                for r, (g, a), (gi, ai) in zip(runs[1:], probes, io_probes)
+                if _quiet(g, gi) and _quiet(a, ai)
             ]
             if len(quiet) >= 2:
                 pool = sorted(quiet)
@@ -357,7 +416,9 @@ def main() -> None:
             )
         if release is not None:
             release()
-    calib_after = _calibrate()
+    calib_after, calib_io_after = _calibrate(), _calibrate_io()
+    probe_history.append(calib_after)
+    io_probe_history.append(calib_io_after)
     total = round(sum(timings.values()), 3)
     # Key order matters: the driver records only the TAIL of stdout
     # (BENCH_r03.json shows the line truncated from the front with
@@ -371,37 +432,50 @@ def main() -> None:
                 # all raw runs (first + retries) for queries over the
                 # retry threshold; the recorded timing is their median
                 "raw_runs": raw_runs,
-                # per retry rep: the [gate, after] probe BRACKET
-                # (pairs with raw_runs[name][1:]); a rep counts as
-                # attested-quiet only when both are under threshold
+                # per retry rep: the [gate, after] probe BRACKETS
+                # (pair with raw_runs[name][1:]); a rep counts as
+                # attested-quiet only when all four (CPU gate/after +
+                # IO gate/after) are under their thresholds
                 "retry_probes": retry_probes,
+                "retry_io_probes": retry_io_probes,
                 # queries whose recorded median had to fall back to
                 # non-quiet reps (wait budget exhausted) — any entry
                 # here also sets degraded
                 "fallback_medians": fallback_medians,
                 "unit": "sec",
                 "n_queries": len(timings),
-                # ambient-noise probe (~0.1 s quiet): scale a recorded
-                # total by the host's condition during THIS run
+                # ambient-noise probes (CPU ~0.1 s / IO ~0.01 s when
+                # quiet): scale a recorded total by the host's
+                # condition during THIS run
                 "calib_probe_before": calib_before,
                 "calib_probe_after": calib_after,
+                "calib_io_probe_before": calib_io_before,
+                "calib_io_probe_after": calib_io_after,
                 # every probe taken while gating on a quiet window
+                # (the two histories are index-aligned: each gate
+                # iteration takes one CPU and one IO reading)
                 "probe_history": probe_history,
-                # probes above threshold observed at any point (waves
-                # are intermittent — the brackets alone can miss them)
+                "io_probe_history": io_probe_history,
+                # gate iterations where EITHER probe family exceeded
+                # its threshold (waves are intermittent — the brackets
+                # alone can miss them; round 10 adds the IO family the
+                # r9 artifact went degraded on)
                 "noise_waves": sum(
-                    1 for p in probe_history if p > QUIET_PROBE_S
+                    1
+                    for p, pio in zip(probe_history, io_probe_history)
+                    if not _quiet(p, pio)
                 ),
                 # True = some recorded number is NOT attested steady
-                # state: the suite's start/end bracket was noisy, OR
-                # any retried query's median fell back to non-quiet
-                # reps (round-9 ADVICE: the old expression tested only
-                # the suite brackets, so a mid-suite wave that forced
-                # the fallback left degraded=false). Treat the totals
-                # as upper bounds, not steady state.
+                # state: the suite's start/end bracket was noisy on
+                # either probe family, OR any retried query's median
+                # fell back to non-quiet reps (round-9 ADVICE: the old
+                # expression tested only the suite brackets, so a
+                # mid-suite wave that forced the fallback left
+                # degraded=false). Treat the totals as upper bounds,
+                # not steady state.
                 "degraded": bool(
-                    calib_before > QUIET_PROBE_S
-                    or calib_after > QUIET_PROBE_S
+                    not _quiet(calib_before, calib_io_before)
+                    or not _quiet(calib_after, calib_io_after)
                     or fallback_medians
                 ),
                 "corpus_preread_s": corpus_preread,

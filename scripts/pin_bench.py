@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from bench import _calibrate  # noqa: E402
+from bench import _calibrate, _calibrate_io  # noqa: E402
 from automotive_big_data_analysis_spark import get_spark  # noqa: E402
 
 REPS = 5
@@ -38,13 +38,15 @@ def main() -> None:
     for name in names:
         fn = queries[name]
         fn(spark, sf_dir).collect()  # warm the query's scans + JIT
-        reps, probes = [], []
+        reps, probes, io_probes = [], [], []
         for _ in range(REPS):
             probes.append(_calibrate())
+            io_probes.append(_calibrate_io())
             t0 = time.time()
             fn(spark, sf_dir).collect()
             reps.append(round(time.time() - t0, 3))
         probes.append(_calibrate())
+        io_probes.append(_calibrate_io())
         print(
             json.dumps(
                 {
@@ -53,6 +55,7 @@ def main() -> None:
                     "reps": reps,
                     "median": round(statistics.median(reps), 3),
                     "calib_probes": probes,
+                    "calib_io_probes": io_probes,
                 }
             )
         )
