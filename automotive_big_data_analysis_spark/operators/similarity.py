@@ -1289,15 +1289,11 @@ def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m, d in _lsh_probe_masks(LSH_MT_RADIUS)
         ]
     )
-    mt_sigged = None
-    for t in range(V.LSH_TABLES):
-        part = emb.select(
-            F.lit(t).alias("tbl"),
-            "vec_id",
-            "v",
-            V.lsh_signature_mt(F.col("v"), t).alias("sig"),
-        )
-        mt_sigged = part if mt_sigged is None else mt_sigged.unionByName(part)
+    # the STORED multi-table postings — the sweep discipline every other
+    # method already follows (sweeping never recomputes index
+    # structures; the first r10 cut re-derived 4×N interpreted
+    # signature folds on BOTH join sides and cost ~6 s at sf0.1)
+    mt_sigged = _lsh_mt_postings(spark, sf_dir)
     mt_probes = (
         mt_sigged.where(F.col("vec_id") < N_QUERIES)
         .select(
