@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from automotive_big_data_analysis_spark.operators import analytics, asof, dedup, events, maintenance, multimodal, pipeline, rag_prep, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, sampling, similarity, text_analysis, training_prep
+from automotive_big_data_analysis_spark.operators import analytics, asof, dedup, events, maintenance, multimodal, pipeline, rag_prep, relational, relational_ext, relational_tpch, relational_tpch2, relational_tpch3, relational_tpch4, sampling, similarity, text_analysis, training_prep
 from automotive_big_data_analysis_spark.sources import bucketed, cdc, schema_evolution, text_formats
 from automotive_big_data_analysis_spark.streaming import documents_stream, events_stream
 
@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(relational_tpch.QUERIES)
     merged.update(relational_tpch2.QUERIES)
     merged.update(relational_tpch3.QUERIES)
+    merged.update(relational_tpch4.QUERIES)
     merged.update(sampling.QUERIES)
     merged.update(events.QUERIES)
     merged.update(text_analysis.QUERIES)
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational_tpch.ORACLE)
     out.update(relational_tpch2.ORACLE)
     out.update(relational_tpch3.ORACLE)
+    out.update(relational_tpch4.ORACLE)
     out.update(sampling.ORACLE)
     out.update(events.ORACLE)
     out.update(text_analysis.ORACLE)
