@@ -28,33 +28,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dict order) per round, so ordering is a verification-coverage decision.
 # Round-10 policy (per round-9 VERDICT items 1/3/5): the window drains
 # the evidence queue to ZERO —
-#   (a) the TWO queries with no driver row ever: knn_lsh_multitable
+#   (a) the SIX queries with no driver row ever: knn_lsh_multitable
 #       (registered post-freeze in r9; five-config local addendum,
-#       ORACLE_ADDENDUM_r09.txt) and stream_user_totals_evict (NEW this
+#       ORACLE_ADDENDUM_r09.txt), stream_user_totals_evict (NEW this
 #       round — the EventTimeTimeout finalize-and-evict gate, closing
-#       the last untested streaming semantics class);
-#   (b) the two queries whose VALUES changed this round:
+#       the last untested streaming semantics class), the three TPC-H
+#       Q2/Q9/Q20 analogs (NEW, session 2), and knn_sq8 (NEW, session
+#       2 — the scalar-quantization compression path);
+#   (b) the three queries whose VALUES changed this round:
 #       knn_recall_tradeoff and knn_operating_point both gained the
 #       multi-table LSH rows (lsh_mt radius axis, lsh_mt_tables
 #       table-count axis) that put the shipped L=4/radius-2 operating
-#       point under registered frontier governance (r9 VERDICT item 3);
+#       point under registered frontier governance (r9 VERDICT item 3),
+#       and knn_recall_report gained the sq8 row;
 #   (c) the eight r6-cohort relational queries displaced from the r9
 #       window (their newest driver-green row is r6 — the oldest in the
 #       registry; all eight re-verified on the committed r9 AND r10
 #       local sweeps);
-#   (d) the ENTIRE 38-query r7 freshness cohort (newest driver row =
-#       r7; with 2+2+8 taking 12 slots, the remaining 38 fit exactly).
+#   (d) 33 of the 38-query r7 freshness cohort (newest driver row =
+#       r7; 6+3+8 take 17 slots). The FIVE displaced to make room for
+#       the session-2 registrations — each r7-green, re-verified on
+#       this round's local sweeps, with its operator family still
+#       represented in-window: cube_order_stats (kin
+#       rollup_order_counts stays), price_histogram (byte-exact golden
+#       + segment_share/year_trend stay), customer_running_balance
+#       (window-family kin daily_revenue_moving_avg stays),
+#       source_jsonl_gzip_events (value-identical plain-JSONL connector
+#       is r9-green; bzip2 sibling r8-green), revenue_by_nation
+#       (broadcast-star kin local_supplier_volume stays). Rotate them
+#       back next round.
 # After this gate, every registered query is driver-green at least once
-# and none has evidence older than r8. Everything displaced past
-# position 50 is r8/r9 driver-green and value-unchanged this round; the
-# full registry is re-verified by this round's committed local sweeps.
+# and none has evidence older than r8 except the five adjudicated
+# displacements (r7). Everything displaced past position 50 is r7+
+# driver-green and value-unchanged this round; the full registry is
+# re-verified by this round's committed local sweeps.
 _SWEEP_PRIORITY = [
     # (a) no driver row ever
     "knn_lsh_multitable",
     "stream_user_totals_evict",
-    # (b) values changed: multi-table LSH frontier governance
+    "min_cost_supplier",
+    "product_type_profit",
+    "dominant_part_suppliers",
+    "knn_sq8",
+    # (b) values changed: multi-table LSH frontier governance + sq8 row
     "knn_recall_tradeoff",
     "knn_operating_point",
+    "knn_recall_report",
     # (c) the displaced r6 cohort — oldest driver evidence in the registry
     "forecast_revenue_change",
     "nation_market_share",
@@ -64,13 +83,11 @@ _SWEEP_PRIORITY = [
     "returned_item_revenue",
     "shipping_priority",
     "small_quantity_revenue",
-    # (d) the complete r7 freshness cohort
+    # (d) 33 of the 38-query r7 freshness cohort (5 displaced — header)
     "bloom_prune_join_stats",
     "cdc_ivm_hourly_rollup",
     "cross_nation_volume",
-    "cube_order_stats",
     "customer_order_distribution",
-    "customer_running_balance",
     "daily_revenue_moving_avg",
     "dedup_containment_pairs",
     "dedup_corpus_overlap",
@@ -90,14 +107,11 @@ _SWEEP_PRIORITY = [
     "maintenance_compaction_plan",
     "maintenance_layout_skipping",
     "maintenance_skew_advisor",
-    "price_histogram",
-    "revenue_by_nation",
     "rollup_order_counts",
     "sample_leakage_safe_split",
     "segment_share",
     "source_cdc_merge_events",
     "source_idempotent_reingest_events",
-    "source_jsonl_gzip_events",
     "source_orc_events",
     "source_schema_evolution_events",
     "stream_hourly_rollup",
