@@ -28,13 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dict order) per round, so ordering is a verification-coverage decision.
 # Round-10 policy (per round-9 VERDICT items 1/3/5): the window drains
 # the evidence queue to ZERO —
-#   (a) the SIX queries with no driver row ever: knn_lsh_multitable
+#   (a) the EIGHT queries with no driver row ever: knn_lsh_multitable
 #       (registered post-freeze in r9; five-config local addendum,
 #       ORACLE_ADDENDUM_r09.txt), stream_user_totals_evict (NEW this
 #       round — the EventTimeTimeout finalize-and-evict gate, closing
 #       the last untested streaming semantics class), the three TPC-H
-#       Q2/Q9/Q20 analogs (NEW, session 2), and knn_sq8 (NEW, session
-#       2 — the scalar-quantization compression path);
+#       Q2/Q9/Q20 analogs (NEW, session 2), knn_sq8 (NEW, session 2 —
+#       the scalar-quantization compression path),
+#       stream_enriched_events (NEW, session 2 — gates the
+#       stream-static join, the one streaming class the other six
+#       gates don't touch), and docs_unigram_surprisal (NEW, session 2
+#       — the LM-perplexity-proxy curation screen);
 #   (b) the three queries whose VALUES changed this round:
 #       knn_recall_tradeoff and knn_operating_point both gained the
 #       multi-table LSH rows (lsh_mt radius axis, lsh_mt_tables
@@ -45,8 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #       window (their newest driver-green row is r6 — the oldest in the
 #       registry; all eight re-verified on the committed r9 AND r10
 #       local sweeps);
-#   (d) 33 of the 38-query r7 freshness cohort (newest driver row =
-#       r7; 6+3+8 take 17 slots). The FIVE displaced to make room for
+#   (d) 31 of the 38-query r7 freshness cohort (newest driver row =
+#       r7; 8+3+8 take 19 slots). The SEVEN displaced to make room for
 #       the session-2 registrations — each r7-green, re-verified on
 #       this round's local sweeps, with its operator family still
 #       represented in-window: cube_order_stats (kin
@@ -55,10 +59,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #       (window-family kin daily_revenue_moving_avg stays),
 #       source_jsonl_gzip_events (value-identical plain-JSONL connector
 #       is r9-green; bzip2 sibling r8-green), revenue_by_nation
-#       (broadcast-star kin local_supplier_volume stays). Rotate them
-#       back next round.
+#       (broadcast-star kin local_supplier_volume stays),
+#       dedup_containment_pairs (measured-empty audit; three dedup
+#       siblings stay), maintenance_layout_skipping (three maintenance
+#       siblings stay). Rotate them back next round.
 # After this gate, every registered query is driver-green at least once
-# and none has evidence older than r8 except the five adjudicated
+# and none has evidence older than r8 except the seven adjudicated
 # displacements (r7). Everything displaced past position 50 is r7+
 # driver-green and value-unchanged this round; the full registry is
 # re-verified by this round's committed local sweeps.
@@ -70,6 +76,8 @@ _SWEEP_PRIORITY = [
     "product_type_profit",
     "dominant_part_suppliers",
     "knn_sq8",
+    "stream_enriched_events",
+    "docs_unigram_surprisal",
     # (b) values changed: multi-table LSH frontier governance + sq8 row
     "knn_recall_tradeoff",
     "knn_operating_point",
@@ -83,13 +91,12 @@ _SWEEP_PRIORITY = [
     "returned_item_revenue",
     "shipping_priority",
     "small_quantity_revenue",
-    # (d) 33 of the 38-query r7 freshness cohort (5 displaced — header)
+    # (d) 31 of the 38-query r7 freshness cohort (7 displaced — header)
     "bloom_prune_join_stats",
     "cdc_ivm_hourly_rollup",
     "cross_nation_volume",
     "customer_order_distribution",
     "daily_revenue_moving_avg",
-    "dedup_containment_pairs",
     "dedup_corpus_overlap",
     "dedup_quality_report",
     "dedup_span_stats",
@@ -105,7 +112,6 @@ _SWEEP_PRIORITY = [
     "local_supplier_volume",
     "maintenance_clustering_advisor",
     "maintenance_compaction_plan",
-    "maintenance_layout_skipping",
     "maintenance_skew_advisor",
     "rollup_order_counts",
     "sample_leakage_safe_split",

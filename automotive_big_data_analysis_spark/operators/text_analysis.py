@@ -842,6 +842,112 @@ ORACLE["text_collocation_lift"] = rf"""
     LIMIT {COLLOC_TOP_K}
 """
 
+SURPRISAL_TOP_K = 5  # most-surprising docs surfaced per language
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language most-SURPRISING documents under the corpus's own
+    unigram model — the distributed, SQL-replayable proxy for the
+    LM-perplexity filtering step of training-data curation (CCNet-style
+    quality buckets): documents whose tokens are collectively rare in
+    the corpus surface first, which is where boilerplate-free gibberish,
+    encoding damage, and off-distribution text concentrate.
+
+    Score: mean over tokens of the log-free rational inverse
+    probability ``(N+1)/(cnt+1)`` (N = corpus token count, cnt = the
+    token's corpus frequency) — the same no-transcendentals form as the
+    TF-IDF idf. It is NOT the mean of ``-log p`` (the mean of a
+    monotone per-token transform is not order-equivalent to the mean of
+    another); it is a deliberately heavy-tail-sensitive rarity score —
+    one extremely rare token dominates, which for a damage screen is a
+    feature. Ranking compares UNROUNDED means (exact DECIMAL sum →
+    double), so both engines rank identically; rounding is
+    presentational.
+
+    Scale shape: one tokenization pass (staged explode_outer); the
+    token→frequency join hash-partitions on the vocabulary; per-doc
+    means are a (doc, lang) partial-combined aggregate. Top-k is
+    TWO-LEVEL: a per-(lang, input-partition) window pre-filters to k
+    rows per partition — semantics-free (any global top-k row is its
+    partition's top-k) — so the final per-lang window sorts
+    |langs|·k·|partitions| rows, never the per-doc table (the skew a
+    5-partition window over all docs would hit at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", "lang", F.explode_outer(tx.tokens("text")).alias("w")
+        )
+        .where(F.col("w").isNotNull())
+        .select("doc_id", "lang", F.lower("w").alias("word"))
+    )
+    freq = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    n_total = toks.agg(F.count("*").alias("n_total"))
+    per_doc = (
+        toks.join(freq, "word")
+        .join(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                (F.col("n_total") + 1) / (F.col("cnt") + 1).cast("double")
+            ).alias("s"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tok"),
+            (F.sum(ex.dec("s")).cast("double") / F.count("*")).alias("m"),
+        )
+    )
+    part_w = Window.partitionBy(
+        "lang", F.spark_partition_id().alias("_pid")
+    ).orderBy(F.col("m").desc(), "doc_id")
+    prefiltered = (
+        per_doc.withColumn("pr", F.row_number().over(part_w))
+        .where(F.col("pr") <= SURPRISAL_TOP_K)
+        .drop("pr")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("m").desc(), "doc_id")
+    return (
+        prefiltered.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= SURPRISAL_TOP_K)
+        .select(
+            "lang",
+            "rank",
+            "doc_id",
+            "n_tok",
+            F.round("m", 6).alias("mean_surprisal"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+ORACLE["docs_unigram_surprisal"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, lower(t.w) AS word
+        FROM documents, UNNEST({_TOKENS}) AS t(w)
+    ), freq AS (
+        SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word
+    ), n AS (
+        SELECT COUNT(*) AS n_total FROM toks
+    ), per_doc AS (
+        SELECT doc_id, lang, COUNT(*) AS n_tok,
+               CAST(SUM(CAST((n.n_total + 1) / CAST(cnt + 1 AS DOUBLE)
+                             AS {ex.SQL_DEC})) AS DOUBLE) / COUNT(*) AS m
+        FROM toks JOIN freq USING (word) CROSS JOIN n
+        GROUP BY doc_id, lang
+    ), ranked AS (
+        SELECT lang, doc_id, n_tok, m,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY m DESC, doc_id
+               ) AS INTEGER) AS rank
+        FROM per_doc
+    )
+    SELECT lang, rank, doc_id, n_tok, ROUND(m, 6) AS mean_surprisal
+    FROM ranked WHERE rank <= {SURPRISAL_TOP_K}
+    ORDER BY lang, rank
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_scores": quality_scores,
@@ -855,6 +961,7 @@ QUERIES = {
     "text_collocation_lift": collocation_lift,
     "docs_pii_scrub": pii_scrub,
     "docs_pii_scrub_planted": pii_scrub_planted,
+    "docs_unigram_surprisal": unigram_surprisal,
 }
 
 ORACLE["docs_pii_scrub"] = _pii_oracle_sql()

@@ -684,6 +684,76 @@ def stream_user_totals_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(landing, ignore_errors=True)
 
 
+# Per-type enrichment weights for the stream-static gate: exactly
+# dyadic doubles, so value·weight is the same IEEE product in both
+# engines; unknown types fall through to 1.0.
+ENRICH_WEIGHTS: dict[str, float] = {
+    "click": 0.5,
+    "view": 0.25,
+    "purchase": 4.0,
+    "signup": 2.0,
+    "error": 0.0,
+}
+
+
+def _enrich_weight_case() -> F.Column:
+    expr = F.lit(1.0)
+    for t, w in reversed(list(ENRICH_WEIGHTS.items())):
+        expr = F.when(F.col("event_type") == t, F.lit(w)).otherwise(expr)
+    return expr
+
+
+def _enrich_weight_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{t}' THEN {w}" for t, w in ENRICH_WEIGHTS.items()
+    )
+    return f"CASE event_type {whens} ELSE 1.0 END"
+
+
+def stream_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query #7 for the streaming layer: the JSONL landing
+    stream driven through the STREAM-STATIC JOIN (``enriched_stream`` —
+    each event enriched against a per-type weight dimension planned per
+    micro-batch), aggregated per type and hash-verified against the
+    identical weighted aggregate from the parquet table. This gates the
+    one streaming join class the other six gates don't touch: a
+    STATELESS broadcast join against batch reference data — no state
+    store, no watermark semantics, but its own failure mode (the static
+    side re-plans every micro-batch; a non-deterministic dimension
+    would silently produce batch-dependent enrichment, which hash
+    equality with the one-shot batch computation rules out).
+
+    The dimension derives from the same corpus (distinct types × a
+    CASE of dyadic literal weights), so DuckDB replays it exactly;
+    ``append`` mode has no withholding problem (stateless projection —
+    rows emit in the micro-batch that reads them)."""
+    import uuid
+
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.sources.text_formats import (
+        _ensure_written,
+    )
+
+    path = _ensure_written(spark, sf_dir, "jsonl")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .select("event_type", _enrich_weight_case().alias("weight"))
+    )
+    enriched = enriched_stream(read_event_stream_jsonl(spark, path), dim)
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory(enriched, name, output_mode="append")
+    rows = out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        ex.dsum("weighted_value", 6).alias("total_weighted"),
+    )
+    result = spark.createDataFrame(rows.collect(), rows.schema)
+    spark.catalog.dropTempView(name)
+    return result
+
+
 def _session_oracle_sql() -> str:
     from automotive_big_data_analysis_spark.operators.events import (
         _SESSION_CTE,
@@ -756,10 +826,22 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+# stream-static enrichment: the identical weighted aggregate from the
+# parquet table (the CASE dimension is replayed inline; COUNT DISTINCT
+# users proves row identity, not just sums)
+ORACLE["stream_enriched_events"] = f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {ex.dsum_sql(f"value * ({_enrich_weight_case_sql()})", 6)}
+               AS total_weighted
+    FROM events GROUP BY event_type
+"""
+
 QUERIES = {
     "stream_hourly_rollup": stream_hourly_rollup,
     "stream_user_sessions": stream_user_sessions,
     "stream_conversions": stream_conversions,
     "stream_user_totals": stream_user_totals,
     "stream_user_totals_evict": stream_user_totals_evict,
+    "stream_enriched_events": stream_enriched_events,
 }

@@ -235,6 +235,36 @@ def test_stream_static_join_matches_batch(spark, stream_dir):
         assert r.weighted_value == expected
 
 
+def test_stream_enriched_events_gate_matches_batch(spark):
+    """The registered stream-static gate must reproduce the batch
+    weighted aggregate from the parquet table: same per-type row
+    counts, and the weighted total recomputable from the batch side."""
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.functions import exact as ex
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: (r.n_events, r.n_users, r.total_weighted)
+        for r in st.stream_enriched_events(spark, sf).collect()
+    }
+    batch = {
+        r.event_type: (r.n_events, r.n_users, r.total_weighted)
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            ex.dsum(
+                F.col("value") * st._enrich_weight_case(), 6
+            ).alias("total_weighted"),
+        )
+        .collect()
+    }
+    assert got == batch
+    # every corpus type carries an explicit (non-fallback) weight
+    assert set(got) <= set(st.ENRICH_WEIGHTS)
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path_factory):
     """Watermarked stream-stream conversion join must emit exactly the
     pairs the equivalent batch join produces on the same bounded data."""

