@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dict order) per round, so ordering is a verification-coverage decision.
 # Round-10 policy (per round-9 VERDICT items 1/3/5): the window drains
 # the evidence queue to ZERO —
-#   (a) the EIGHT queries with no driver row ever: knn_lsh_multitable
+#   (a) the TEN queries with no driver row ever: knn_lsh_multitable
 #       (registered post-freeze in r9; five-config local addendum,
 #       ORACLE_ADDENDUM_r09.txt), stream_user_totals_evict (NEW this
 #       round — the EventTimeTimeout finalize-and-evict gate, closing
@@ -37,8 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #       the scalar-quantization compression path),
 #       stream_enriched_events (NEW, session 2 — gates the
 #       stream-static join, the one streaming class the other six
-#       gates don't touch), and docs_unigram_surprisal (NEW, session 2
-#       — the LM-perplexity-proxy curation screen);
+#       gates don't touch), docs_unigram_surprisal (NEW, session 2
+#       — the LM-perplexity-proxy curation screen),
+#       events_hll_user_rollup (NEW, session 2 — mergeable-HLL
+#       count-distinct continuous aggregate, tolerance-oracled per the
+#       approx_part_stats precedent), and sample_exact_quota_documents
+#       (NEW, session 2 — exact-quota stratified sampling via the
+#       md5-prefix bucketed two-pass rank);
 #   (b) the three queries whose VALUES changed this round:
 #       knn_recall_tradeoff and knn_operating_point both gained the
 #       multi-table LSH rows (lsh_mt radius axis, lsh_mt_tables
@@ -49,22 +54,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #       window (their newest driver-green row is r6 — the oldest in the
 #       registry; all eight re-verified on the committed r9 AND r10
 #       local sweeps);
-#   (d) 31 of the 38-query r7 freshness cohort (newest driver row =
-#       r7; 8+3+8 take 19 slots). The SEVEN displaced to make room for
+#   (d) 29 of the 38-query r7 freshness cohort (newest driver row =
+#       r7; 10+3+8 take 21 slots). The NINE displaced to make room for
 #       the session-2 registrations — each r7-green, re-verified on
 #       this round's local sweeps, with its operator family still
 #       represented in-window: cube_order_stats (kin
-#       rollup_order_counts stays), price_histogram (byte-exact golden
-#       + segment_share/year_trend stay), customer_running_balance
+#       rollup_order_counts stays), price_histogram (byte-exact golden;
+#       kin year_trend stays), customer_running_balance
 #       (window-family kin daily_revenue_moving_avg stays),
 #       source_jsonl_gzip_events (value-identical plain-JSONL connector
 #       is r9-green; bzip2 sibling r8-green), revenue_by_nation
 #       (broadcast-star kin local_supplier_volume stays),
 #       dedup_containment_pairs (measured-empty audit; three dedup
 #       siblings stay), maintenance_layout_skipping (three maintenance
-#       siblings stay). Rotate them back next round.
+#       siblings stay), segment_share (byte-exact golden; kin
+#       year_trend stays), source_orc_events (connector family carries
+#       r8/r9-green siblings: quarantine+bzip2 r8, jsonl/csv r9).
+#       Rotate them back next round.
 # After this gate, every registered query is driver-green at least once
-# and none has evidence older than r8 except the seven adjudicated
+# and none has evidence older than r8 except the nine adjudicated
 # displacements (r7). Everything displaced past position 50 is r7+
 # driver-green and value-unchanged this round; the full registry is
 # re-verified by this round's committed local sweeps.
@@ -78,6 +86,8 @@ _SWEEP_PRIORITY = [
     "knn_sq8",
     "stream_enriched_events",
     "docs_unigram_surprisal",
+    "events_hll_user_rollup",
+    "sample_exact_quota_documents",
     # (b) values changed: multi-table LSH frontier governance + sq8 row
     "knn_recall_tradeoff",
     "knn_operating_point",
@@ -91,7 +101,7 @@ _SWEEP_PRIORITY = [
     "returned_item_revenue",
     "shipping_priority",
     "small_quantity_revenue",
-    # (d) 31 of the 38-query r7 freshness cohort (7 displaced — header)
+    # (d) 29 of the 38-query r7 freshness cohort (9 displaced — header)
     "bloom_prune_join_stats",
     "cdc_ivm_hourly_rollup",
     "cross_nation_volume",
@@ -115,10 +125,8 @@ _SWEEP_PRIORITY = [
     "maintenance_skew_advisor",
     "rollup_order_counts",
     "sample_leakage_safe_split",
-    "segment_share",
     "source_cdc_merge_events",
     "source_idempotent_reingest_events",
-    "source_orc_events",
     "source_schema_evolution_events",
     "stream_hourly_rollup",
     "training_epoch_order",

@@ -294,7 +294,66 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_TOL = 0.05  # 3σ of the datasketches HLL default (lgK=12, rse≈1.6%)
+
+
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-DISTINCT continuous aggregate via MERGEABLE sketches: the
+    hour tier stores one HLL sketch of the hour's users
+    (``hll_sketch_agg`` — Apache DataSketches), and the day tier
+    answers "distinct users per day" by MERGING hour sketches
+    (``hll_union_agg``) — never re-touching the fact table. This is the
+    piece :func:`rollup_hierarchy` cannot express with its additive
+    partials: distinct counts don't add across tiers, but sketch unions
+    compose exactly like the DECIMAL partials do.
+
+    Verification follows the ``approx_part_stats`` tolerance-oracle
+    precedent: sketch bytes are engine-specific, so the query emits the
+    EXACT per-day distinct count (the anchor, computed here only to
+    score the sketch — at 100 TB one runs the sketch side alone) plus a
+    boolean holding the merged estimate within ``HLL_TOL``. The
+    estimate itself is deterministic (register maxes are order- and
+    partition-invariant, verified), but only the boolean + anchors are
+    cross-engine comparable. Exact event counts ride the tiers as
+    additive partials, proving the same carry the hierarchy query pins."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "hour").alias("day")).agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        daily.join(exact, "day")
+        .select(
+            "day",
+            "n_hours",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= F.ceil(F.col("exact_users") * F.lit(HLL_TOL))
+            ).alias("est_within_tol"),
+        )
+        .orderBy("day")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "events_hll_user_rollup": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS est_within_tol
+        FROM events GROUP BY 1 ORDER BY day
+    """,
     "events_hourly_rollup": f"""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,
@@ -407,6 +466,7 @@ QUERIES = {
     "events_top_users": top_users,
     "events_funnel": funnel,
     "events_rollup_hierarchy": rollup_hierarchy,
+    "events_hll_user_rollup": hll_user_rollup,
 }
 
 ORACLE["events_rollup_hierarchy"] = f"""

@@ -18,7 +18,7 @@ pruning. Stratified rates are a broadcast map lookup on the stratum key.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.catalog import load_table
@@ -410,10 +410,100 @@ def _leakage_sql() -> str:
 
 ORACLE["sample_leakage_safe_split"] = _leakage_sql()
 
+QUOTA_PERMILLE = 250  # exact 25% per language
+QUOTA_PREFIX_BUCKETS = 256  # md5-prefix ranges: an ORDERED rank coarsening
+
+
+def exact_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-QUOTA stratified sample: per language, exactly
+    ``floor(n_lang · 250/1000)`` documents — the smallest-md5 members —
+    where rate-based hash sampling (``sample_stratified_documents``)
+    delivers only a binomially-distributed count. Audits, eval sets,
+    and benchmark extracts need the quota form: "give me exactly 25%".
+
+    Selection = per-lang rank over the md5 order, computed WITHOUT a
+    per-lang window over the document table (5 language partitions
+    sorting all docs is the skew the two-pass rank machinery exists
+    for): the first two hex chars of the md5 split its order into 256
+    CONTIGUOUS ranges, so global rank = (count in earlier buckets) +
+    (rank within own bucket) — per-(lang, bucket) windows over ~1/256th
+    slices plus a |langs|·256-row offset aggregate. A test pins
+    equality with the naive single-window formulation.
+
+    Output pins membership, not just counts: ``id_sum`` and
+    ``max_hash`` (the selection threshold) change if ANY selected doc
+    differs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    keyed = docs.withColumn(
+        "bk", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+    )
+    counts = keyed.groupBy("lang", "bk").agg(F.count("*").alias("c"))
+    woff = (
+        Window.partitionBy("lang")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "lang", "bk", F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off")
+    )
+    tot = counts.groupBy("lang").agg(F.sum("c").alias("n_docs"))
+    tot = tot.withColumn(
+        "quota",
+        F.floor(F.col("n_docs") * QUOTA_PERMILLE / 1000).cast("long"),
+    )
+    win = Window.partitionBy("lang", "bk").orderBy("h", "doc_id")
+    ranked = (
+        keyed.join(F.broadcast(offs), ["lang", "bk"])
+        .join(F.broadcast(tot), "lang")
+        .withColumn("r", F.col("off") + F.row_number().over(win))
+    )
+    return (
+        ranked.where(F.col("r") <= F.col("quota"))
+        .groupBy("lang")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("quota").alias("quota"),
+            F.count("*").alias("n_selected"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.max("h").alias("max_hash"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["sample_exact_quota_documents"] = f"""
+    WITH k AS (
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), t AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(FLOOR(COUNT(*) * {QUOTA_PERMILLE} / 1000) AS BIGINT)
+                   AS quota
+        FROM k GROUP BY lang
+    ), r AS (
+        SELECT lang, doc_id, h,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY h, doc_id) AS rn
+        FROM k
+    )
+    SELECT lang, t.n_docs, t.quota, COUNT(*) AS n_selected,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum, MAX(h) AS max_hash
+    FROM r JOIN t USING (lang)
+    WHERE rn <= t.quota
+    GROUP BY lang, t.n_docs, t.quota
+    ORDER BY lang
+"""
+
+
 QUERIES = {
     "sample_lineitem_stats": lineitem_sample_stats,
     "sample_stratified_documents": stratified_document_sample,
     "sample_weighted_documents": weighted_document_sample,
     "sample_orders_split": orders_sample_split,
     "sample_leakage_safe_split": leakage_safe_split,
+    "sample_exact_quota_documents": exact_quota_sample,
 }

@@ -698,3 +698,35 @@ def test_rollup_hierarchy_equals_direct_day_aggregation(spark, event_dir):
     # the fixture's 4 events land in one day, 2 hours, 4 minutes
     (only,) = got.values()
     assert (only.n_events, only.n_hours, only.n_minutes) == (4, 2, 4)
+
+
+def test_hll_user_rollup_merge_is_lossless_and_in_tolerance(spark):
+    """Mergeability invariant: the union of hour sketches must estimate
+    EXACTLY what one direct day-grain sketch estimates (register max is
+    associative — re-aggregation loses nothing); the registered query's
+    tolerance boolean must hold and its additive tiers must carry."""
+    from automotive_big_data_analysis_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    merged = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy(F.date_trunc("day", "hour").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    assert {(r.day, r.est) for r in merged.collect()} == {
+        (r.day, r.est) for r in direct.collect()
+    }
+    rows = ev.hll_user_rollup(spark, sf).collect()
+    assert rows and all(r.est_within_tol for r in rows)
+    per_day = {
+        r.day: r.n_events
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert {r.day: r.n_events for r in rows} == per_day

@@ -91,3 +91,42 @@ def test_leakage_safe_split_chain(spark, tmp_path_factory):
         assert row.n_train + row.n_val + row.n_test == n
     assert got["group_keyed"].leaked_pairs == 0
     assert got["doc_keyed"].leaked_pairs >= 0
+
+
+def test_exact_quota_sample_is_exact_and_equals_naive_rank(spark):
+    """n_selected must equal the floor-quota EXACTLY per language, and
+    the bucketed two-pass rank must select the identical document set
+    as the naive per-lang window over the md5 order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.operators import sampling as sp
+
+    sf = "/root/testdata/sf0.001"
+    rows = sp.exact_quota_sample(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.n_selected == r.quota == (r.n_docs * sp.QUOTA_PERMILLE) // 1000
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    naive = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .join(
+            docs.groupBy("lang").agg(
+                F.floor(
+                    F.count("*") * sp.QUOTA_PERMILLE / 1000
+                ).alias("quota")
+            ),
+            "lang",
+        )
+        .where(F.col("rn") <= F.col("quota"))
+        .groupBy("lang")
+        .agg(F.sum("doc_id").cast("long").alias("id_sum"))
+        .collect()
+    )
+    assert {r.lang: r.id_sum for r in rows} == {
+        r.lang: r.id_sum for r in naive
+    }
