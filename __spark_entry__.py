@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dict order) per round, so ordering is a verification-coverage decision.
 # Round-10 policy (per round-9 VERDICT items 1/3/5): the window drains
 # the evidence queue to ZERO —
-#   (a) the TEN queries with no driver row ever: knn_lsh_multitable
+#   (a) the ELEVEN queries with no driver row ever: knn_lsh_multitable
 #       (registered post-freeze in r9; five-config local addendum,
 #       ORACLE_ADDENDUM_r09.txt), stream_user_totals_evict (NEW this
 #       round — the EventTimeTimeout finalize-and-evict gate, closing
@@ -41,9 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #       — the LM-perplexity-proxy curation screen),
 #       events_hll_user_rollup (NEW, session 2 — mergeable-HLL
 #       count-distinct continuous aggregate, tolerance-oracled per the
-#       approx_part_stats precedent), and sample_exact_quota_documents
+#       approx_part_stats precedent), sample_exact_quota_documents
 #       (NEW, session 2 — exact-quota stratified sampling via the
-#       md5-prefix bucketed two-pass rank);
+#       md5-prefix bucketed two-pass rank), and knn_ivf_sq8 (NEW,
+#       session 2 — the IVF x SQ8 production composition: prune +
+#       compress, recall within 0.02 of the IVF ceiling);
 #   (b) the three queries whose VALUES changed this round:
 #       knn_recall_tradeoff and knn_operating_point both gained the
 #       multi-table LSH rows (lsh_mt radius axis, lsh_mt_tables
@@ -54,8 +56,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #       window (their newest driver-green row is r6 — the oldest in the
 #       registry; all eight re-verified on the committed r9 AND r10
 #       local sweeps);
-#   (d) 29 of the 38-query r7 freshness cohort (newest driver row =
-#       r7; 10+3+8 take 21 slots). The NINE displaced to make room for
+#   (d) 28 of the 38-query r7 freshness cohort (newest driver row =
+#       r7; 11+3+8 take 22 slots). The TEN displaced to make room for
 #       the session-2 registrations — each r7-green, re-verified on
 #       this round's local sweeps, with its operator family still
 #       represented in-window: cube_order_stats (kin
@@ -69,10 +71,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #       siblings stay), maintenance_layout_skipping (three maintenance
 #       siblings stay), segment_share (byte-exact golden; kin
 #       year_trend stays), source_orc_events (connector family carries
-#       r8/r9-green siblings: quarantine+bzip2 r8, jsonl/csv r9).
-#       Rotate them back next round.
+#       r8/r9-green siblings: quarantine+bzip2 r8, jsonl/csv r9),
+#       docs_chunk_stats (RAG-prep kin docs_bm25_topk and
+#       docs_hybrid_rrf stay). Rotate them back next round.
 # After this gate, every registered query is driver-green at least once
-# and none has evidence older than r8 except the nine adjudicated
+# and none has evidence older than r8 except the ten adjudicated
 # displacements (r7). Everything displaced past position 50 is r7+
 # driver-green and value-unchanged this round; the full registry is
 # re-verified by this round's committed local sweeps.
@@ -88,6 +91,7 @@ _SWEEP_PRIORITY = [
     "docs_unigram_surprisal",
     "events_hll_user_rollup",
     "sample_exact_quota_documents",
+    "knn_ivf_sq8",
     # (b) values changed: multi-table LSH frontier governance + sq8 row
     "knn_recall_tradeoff",
     "knn_operating_point",
@@ -101,7 +105,7 @@ _SWEEP_PRIORITY = [
     "returned_item_revenue",
     "shipping_priority",
     "small_quantity_revenue",
-    # (d) 29 of the 38-query r7 freshness cohort (9 displaced — header)
+    # (d) 28 of the 38-query r7 freshness cohort (10 displaced — header)
     "bloom_prune_join_stats",
     "cdc_ivm_hourly_rollup",
     "cross_nation_volume",
@@ -112,7 +116,6 @@ _SWEEP_PRIORITY = [
     "dedup_span_stats",
     "disjunctive_part_revenue",
     "docs_bm25_topk",
-    "docs_chunk_stats",
     "docs_hybrid_rrf",
     "docs_quality_regression",
     "embedding_semantic_keep_stats",

@@ -730,3 +730,28 @@ def test_hll_user_rollup_merge_is_lossless_and_in_tolerance(spark):
         .collect()
     }
     assert {r.day: r.n_events for r in rows} == per_day
+
+
+def test_knn_ivf_sq8_candidates_respect_cell_pruning(spark):
+    """Every composition hit must lie in one of its query's probed
+    cells (the IVF pruning contract survives the sq8 scoring swap),
+    and the composition must agree with standalone sq8 wherever sq8's
+    top-5 happens to fall entirely inside probed cells."""
+    sf = "/root/testdata/sf0.001"
+    p = sim.ivf_params(spark, sf)
+    cells = sim._ranked_cells(spark, sf).collect()
+    assign = {r.vec_id: r.cell_id for r in cells if r.r == 1}
+    probed = {}
+    for r in cells:
+        if r.vec_id < sim.N_QUERIES and r.r <= p.nprobe:
+            probed.setdefault(r.vec_id, set()).add(r.cell_id)
+    hits = sim.knn_ivf_sq8(spark, sf).collect()
+    assert hits
+    for h in hits:
+        assert assign[h.vec_id] in probed[h.query_id]
+    # integer scores agree with the standalone sq8 scorer on shared pairs
+    sq8 = {(r.query_id, r.vec_id): r.qdot for r in sim.knn_sq8(spark, sf).collect()}
+    shared = [(h.query_id, h.vec_id, h.qdot) for h in hits if (h.query_id, h.vec_id) in sq8]
+    assert shared, "expected overlap between sq8 and ivf_sq8 top-5"
+    for q, v, d in shared:
+        assert sq8[(q, v)] == d
