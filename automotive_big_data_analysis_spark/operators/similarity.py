@@ -1203,6 +1203,7 @@ def build_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ranked_cells(spark, sf_dir)
     _pq_subcodebook(spark, sf_dir)
     _pq_codes(spark, sf_dir)
+    _frontier_table(spark, sf_dir)
 
 
 # IVF / IVF-PQ probe depths swept: corpus-derived fractions of K
@@ -1288,30 +1289,11 @@ def _lsh_probe_masks(radius: int | None = None) -> list[tuple[int, int]]:
     ]
 
 
-def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The recall-vs-scanned-rows frontier for every tunable ANN method
-    — the evaluation that picks an operating point (round-6 recall
-    report: LSH recall@5 0.04, IVF-PQ 0.10 at the defaults — too low to
-    ship, so sweep the knobs): IVF and IVF-PQ over the corpus-derived
-    probe depths (``IvfParams.levels`` — ceil of K/16 … K/2; the
-    shipped ceil(K/3) point and the stored-depth maximum are both
-    levels), LSH over Hamming multi-probe radius ∈ ``TRADEOFF_RADII``,
-    and (round 10) the MULTI-TABLE family over both of its knobs —
-    ``lsh_mt`` sweeps the radius at the full L stored tables,
-    ``lsh_mt_tables`` sweeps the table count at the shipped radius —
-    so the shipped (L, radius) operating point is governed by a
-    registered, DuckDB-replayed frontier instead of an offline grid.
-    Output per (method, probe): micro-averaged recall@k against the
-    brute-force ground truth plus the scanned candidate-row count — the
-    cost axis of the frontier.
-
-    Scale shape: every level reuses ONE scoring pass per method (each
-    candidate pair carries the probe depth that discovered it: the
-    stored postings rank for IVF, the mask's Hamming distance for LSH),
-    so the sweep costs one max-depth search per method, not one search
-    per level. All index structures come from the STORED builders —
-    sweeping never retrains. Deterministic end-to-end, so DuckDB
-    replays the whole frontier exactly."""
+def _recall_tradeoff_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier COMPUTATION (one max-depth scoring pass per method;
+    see :func:`knn_recall_tradeoff` for semantics). Runs once per
+    corpus snapshot as the ``recall_frontier`` stored-index build —
+    queries read the materialized rows."""
     emb = _emb(spark, sf_dir)
     levels = ivf_params(spark, sf_dir).levels
     bf = knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
@@ -1497,6 +1479,57 @@ def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lsh_mt)
         .unionByName(lsh_mt_tables)
     )
+
+
+def _frontier_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method, probe, …): the STORED recall/cost frontier — evaluated
+    once per corpus snapshot like every other index artifact (the
+    frontier is a deterministic function of the stored indexes and the
+    corpus, so re-scoring it per consumer is pure waste: before this
+    table, `knn_recall_tradeoff` and `knn_operating_point` each ran
+    the full one-pass-per-method scoring independently — ~6 s apiece
+    at sf0.1 for identical rows). The tag already encodes every knob
+    that shapes the frontier (K/depth via ivf_params, PQ resolution,
+    plane count, table count, sq8 levels), so a changed operating
+    space rebuilds it."""
+    return _stored_index(
+        spark,
+        sf_dir,
+        "recall_frontier",
+        "method",
+        lambda: _recall_tradeoff_frame(spark, sf_dir),
+    )
+
+
+def knn_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-scanned-rows frontier for every tunable ANN method
+    — the evaluation that picks an operating point (round-6 recall
+    report: LSH recall@5 0.04, IVF-PQ 0.10 at the defaults — too low to
+    ship, so sweep the knobs): IVF and IVF-PQ over the corpus-derived
+    probe depths (``IvfParams.levels`` — ceil of K/16 … K/2; the
+    shipped ceil(K/3) point and the stored-depth maximum are both
+    levels), LSH over Hamming multi-probe radius ∈ ``TRADEOFF_RADII``,
+    and (round 10) the MULTI-TABLE family over both of its knobs —
+    ``lsh_mt`` sweeps the radius at the full L stored tables,
+    ``lsh_mt_tables`` sweeps the table count at the shipped radius —
+    so the shipped (L, radius) operating point is governed by a
+    registered, DuckDB-replayed frontier instead of an offline grid.
+    Output per (method, probe): micro-averaged recall@k against the
+    brute-force ground truth plus the scanned candidate-row count — the
+    cost axis of the frontier.
+
+    Scale shape: every level reuses ONE scoring pass per method (each
+    candidate pair carries the probe depth that discovered it: the
+    stored postings rank for IVF, the mask's Hamming distance for LSH),
+    so the sweep costs one max-depth search per method, not one search
+    per level. All index structures come from the STORED builders —
+    sweeping never retrains — and since round-10 session 2 the frontier
+    ROWS are themselves a stored per-snapshot artifact
+    (:func:`_frontier_table`, billed with the index builds): this query
+    and :func:`knn_operating_point` both read the materialized table
+    instead of each re-running the scoring pass. Deterministic
+    end-to-end, so DuckDB replays the whole frontier exactly."""
+    return _frontier_table(spark, sf_dir)
 
 
 RECALL_TARGET = 0.8  # the recall floor an operating point must clear

@@ -495,14 +495,22 @@ def test_ivfpq_rerank_reads_stored_indexes_no_retraining(spark):
 
 
 def test_recall_tradeoff_single_scoring_pass_per_method(spark):
-    """The frontier sweep must NOT re-search per probe level: the level
-    dimension is an explode over already-scored candidates, so the plan
-    contains exactly one stored-postings scan family and no cartesian
-    anywhere, with the probe/mask relations broadcast."""
+    """Two-part contract since the frontier became a stored artifact:
+    (a) the REGISTERED query reads the materialized recall_frontier
+    index files — no embeddings scan, no scoring joins (before this,
+    tradeoff and operating_point each re-ran the full scoring pass for
+    identical rows); (b) the BUILD frame itself must still not
+    re-search per probe level: the level dimension is an explode over
+    already-scored candidates — no cartesian anywhere, probe/mask
+    relations broadcast."""
     df = similarity.knn_recall_tradeoff(spark, SF)
     plan = px.physical_plan(df)
-    assert "CartesianProduct" not in plan
-    assert px.broadcast_join_count(df) >= 3
+    assert "recall_frontier" in plan
+    assert "embeddings.parquet" not in plan  # materialized read
+    build = similarity._recall_tradeoff_frame(spark, SF)
+    build_plan = px.physical_plan(build)
+    assert "CartesianProduct" not in build_plan
+    assert px.broadcast_join_count(build) >= 3
 
 
 def test_knn_lsh_reads_stored_postings_no_corpus_join(spark):
