@@ -107,6 +107,8 @@ def _ensure_written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             writer.option("compression", "bzip2").json(path)
         elif fmt == "orc":
             writer.orc(path)
+        elif fmt == "parquet_zstd":
+            writer.option("compression", "zstd").parquet(path)
         elif fmt == "jsonl_dirty":
             # the upstream-producer-bug simulation: rows on the
             # CORRUPT_MOD rule are cut mid-key (never valid JSON), the
@@ -132,7 +134,15 @@ def ensure_mirrors(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the interchange mirrors for the corpus — the
     upstream-producer scaffolding the bench harness pre-writes (and
     times separately) so connector queries measure the READ path only."""
-    for fmt in ("jsonl", "csv", "jsonl_gzip", "jsonl_bzip2", "orc", "jsonl_dirty"):
+    for fmt in (
+        "jsonl",
+        "csv",
+        "jsonl_gzip",
+        "jsonl_bzip2",
+        "orc",
+        "parquet_zstd",
+        "jsonl_dirty",
+    ):
         _ensure_written(spark, sf_dir, fmt)
 
 
@@ -147,6 +157,8 @@ def _read_events_text(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         raw = reader.option("header", "true").csv(path)
     elif fmt == "orc":
         raw = reader.orc(path)
+    elif fmt == "parquet_zstd":
+        raw = reader.parquet(path)
     else:
         raw = reader.json(path)  # .gz files are codec-detected by suffix
     return raw.select(
@@ -205,14 +217,29 @@ def jsonl_bzip2_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hadoop's input format can split ONE huge .bz2 file into many tasks
     — the property that makes it the safe default when a producer
     insists on single-file compressed text drops (gzip would serialize
-    that scan to one task; zstd would be the modern choice but needs
-    the native Hadoop codec, absent in this sandbox — documented in
-    COVERAGE.md alongside the spark-avro gap). The trade: bzip2
+    that scan to one task; zstd TEXT needs the native Hadoop codec,
+    absent in this sandbox — but columnar zstd works via parquet's own
+    implementation: see ``parquet_zstd_events_summary``). The trade: bzip2
     compresses and decompresses far slower than gzip/zstd, which is why
     the ingest tier still rewrites to columnar immediately. Correctness
     contract identical to the other connectors: the parquet-table
     oracle proves the codec round-trip lost nothing."""
     return _summary(_read_events_text(spark, sf_dir, "jsonl_bzip2"))
+
+
+def parquet_zstd_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: same contract over a ZSTD-compressed parquet
+    mirror — the modern lake's default wire format. Earlier rounds
+    documented zstd as environmentally absent; round-10 session 2
+    re-probed and found the gap is only the HADOOP TEXT codec (zstd
+    JSONL still raises CODEC_NOT_AVAILABLE): parquet carries its own
+    codec implementations, so columnar zstd works and is the
+    combination that actually matters at 100 TB — splittable row
+    groups, framed per-page compression (typically gzip-class ratios
+    at several times the speed), pushdown and pruning intact. The
+    parquet-table oracle proves the codec round-trip lossless; the
+    test asserts the files really carry ZSTD column codecs."""
+    return _summary(_read_events_text(spark, sf_dir, "parquet_zstd"))
 
 
 def orc_events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,6 +359,7 @@ ORACLE: dict[str, str] = {
     "source_jsonl_gzip_events": _SUMMARY_SQL,
     "source_orc_events": _SUMMARY_SQL,
     "source_jsonl_bzip2_events": _SUMMARY_SQL,
+    "source_parquet_zstd_events": _SUMMARY_SQL,
     "source_idempotent_reingest_events": _SUMMARY_SQL,
     "source_jsonl_quarantine_events": _QUARANTINE_SQL,
 }
@@ -342,6 +370,7 @@ QUERIES = {
     "source_jsonl_gzip_events": jsonl_gzip_events_summary,
     "source_orc_events": orc_events_summary,
     "source_jsonl_bzip2_events": jsonl_bzip2_events_summary,
+    "source_parquet_zstd_events": parquet_zstd_events_summary,
     "source_idempotent_reingest_events": idempotent_reingest_summary,
     "source_jsonl_quarantine_events": jsonl_quarantine_summary,
 }

@@ -565,3 +565,32 @@ def test_orc_connector_matches_parquet_truth(spark):
     path = tf._ensure_written(spark, sf, "orc")
     parts = [f for f in os.listdir(path) if f.startswith("part-")]
     assert parts and all(f.endswith(".orc") for f in parts)
+
+
+def test_parquet_zstd_mirror_really_uses_zstd_and_roundtrips(spark):
+    """The mirror's parquet files must carry ZSTD column codecs (the
+    probe that justified registering the connector), and the read-back
+    must equal the canonical table row-for-row."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from automotive_big_data_analysis_spark.catalog import load_table
+    from automotive_big_data_analysis_spark.sources import text_formats as tf
+
+    sf = "/root/testdata/sf0.001"
+    path = tf._ensure_written(spark, sf, "parquet_zstd")
+    parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert parts
+    meta = pq.ParquetFile(os.path.join(path, parts[0])).metadata
+    codecs = {
+        meta.row_group(0).column(i).compression
+        for i in range(meta.num_columns)
+    }
+    assert codecs == {"ZSTD"}
+    got = sorted(
+        tuple(r)
+        for r in tf._read_events_text(spark, sf, "parquet_zstd").collect()
+    )
+    want = sorted(tuple(r) for r in load_table(spark, sf, "events").collect())
+    assert got == want
