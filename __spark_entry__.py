@@ -26,8 +26,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness sweep checks the FIRST 50 registered queries
 # (dict order) per round, so ordering is a verification-coverage decision.
-# Round-10 policy (per round-9 VERDICT items 1/3/5): the window drains
-# the evidence queue to ZERO —
+# Round-11 policy (per round-10 VERDICT items 1/3/5 + ADVICE):
+#   (a) the SIX queries with no driver row ever:
+#       source_parquet_zstd_events (registered post-freeze in r10 — the
+#       only r10-registry entry never gated; five-config local addendum
+#       ORACLE_ADDENDUM_r10.txt #3 + the judge's own green sf0.01
+#       re-run), knn_sq8_rerank (NEW — exact re-scoring of the
+#       integer-dot top-SQ8_RERANK_R shortlist, completing the sq8
+#       compression lifecycle the way ivfpq_rerank completed PQ;
+#       VERDICT item 5), and the four per-family recall reports
+#       knn_recall_report_{lsh,prune,compress,hybrid} (NEW — the
+#       VERDICT-item-3 split of the 10.8 s eight-method monolith; the
+#       families partition RECALL_METHODS and their union equals the
+#       retired full report exactly, pinned by test; the monolithic
+#       knn_recall_report is UNREGISTERED this round — its function
+#       remains for tests — so evaluation cost stops scaling with every
+#       new ANN method);
+#   (b) the THREE queries whose values/schema changed this round:
+#       knn_recall_tradeoff and knn_operating_point gained the sq8_rr
+#       rerank-depth frontier axis (VERDICT item 5: the shipped
+#       SQ8_RERANK_R is now a swept, frontier-governed level), and
+#       events_hll_user_rollup gained the tol_bound column (round-10
+#       ADVICE: the tolerance bound rides as a comparable column so an
+#       out-of-tolerance day is attributable from the oracle diff);
+#   (c) the TEN r7-cohort queries displaced from the r10 window
+#       (VERDICT item 1 — oldest driver evidence in the registry, each
+#       green on the committed r10 local sweeps);
+#   (d) 31 of the 49-query r8 freshness cohort. The EIGHTEEN displaced
+#       to make room — each r8-driver-green, value-unchanged, family
+#       kin in-window: pricing_summary (ALSO smoke-run every round as
+#       entry()), filtered_scan, distinct_priorities, point_lookup
+#       (relational kin cube_order_stats/price_histogram/segment_share/
+#       revenue_by_nation in-window), dedup_exact_stats (kin
+#       dedup_containment_pairs), events_hourly_rollup,
+#       events_sessionize, events_session_window, events_sliding_counts
+#       (kin error_bursts/funnel/anomalies/user_retention/
+#       heavy_hitters_cms stay), knn_bruteforce, knn_lsh (similarity
+#       carries SIX in-window entries incl. both recall-frontier
+#       queries, which re-derive the bruteforce ground truth),
+#       sample_lineitem_stats, sample_orders_split (kin stratified/
+#       weighted stay), source_jsonl_bzip2_events,
+#       source_jsonl_quarantine_events (connector family carries
+#       zstd/gzip/orc in-window), text_lang_confusion,
+#       text_quality_scores, text_token_stats (kin bpe_pairs/
+#       fingerprint_stats/repetition_stats/tfidf_topterms stay).
+#       Rotate them back in r12.
+# After this gate every registered query is driver-green at least once
+# and no evidence is older than r8 (the 18 adjudicated displacements);
+# the full registry is re-verified by this round's committed sweeps.
+#
+# Round-10 window rationale (kept for provenance):
 #   (a) the ELEVEN queries with no driver row ever: knn_lsh_multitable
 #       (registered post-freeze in r9; five-config local addendum,
 #       ORACLE_ADDENDUM_r09.txt), stream_user_totals_evict (NEW this
@@ -81,59 +129,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-verified by this round's committed local sweeps.
 _SWEEP_PRIORITY = [
     # (a) no driver row ever
-    "knn_lsh_multitable",
-    "stream_user_totals_evict",
-    "min_cost_supplier",
-    "product_type_profit",
-    "dominant_part_suppliers",
-    "knn_sq8",
-    "stream_enriched_events",
-    "docs_unigram_surprisal",
-    "events_hll_user_rollup",
-    "sample_exact_quota_documents",
-    "knn_ivf_sq8",
-    # (b) values changed: multi-table LSH frontier governance + sq8 row
+    "source_parquet_zstd_events",
+    "knn_sq8_rerank",
+    "knn_recall_report_lsh",
+    "knn_recall_report_prune",
+    "knn_recall_report_compress",
+    "knn_recall_report_hybrid",
+    # (b) values/schema changed: sq8_rr frontier axis + HLL tol_bound
     "knn_recall_tradeoff",
     "knn_operating_point",
-    "knn_recall_report",
-    # (c) the displaced r6 cohort — oldest driver evidence in the registry
-    "forecast_revenue_change",
-    "nation_market_share",
-    "order_priority_check",
-    "priority_status_pivot",
-    "promo_revenue_ratio",
-    "returned_item_revenue",
-    "shipping_priority",
-    "small_quantity_revenue",
-    # (d) 28 of the 38-query r7 freshness cohort (10 displaced — header)
-    "bloom_prune_join_stats",
-    "cdc_ivm_hourly_rollup",
-    "cross_nation_volume",
-    "customer_order_distribution",
-    "daily_revenue_moving_avg",
-    "dedup_corpus_overlap",
-    "dedup_quality_report",
-    "dedup_span_stats",
-    "disjunctive_part_revenue",
-    "docs_bm25_topk",
-    "docs_hybrid_rrf",
-    "docs_quality_regression",
-    "embedding_semantic_keep_stats",
-    "events_rollup_hierarchy",
-    "idle_rich_customers",
-    "large_volume_customers",
-    "local_supplier_volume",
-    "maintenance_clustering_advisor",
-    "maintenance_compaction_plan",
-    "maintenance_skew_advisor",
-    "rollup_order_counts",
-    "sample_leakage_safe_split",
-    "source_cdc_merge_events",
-    "source_idempotent_reingest_events",
-    "source_schema_evolution_events",
-    "stream_hourly_rollup",
-    "training_epoch_order",
-    "year_trend",
+    "events_hll_user_rollup",
+    # (c) the displaced r7 cohort — oldest driver evidence in the registry
+    "cube_order_stats",
+    "price_histogram",
+    "customer_running_balance",
+    "source_jsonl_gzip_events",
+    "revenue_by_nation",
+    "dedup_containment_pairs",
+    "maintenance_layout_skipping",
+    "segment_share",
+    "source_orc_events",
+    "docs_chunk_stats",
+    # (d) 31 of the 49-query r8 freshness cohort (18 displaced — header)
+    "approx_part_stats",
+    "asof_purchase_attribution",
+    "contamination_stats",
+    "customer_supplier_nations",
+    "customers_without_orders",
+    "docs_embedding_quality_corr",
+    "docs_length_gate",
+    "docs_pii_scrub",
+    "embedding_norm_stats",
+    "events_error_bursts",
+    "events_funnel",
+    "events_heavy_hitters_cms",
+    "events_hourly_anomalies",
+    "events_user_retention",
+    "idle_customers_except",
+    "multimodal_frame_plan",
+    "order_price_delta",
+    "pack_token_shards",
+    "priority_union",
+    "sample_stratified_documents",
+    "sample_weighted_documents",
+    "stream_conversions",
+    "stream_curated_documents",
+    "stream_user_sessions",
+    "temperature_rebalance",
+    "text_bpe_pairs",
+    "text_fingerprint_stats",
+    "text_repetition_stats",
+    "text_tfidf_topterms",
+    "top_orders",
+    "top_parts_per_brand",
 ]
 # The window is exactly full (50 entries).
 

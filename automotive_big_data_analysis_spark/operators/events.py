@@ -336,6 +336,14 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hours",
             "n_events",
             "exact_users",
+            # the tolerance bound rides along as a cross-engine-comparable
+            # column (round-10 ADVICE): an out-of-tolerance day is then
+            # attributable from the oracle diff — the boolean flips while
+            # the bound column still matches, isolating the sketch rather
+            # than surfacing as an opaque engine mismatch
+            F.ceil(F.col("exact_users") * F.lit(HLL_TOL))
+            .cast("long")
+            .alias("tol_bound"),
             (
                 F.abs(F.col("_est") - F.col("exact_users"))
                 <= F.ceil(F.col("exact_users") * F.lit(HLL_TOL))
@@ -346,11 +354,13 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
-    "events_hll_user_rollup": """
+    "events_hll_user_rollup": f"""
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours,
                COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS exact_users,
+               CAST(CEIL(COUNT(DISTINCT user_id) * {HLL_TOL}) AS BIGINT)
+                   AS tol_bound,
                TRUE AS est_within_tol
         FROM events GROUP BY 1 ORDER BY day
     """,

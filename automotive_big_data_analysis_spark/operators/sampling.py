@@ -412,6 +412,16 @@ ORACLE["sample_leakage_safe_split"] = _leakage_sql()
 
 QUOTA_PERMILLE = 250  # exact 25% per language
 QUOTA_PREFIX_BUCKETS = 256  # md5-prefix ranges: an ORDERED rank coarsening
+# The bucket key is the first N hex chars of the md5, so the bucket count
+# must be a power of 16 and the implementation derives the slice length
+# from it — changing the constant changes the split (round-10 ADVICE: the
+# old hardcoded substring(h, 1, 2) made the constant documentation-only).
+_QUOTA_PREFIX_CHARS = 1
+while 16**_QUOTA_PREFIX_CHARS < QUOTA_PREFIX_BUCKETS:
+    _QUOTA_PREFIX_CHARS += 1
+assert 16**_QUOTA_PREFIX_CHARS == QUOTA_PREFIX_BUCKETS, (
+    "QUOTA_PREFIX_BUCKETS must be a power of 16 (hex-prefix bucketing)"
+)
 
 
 def exact_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,7 +449,7 @@ def exact_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
     keyed = docs.withColumn(
-        "bk", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+        "bk", F.conv(F.substring("h", 1, _QUOTA_PREFIX_CHARS), 16, 10).cast("int")
     )
     counts = keyed.groupBy("lang", "bk").agg(F.count("*").alias("c"))
     woff = (

@@ -400,7 +400,61 @@ def test_knn_recall_report_bounds_and_ground_truth(spark):
     # OR-amplification: the multi-table family must beat its own
     # single-table baseline (round 9: 0.76 vs 0.20 at this SF)
     assert rows["lsh_mt"].n_hits > rows["lsh"].n_hits
+    # exact re-ranking buys back the sq8 quantization loss: the rerank
+    # must match-or-beat the raw composition AND reach the IVF candidate
+    # ceiling (round 11 — the lifecycle completion the PQ rerank pins)
+    assert rows["sq8_rr"].n_hits >= rows["ivf_sq8"].n_hits
+    assert rows["sq8_rr"].n_hits >= rows["ivf"].n_hits
     sim.release()
+
+
+def test_recall_report_families_partition_the_full_report(spark):
+    """The four registered per-family reports are an exact partition of
+    the all-methods report: same rows, one family per method, nothing
+    double-counted (the round-11 split must not change any value)."""
+    sf = "/root/testdata/sf0.001"
+    full = {
+        r.method: (r.n_queries, r.n_hits, r.n_true, r.recall_at_k)
+        for r in sim.knn_recall_report(spark, sf).collect()
+    }
+    fam_methods = [m for ms in sim.RECALL_FAMILIES.values() for m in ms]
+    assert sorted(fam_methods) == sorted(sim.RECALL_METHODS)
+    union = {}
+    for fam, methods in sim.RECALL_FAMILIES.items():
+        for r in sim.knn_recall_report(spark, sf, methods).collect():
+            assert r.method not in union
+            assert r.method in methods
+            union[r.method] = (r.n_queries, r.n_hits, r.n_true, r.recall_at_k)
+    assert union == full
+
+
+def test_sq8_rerank_recovers_ivf_exactly_at_saturating_r(spark):
+    """Cross-check of the sq8 rerank pipeline: the IVF×SQ8 candidate set
+    is the SAME cell-pruned set knn_ivf scores, so when SQ8_RERANK_R
+    covers every per-query candidate the exact-cosine re-ranking must
+    equal knn_ivf row-for-row — any divergence means the integer
+    shortlist or the exact pass is wrong. At the shipped R the rerank
+    must still match-or-beat the raw integer composition on
+    ground-truth hits."""
+    sf = "/root/testdata/sf0.001"
+    bf = {(r.query_id, r.vec_id) for r in sim.knn_bruteforce(spark, sf).collect()}
+    orig = sim.SQ8_RERANK_R
+    try:
+        sim.SQ8_RERANK_R = 10_000  # saturate: shortlist = all candidates
+        rr_sat = [
+            (r.query_id, r.rank, r.vec_id, r.cosine)
+            for r in sim.knn_sq8_rerank(spark, sf).collect()
+        ]
+    finally:
+        sim.SQ8_RERANK_R = orig
+    ivf = [
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in sim.knn_ivf(spark, sf).collect()
+    ]
+    assert sorted(rr_sat) == sorted(ivf)
+    rr = {(r.query_id, r.vec_id) for r in sim.knn_sq8_rerank(spark, sf).collect()}
+    raw = {(r.query_id, r.vec_id) for r in sim.knn_ivf_sq8(spark, sf).collect()}
+    assert len(rr & bf) >= len(raw & bf)
 
 
 def test_projection_preserves_norms_approximately(spark):
@@ -434,7 +488,7 @@ def test_knn_recall_tradeoff_frontier_consistent(spark):
 
     mt_tables = tuple(range(1, V.LSH_TABLES + 1))
     assert {m for m, _ in rows} == {
-        "lsh", "ivf", "ivfpq", "lsh_mt", "lsh_mt_tables"
+        "lsh", "ivf", "ivfpq", "lsh_mt", "lsh_mt_tables", "sq8_rr"
     }
     for m, levels in (
         ("ivf", params.levels),
@@ -442,6 +496,7 @@ def test_knn_recall_tradeoff_frontier_consistent(spark):
         ("lsh", sim.TRADEOFF_RADII),
         ("lsh_mt", sim.TRADEOFF_RADII),
         ("lsh_mt_tables", mt_tables),
+        ("sq8_rr", sim.SQ8_RERANK_LEVELS),
     ):
         assert [p for mm, p in sorted(rows) if mm == m] == sorted(levels)
         cand = [rows[(m, p)].cand_rows for p in sorted(levels)]
@@ -452,6 +507,7 @@ def test_knn_recall_tradeoff_frontier_consistent(spark):
         ("lsh", sim.TRADEOFF_RADII),
         ("lsh_mt", sim.TRADEOFF_RADII),
         ("lsh_mt_tables", mt_tables),
+        ("sq8_rr", sim.SQ8_RERANK_LEVELS),
     ):
         rec = [rows[(m, p)].recall_at_k for p in sorted(levels)]
         assert rec == sorted(rec)
@@ -543,7 +599,9 @@ def test_knn_operating_point_selects_frontier_knee(spark):
         for r in sim.knn_recall_tradeoff(spark, sf).collect()
     }
     ops = {r.method: r for r in sim.knn_operating_point(spark, sf).collect()}
-    assert set(ops) == {"lsh", "ivf", "ivfpq", "lsh_mt", "lsh_mt_tables"}
+    assert set(ops) == {
+        "lsh", "ivf", "ivfpq", "lsh_mt", "lsh_mt_tables", "sq8_rr"
+    }
     for m, op in ops.items():
         src = fr[(m, op.probe)]
         assert (op.recall_at_k, op.cand_rows) == (
@@ -570,6 +628,18 @@ def test_knn_operating_point_selects_frontier_knee(spark):
 
     assert ops["lsh_mt"].probe == sim.LSH_MT_RADIUS
     assert ops["lsh_mt_tables"].probe == V.LSH_TABLES
+    # sq8 rerank-depth governance (round 11): the shipped SQ8_RERANK_R
+    # is a swept level at least as deep as the recommendation (measured:
+    # the recommendation is 10 at every test SF — quantization is mild
+    # enough that a 2×k shortlist already recovers the ceiling; the
+    # shipped 50 = 10×k is the conservative default) and leaves no
+    # recall on the table relative to it
+    assert sim.SQ8_RERANK_R in sim.SQ8_RERANK_LEVELS
+    assert sim.SQ8_RERANK_R >= ops["sq8_rr"].probe
+    assert (
+        fr[("sq8_rr", sim.SQ8_RERANK_R)].recall_at_k
+        == ops["sq8_rr"].recall_at_k
+    )
 
 
 def test_ivf_params_match_duckdb_derivation(spark):
