@@ -101,6 +101,26 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED brute-force ground truth — |queries| × k rows, a
+    deterministic function of the corpus and (N_QUERIES, TOP_K), so it
+    is a per-snapshot evaluation artifact exactly like the recall
+    frontier (round 11: before this table the four per-family recall
+    reports each re-ran the full exact scan — at 100 TB the ground
+    truth is the expensive half of every evaluation query, and it never
+    changes between them). Consumers (recall reports, the frontier
+    build) read the stored rows; the registered ``knn_bruteforce``
+    query remains a LIVE search — it is the baseline the correctness
+    gate exercises, not a table read."""
+    return _stored_index(
+        spark,
+        sf_dir,
+        f"ground_truth_n{N_QUERIES}k{TOP_K}",
+        "query_id",
+        lambda: knn_bruteforce(spark, sf_dir),
+    )
+
+
 def _sigged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(sig, vec_id, v): the STORED LSH postings — searches scan index
     files only; no per-query re-hash and no corpus join (the postings
@@ -1263,7 +1283,7 @@ def knn_recall_report(
     fully oracle-able because every input ranking is deterministic."""
     import functools
 
-    bf = knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    bf = _bf_table(spark, sf_dir).select("query_id", "vec_id")
     truth = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
     impls = {
         "lsh": knn_lsh,
@@ -1329,6 +1349,7 @@ def build_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ranked_cells(spark, sf_dir)
     _pq_subcodebook(spark, sf_dir)
     _pq_codes(spark, sf_dir)
+    _bf_table(spark, sf_dir)
     _frontier_table(spark, sf_dir)
 
 
@@ -1422,7 +1443,7 @@ def _recall_tradeoff_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries read the materialized rows."""
     emb = _emb(spark, sf_dir)
     levels = ivf_params(spark, sf_dir).levels
-    bf = knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    bf = _bf_table(spark, sf_dir).select("query_id", "vec_id")
     truth = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

@@ -7,7 +7,14 @@ recorded full-suite totals vary 74.7-135.9 s on identical code; see
 COVERAGE.md). Prints one JSON line per query: per-rep seconds, median,
 and the probe readings.
 
-Usage: PYTHONPATH=/root/repo python scripts/pin_bench.py [sf_dir] name...
+Usage: PYTHONPATH=/root/repo python scripts/pin_bench.py [--out FILE] [sf_dir] name...
+
+With ``--out FILE`` the per-query records are additionally assembled
+into ONE committed JSON artifact (round-10 verdict item 2: the driver's
+bench window has landed degraded two rounds running, so each round pins
+the slowest queries in probe-bracketed isolation and commits the table
+— a noisy driver artifact can then be reconciled query-by-query against
+the pins without re-running anything).
 """
 
 from __future__ import annotations
@@ -29,12 +36,17 @@ REPS = 5
 
 def main() -> None:
     args = sys.argv[1:]
+    out_path = None
+    if args and args[0] == "--out":
+        args.pop(0)
+        out_path = args.pop(0)
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     names = args
     spark = get_spark(app_name="pin_bench")
     spark.range(1).count()
     spark.read.parquet("/root/testdata/sf0.001/region.parquet").count()
     queries = entrymod.queries()
+    pins: dict[str, dict] = {}
     for name in names:
         fn = queries[name]
         fn(spark, sf_dir).collect()  # warm the query's scans + JIT
@@ -47,18 +59,33 @@ def main() -> None:
             reps.append(round(time.time() - t0, 3))
         probes.append(_calibrate())
         io_probes.append(_calibrate_io())
-        print(
-            json.dumps(
+        rec = {
+            "query": name,
+            "sf_dir": sf_dir,
+            "reps": reps,
+            "median": round(statistics.median(reps), 3),
+            "calib_probes": probes,
+            "calib_io_probes": io_probes,
+        }
+        pins[name] = rec
+        print(json.dumps(rec))
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(
                 {
-                    "query": name,
                     "sf_dir": sf_dir,
-                    "reps": reps,
-                    "median": round(statistics.median(reps), 3),
-                    "calib_probes": probes,
-                    "calib_io_probes": io_probes,
-                }
+                    "reps_per_query": REPS,
+                    "note": (
+                        "probe-bracketed isolated pins (warm indexes, warm "
+                        "scans); a pin is trustworthy when its calib probes "
+                        "are quiet (CPU <= 0.2 s, IO <= 0.1 s)"
+                    ),
+                    "pins": pins,
+                },
+                fh,
+                indent=1,
             )
-        )
+            fh.write("\n")
 
 
 if __name__ == "__main__":
