@@ -75,6 +75,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # and no evidence is older than r8 (the 18 adjudicated displacements);
 # the full registry is re-verified by this round's committed sweeps.
 #
+# POST-FREEZE registration (registry 161 → 162): `knn_index_footprint`
+# — the stored-index integrity + storage-amplification audit — was
+# registered after the r11 window filled. Local evidence:
+# ORACLE_ADDENDUM_r11.txt (all SIX configs green, hashes
+# layout-invariant per SF) + its definitional pytest. Lead the r12
+# window with it (the knn_lsh_multitable r9 / zstd r10 posture).
+#
 # Round-10 window rationale (kept for provenance):
 #   (a) the ELEVEN queries with no driver row ever: knn_lsh_multitable
 #       (registered post-freeze in r9; five-config local addendum,

@@ -1795,6 +1795,58 @@ def knn_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_index_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX INTEGRITY + FOOTPRINT audit — the STORAGE axis the recall
+    frontier doesn't report (round 11, completing the ANN lifecycle:
+    recall → recall/cost frontier → operating point → maintenance →
+    footprint): one row per stored ANN artifact with its persisted row
+    count and amplification vs the corpus (``rows_per_vector`` — the
+    cost a structure adds per indexed vector: multi-table LSH pays L×,
+    PQ codes pay M sub-ids, the postings skeleton pays maxprobe ranked
+    cells, the codebooks and evaluation artifacts are sub-linear).
+
+    The integrity half: Spark COUNTS THE STORED FILES, while the DuckDB
+    oracle derives the same counts from the index DEFINITIONS (replaying
+    the trainings — surviving-cell counts are data-dependent), so the
+    driver's equality gate certifies the persisted artifacts still match
+    their definitions — the staleness/bloat audit an index fleet runs
+    per corpus snapshot before trusting the warm-read path.
+
+    Scale shape: nine metadata-scale aggregates over stored index
+    tables plus one corpus count; nothing touches vector payloads."""
+    import functools
+
+    n = _corpus_n(spark, sf_dir)
+    arts = [
+        ("ground_truth", _bf_table),
+        ("ivf_codebook", _codebook),
+        ("ivf_postings", _ranked_cells),
+        ("lsh_mt_postings", _lsh_mt_postings),
+        ("lsh_postings", _lsh_postings),
+        ("pq_codes", _pq_codes),
+        ("pq_subcodebook", _pq_subcodebook),
+        ("recall_frontier", _frontier_table),
+        ("sq8_codes", _sq8_codes),
+    ]
+    parts = [
+        t(spark, sf_dir)
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .select(F.lit(name).alias("artifact"), "n_rows")
+        for name, t in arts
+    ]
+    return (
+        functools.reduce(DataFrame.unionByName, parts)
+        .select(
+            "artifact",
+            "n_rows",
+            F.round(F.col("n_rows") / F.lit(float(n)), 6).alias(
+                "rows_per_vector"
+            ),
+        )
+        .orderBy("artifact")
+    )
+
+
 def projection_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss projection audit: per label, how well the
     fixed random projection to ``vectors.PROJ_DIM`` dims preserves
@@ -3076,6 +3128,49 @@ def _tradeoff_sql() -> str:
 
 ORACLE["knn_recall_tradeoff"] = _tradeoff_sql()
 
+# Footprint mirror: every stored-artifact row count re-derived from the
+# index DEFINITIONS — the trainings replay (surviving-cell counts are
+# data-dependent), the deterministic shapes are closed forms. Spark
+# counts the persisted files; equality certifies the stored artifacts
+# match their definitions.
+_FOOTPRINT_CONST_FRONTIER_ROWS = (
+    2 * len(TRADEOFF_RADII)  # lsh + lsh_mt radius axes
+    + V.LSH_TABLES  # lsh_mt_tables axis
+    + len(SQ8_RERANK_LEVELS)  # sq8_rr rerank-depth axis
+)
+ORACLE["knn_index_footprint"] = f"""
+    WITH e AS (
+        SELECT vec_id, {_V} AS v FROM embeddings
+    ){_TRAIN_CTES}{_pq_ctes()}, nl AS (
+        SELECT COUNT(*) AS nl FROM (
+            SELECT DISTINCT UNNEST([(k + 15) // 16, (k + 7) // 8,
+                                    (k + 3) // 4, (k + 2) // 3,
+                                    (k + 1) // 2]) AS probe
+            FROM pk
+        )
+    ), counts AS (
+        SELECT 'ground_truth' AS artifact,
+               {N_QUERIES} * {TOP_K} AS n_rows
+        UNION ALL SELECT 'ivf_codebook', (SELECT COUNT(*) FROM seeds)
+        UNION ALL SELECT 'ivf_postings',
+            (SELECT n FROM pk)
+            * LEAST((SELECT COUNT(*) FROM seeds),
+                    (SELECT maxprobe FROM pk))
+        UNION ALL SELECT 'lsh_mt_postings',
+            (SELECT n FROM pk) * {V.LSH_TABLES}
+        UNION ALL SELECT 'lsh_postings', (SELECT n FROM pk)
+        UNION ALL SELECT 'pq_codes', (SELECT n FROM pk) * {PQ_M}
+        UNION ALL SELECT 'pq_subcodebook', (SELECT COUNT(*) FROM sseeds)
+        UNION ALL SELECT 'recall_frontier',
+            {_FOOTPRINT_CONST_FRONTIER_ROWS} + 2 * (SELECT nl FROM nl)
+        UNION ALL SELECT 'sq8_codes', (SELECT n FROM pk)
+    )
+    SELECT artifact, CAST(n_rows AS BIGINT) AS n_rows,
+           ROUND(n_rows / CAST((SELECT n FROM pk) AS DOUBLE), 6)
+               AS rows_per_vector
+    FROM counts ORDER BY artifact
+"""
+
 # Autotune selection over the frontier: the full tradeoff oracle nests
 # as a CTE; the shared tie rule (clears-target, then cheapest probe,
 # then best recall) replays exactly.
@@ -3201,6 +3296,7 @@ QUERIES = {
     "knn_recall_report_compress": _recall_report_family("compress"),
     "knn_recall_report_hybrid": _recall_report_family("hybrid"),
     "knn_recall_tradeoff": knn_recall_tradeoff,
+    "knn_index_footprint": knn_index_footprint,
     "knn_operating_point": knn_operating_point,
     "knn_index_update_stats": index_update_stats,
     "knn_index_retrain_decision": index_retrain_decision,

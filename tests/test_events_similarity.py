@@ -802,6 +802,39 @@ def test_hll_user_rollup_merge_is_lossless_and_in_tolerance(spark):
     assert {r.day: r.n_events for r in rows} == per_day
 
 
+def test_index_footprint_matches_definitions_and_live_counts(spark):
+    """The footprint audit's stored-file counts must equal the counts
+    the definitions imply: linear structures scale exactly with the
+    corpus (lsh 1x, multi-table Lx, pq M sub-ids, sq8 1x), the postings
+    skeleton stores min(|cells|, maxprobe) ranked cells per vector, the
+    evaluation artifacts are corpus-size-independent, and every row
+    count equals a live count of the same stored table."""
+    sf = "/root/testdata/sf0.001"
+    from automotive_big_data_analysis_spark.functions import vectors as V
+
+    n = sim._corpus_n(spark, sf)
+    p = sim.ivf_params(spark, sf)
+    rows = {r.artifact: r for r in sim.knn_index_footprint(spark, sf).collect()}
+    assert rows["lsh_postings"].n_rows == n
+    assert rows["lsh_mt_postings"].n_rows == n * V.LSH_TABLES
+    assert rows["pq_codes"].n_rows == n * sim.PQ_M
+    assert rows["sq8_codes"].n_rows == n
+    assert rows["ground_truth"].n_rows == sim.N_QUERIES * sim.TOP_K
+    n_cells = rows["ivf_codebook"].n_rows
+    assert 0 < n_cells <= p.k
+    assert rows["ivf_postings"].n_rows == n * min(n_cells, p.maxprobe)
+    assert rows["recall_frontier"].n_rows == (
+        2 * len(sim.TRADEOFF_RADII)
+        + V.LSH_TABLES
+        + len(sim.SQ8_RERANK_LEVELS)
+        + 2 * len(set(p.levels))
+    )
+    assert rows["lsh_mt_postings"].rows_per_vector == float(V.LSH_TABLES)
+    # integrity: the reported counts ARE the stored tables' live counts
+    assert rows["recall_frontier"].n_rows == sim._frontier_table(spark, sf).count()
+    assert rows["ivf_postings"].n_rows == sim._ranked_cells(spark, sf).count()
+
+
 def test_knn_ivf_sq8_candidates_respect_cell_pruning(spark):
     """Every composition hit must lie in one of its query's probed
     cells (the IVF pruning contract survives the sq8 scoring swap),
