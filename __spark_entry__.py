@@ -75,12 +75,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # and no evidence is older than r8 (the 18 adjudicated displacements);
 # the full registry is re-verified by this round's committed sweeps.
 #
-# POST-FREEZE registration (registry 161 → 162): `knn_index_footprint`
-# — the stored-index integrity + storage-amplification audit — was
-# registered after the r11 window filled. Local evidence:
-# ORACLE_ADDENDUM_r11.txt (all SIX configs green, hashes
-# layout-invariant per SF) + its definitional pytest. Lead the r12
-# window with it (the knn_lsh_multitable r9 / zstd r10 posture).
+# POST-FREEZE registrations (registry 161 → 163), both with six-config
+# local addenda in ORACLE_ADDENDUM_r11.txt (all green, hashes
+# layout-invariant per SF) — lead the r12 window with them (the
+# knn_lsh_multitable r9 / zstd r10 posture):
+#   * `knn_index_footprint` — the stored-index integrity +
+#     storage-amplification audit (+ definitional pytest);
+#   * `multimodal_resize_plan` — the image-resize PLANNING stage
+#     (metadata-only, payload pruned by plan assert; the brief's resize
+#     line item as a gated operator; the media mirror's dims became
+#     content-derived for it — the addendum re-runs prove the two
+#     existing multimodal query hashes did not move).
 #
 # Round-10 window rationale (kept for provenance):
 #   (a) the ELEVEN queries with no driver row ever: knn_lsh_multitable

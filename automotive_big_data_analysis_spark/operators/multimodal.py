@@ -209,9 +209,18 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
     )
+    # per-item dims derived from content metadata (doc_id, n_chars) so
+    # dimension-dependent stages (the resize planner) see a realistic
+    # spread of 16..495 px — both above and below the resize target;
+    # the same expressions replay in DuckDB (round 11; feature/frame
+    # queries never read width/height, so their values are untouched)
     meta = F.struct(
-        F.lit(64).alias("width"),
-        F.lit(32).alias("height"),
+        (F.pmod(F.col("doc_id") * 37 + F.col("n_chars"), F.lit(480)) + 16)
+        .cast("int")
+        .alias("width"),
+        (F.pmod(F.col("n_chars") * 11 + F.col("doc_id"), F.lit(480)) + 16)
+        .cast("int")
+        .alias("height"),
         F.lit(16000).alias("sample_rate"),
         (F.pmod(F.col("n_chars"), F.lit(50)) * 10 + 10).cast("int").alias("n_frames"),
         F.lit("fake").alias("format"),
@@ -229,6 +238,52 @@ def frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media corpus — pure metadata math (the binary column is pruned away by
     Catalyst; at 100 TB this query never touches payload bytes)."""
     return sample_frames(media_from_documents(spark, sf_dir), every_nth=10)
+
+
+RESIZE_MAX_SIDE = 256  # resize target: longest side, aspect preserved
+
+
+def resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the image-RESIZE planning stage (the brief's
+    resize line item as a first-class gated operator, completing the
+    decide-before-you-rewrite pair with :func:`resize_images`, which
+    executes the plan through the Arrow ``mapInPandas`` stage): per
+    decision class, how many images a max-side-``RESIZE_MAX_SIDE``
+    normalization pass would rewrite and the pixel volume before/after
+    — the I/O/compute estimate a 100 TB media lake computes BEFORE
+    paying a decode-resize-reencode job.
+
+    Target dims are aspect-preserving integer math —
+    ``floor(side · 256 / max(w, h))`` — exact on both engines, so the
+    whole plan is hash-oracled. Pure metadata: Catalyst prunes the
+    payload column away (plan-asserted), the 100 TB shape where
+    planning reads kilobytes of metadata, not terabytes of pixels."""
+    m = media_from_documents(spark, sf_dir).where(F.col("kind") == "image")
+    w = F.col("meta.width").cast("long")
+    h = F.col("meta.height").cast("long")
+    mx = F.greatest(w, h)
+    need = mx > RESIZE_MAX_SIDE
+    tw = (
+        F.when(need, F.floor(w * RESIZE_MAX_SIDE / mx)).otherwise(w)
+    ).cast("long")
+    th = (
+        F.when(need, F.floor(h * RESIZE_MAX_SIDE / mx)).otherwise(h)
+    ).cast("long")
+    per = m.select(
+        need.alias("will_resize"),
+        (w * h).alias("src_px"),
+        (tw * th).alias("dst_px"),
+    )
+    return (
+        per.groupBy("will_resize")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("src_px").cast("long").alias("src_pixels"),
+            F.sum("dst_px").cast("long").alias("dst_pixels"),
+            F.round(F.sum("dst_px") / F.sum("src_px"), 6).alias("px_ratio"),
+        )
+        .orderBy("will_resize")
+    )
 
 
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,9 +366,37 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+# aspect-preserving resize-plan mirror: the same integer dims and
+# floor-based target math as resize_plan, over the image slice
+# (doc_id % 3 = 0 ⇔ kind = 'image' — same derivation the feature
+# oracle uses)
+ORACLE["multimodal_resize_plan"] = f"""
+    WITH m AS (
+        SELECT CAST((doc_id * 37 + n_chars) % 480 + 16 AS BIGINT) AS w,
+               CAST((n_chars * 11 + doc_id) % 480 + 16 AS BIGINT) AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ), p AS (
+        SELECT (GREATEST(w, h) > {RESIZE_MAX_SIDE}) AS will_resize,
+               w * h AS src_px,
+               CASE WHEN GREATEST(w, h) > {RESIZE_MAX_SIDE}
+                    THEN CAST(FLOOR(CAST(w * {RESIZE_MAX_SIDE} AS DOUBLE)
+                                    / GREATEST(w, h)) AS BIGINT)
+                         * CAST(FLOOR(CAST(h * {RESIZE_MAX_SIDE} AS DOUBLE)
+                                      / GREATEST(w, h)) AS BIGINT)
+                    ELSE w * h END AS dst_px
+        FROM m
+    )
+    SELECT will_resize, COUNT(*) AS n_items,
+           CAST(SUM(src_px) AS BIGINT) AS src_pixels,
+           CAST(SUM(dst_px) AS BIGINT) AS dst_pixels,
+           ROUND(SUM(dst_px) / CAST(SUM(src_px) AS DOUBLE), 6) AS px_ratio
+    FROM p GROUP BY 1 ORDER BY will_resize
+"""
+
 QUERIES = {
     "multimodal_frame_plan": frame_plan,
     "multimodal_media_features": media_feature_stats,
+    "multimodal_resize_plan": resize_plan,
 }
 
 

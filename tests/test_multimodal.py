@@ -50,6 +50,44 @@ def test_resize_requires_codec(media):
     assert "NotImplementedError" in str(err.value) or "requires PIL" in str(err.value)
 
 
+def test_resize_plan_semantics(spark):
+    """Aspect-preserving target math: a resized item's longer side lands
+    EXACTLY on the target (floor(max·256/max) = 256), nothing grows, and
+    the per-class aggregates reconcile with the per-item derivation."""
+    import math
+
+    sf = "/root/testdata/sf0.001"
+    per = {
+        r.media_id: (r.meta.width, r.meta.height)
+        for r in mm.media_from_documents(spark, sf)
+        .where("kind = 'image'")
+        .select("media_id", "meta")
+        .collect()
+    }
+    assert per, "image slice must be non-empty"
+    assert any(max(wh) > mm.RESIZE_MAX_SIDE for wh in per.values())
+    assert any(max(wh) <= mm.RESIZE_MAX_SIDE for wh in per.values())
+    expect = {True: [0, 0, 0], False: [0, 0, 0]}
+    for w, h in per.values():
+        need = max(w, h) > mm.RESIZE_MAX_SIDE
+        if need:
+            tw = math.floor(w * mm.RESIZE_MAX_SIDE / max(w, h))
+            th = math.floor(h * mm.RESIZE_MAX_SIDE / max(w, h))
+            assert max(tw, th) == mm.RESIZE_MAX_SIDE
+            assert tw * th <= w * h
+        else:
+            tw, th = w, h
+        e = expect[need]
+        e[0] += 1
+        e[1] += w * h
+        e[2] += tw * th
+    rows = {r.will_resize: r for r in mm.resize_plan(spark, sf).collect()}
+    for need, (n, src, dst) in expect.items():
+        assert (rows[need].n_items, rows[need].src_pixels, rows[need].dst_pixels) == (n, src, dst)
+    assert rows[True].dst_pixels < rows[True].src_pixels
+    assert rows[False].dst_pixels == rows[False].src_pixels
+
+
 def test_resize_passthrough_updates_meta(media):
     out = mm.resize_images(media, 32, 32, require_real_codec=False)
     rows = out.collect()

@@ -144,6 +144,12 @@ def test_frame_plan_never_reads_text_payload(spark):
     schemas = " ".join(px.read_schemas(df))
     assert "text" not in schemas
     assert "n_chars" in schemas
+    # the resize PLANNER is likewise metadata-only: it estimates the
+    # pixel volume of a normalization pass without reading one payload
+    # byte (execution — resize_images — is the stage that pays decode)
+    rp = " ".join(px.read_schemas(mm.resize_plan(spark, SF)))
+    assert "text" not in rp
+    assert "n_chars" in rp
 
 
 def test_bucketed_join_has_no_exchange_under_join(spark, tmp_path):
