@@ -51,6 +51,23 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+# media_from_documents dim-formula coefficients — interpolated into BOTH
+# the Spark expressions and the DuckDB oracle f-strings (round-11 ADVICE:
+# raw literals duplicated on the two sides can silently drift apart)
+DIM_W_COEF = 37
+DIM_H_COEF = 11
+DIM_MOD = 480
+DIM_MIN = 16
+
+RESIZE_MAX_SIDE = 256  # resize target: longest side, aspect preserved
+
+# The exec gate hashes a FIXED-size probe slice (first N image rows by
+# media_id) so its oracle replay cost is SF-invariant: the fake resample
+# is O(dst_w·dst_h) per row on both engines, and an unbounded slice
+# would put ~42 M list ops into every DuckDB sweep at sf0.1.
+RESIZE_EXEC_PROBE = 32
+
+
 def _codec_available() -> bool:
     try:  # pragma: no cover - not installed in this environment
         import PIL.Image  # noqa: F401
@@ -147,34 +164,96 @@ def media_features(df: DataFrame, require_real_codec: bool = False) -> DataFrame
 
 
 def resize_images(
-    df: DataFrame, width: int, height: int, require_real_codec: bool = True
+    df: DataFrame, max_side: int | None = None, require_real_codec: bool = False
 ) -> DataFrame:
-    """Image resize stage. Needs a real codec — raises NotImplementedError
-    in this environment unless ``require_real_codec=False``, in which case
-    the payload passes through and only the declared metadata changes
-    (marks the row ``resized=false``)."""
+    """Image-resize EXECUTION stage (the pay-the-decode half of the
+    plan/execute pair — :func:`resize_plan` is the metadata-only half,
+    and this stage applies the IDENTICAL aspect-preserving integer
+    target math: ``floor(side · max_side / max(w, h))``).
 
-    # NB StructType.add mutates in place — build a fresh schema instead
-    out_schema = T.StructType(
-        list(MEDIA_SCHEMA.fields) + [T.StructField("resized", T.BooleanType())]
+    Arrow-batched ``mapInPandas``; the codec call is isolated exactly
+    like :func:`media_features`. With a real codec installed this is
+    where PIL would decode → resample → re-encode; without one
+    (``require_real_codec=False``) it runs the DETERMINISTIC FAKE
+    resample: the payload bytes are the sample buffer (the fake-decode
+    contract), and a resize to ``dst_w × dst_h`` is a 1-D
+    nearest-neighbor resample to ``m = dst_w·dst_h`` samples,
+    ``out[j] = buf[(j·n) // m]`` — exact integer index math a SQL
+    oracle replays byte-for-byte. ``require_real_codec=True`` raises
+    NotImplementedError instead of faking.
+
+    Output: one row per input with the resized payload plus exact
+    integer pixel stats over the OUTPUT buffer (``n_out``, ``px_sum``,
+    ``px_mean`` via the shared scaled-floor r6 rounding tree from
+    :func:`media_features`) — the columns the correctness gate hashes.
+    Rows at or under the target (``max(w, h) <= max_side``) pass
+    through unresampled with ``resized = false``."""
+
+    target = RESIZE_MAX_SIDE if max_side is None else max_side
+    out_schema = (
+        "media_id long, kind string, src_w long, src_h long, dst_w long, "
+        "dst_h long, resized boolean, n_out long, px_sum long, "
+        "px_mean double, payload binary"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         real = _codec_available()
         if require_real_codec and not real:
             raise NotImplementedError(
                 "image resize requires PIL; not available in this environment"
             )
         for pdf in it:
-            pdf = pdf.copy()
-            pdf["meta"] = [
-                {**(m or {}), "width": width, "height": height}
-                for m in pdf["meta"]
-            ]
-            pdf["resized"] = real
-            yield pdf
+            rows = []
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(buf)
+                w = int(meta["width"])
+                h = int(meta["height"])
+                mx = max(w, h)
+                if mx > target:
+                    tw = w * target // mx
+                    th = h * target // mx
+                    m = tw * th
+                    if n and m:
+                        out = buf[(np.arange(m, dtype=np.int64) * n) // m]
+                    else:
+                        out = buf[:0]
+                    resized = True
+                else:
+                    tw, th = w, h
+                    out = buf
+                    resized = False
+                n_out = len(out)
+                s = int(out.astype(np.int64).sum()) if n_out else 0
+                mean = (
+                    math.floor(s / n_out * 1_000_000 + 0.5) / 1_000_000
+                    if n_out
+                    else 0.0
+                )
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "src_w": w,
+                        "src_h": h,
+                        "dst_w": tw,
+                        "dst_h": th,
+                        "resized": resized,
+                        "n_out": n_out,
+                        "px_sum": s,
+                        "px_mean": mean,
+                        "payload": out.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows)
 
-    return df.mapInPandas(batches, out_schema)
+    return df.select("media_id", "kind", "payload", "meta").mapInPandas(
+        batches, out_schema
+    )
 
 
 def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
@@ -215,10 +294,10 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same expressions replay in DuckDB (round 11; feature/frame
     # queries never read width/height, so their values are untouched)
     meta = F.struct(
-        (F.pmod(F.col("doc_id") * 37 + F.col("n_chars"), F.lit(480)) + 16)
+        (F.pmod(F.col("doc_id") * DIM_W_COEF + F.col("n_chars"), F.lit(DIM_MOD)) + DIM_MIN)
         .cast("int")
         .alias("width"),
-        (F.pmod(F.col("n_chars") * 11 + F.col("doc_id"), F.lit(480)) + 16)
+        (F.pmod(F.col("n_chars") * DIM_H_COEF + F.col("doc_id"), F.lit(DIM_MOD)) + DIM_MIN)
         .cast("int")
         .alias("height"),
         F.lit(16000).alias("sample_rate"),
@@ -238,9 +317,6 @@ def frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media corpus — pure metadata math (the binary column is pruned away by
     Catalyst; at 100 TB this query never touches payload bytes)."""
     return sample_frames(media_from_documents(spark, sf_dir), every_nth=10)
-
-
-RESIZE_MAX_SIDE = 256  # resize target: longest side, aspect preserved
 
 
 def resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,6 +359,36 @@ def resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("dst_px") / F.sum("src_px"), 6).alias("px_ratio"),
         )
         .orderBy("will_resize")
+    )
+
+
+def resize_exec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the image-resize EXECUTION stage over a
+    fixed-size probe slice (first ``RESIZE_EXEC_PROBE`` image rows by
+    media_id — a deterministic set at every SF and layout, since
+    media_id is unique). Completes the plan/execute pair: the planner
+    (:func:`resize_plan`) is gated on the full corpus because it reads
+    only metadata; the executor pays O(dst pixels) decode work per row
+    on BOTH engines, so its hash gate runs on a bounded probe while the
+    operator itself stays unbounded. The payload is decoded exactly
+    once — one documents scan, one mapInPandas (plan-asserted in
+    tests/test_plans.py)."""
+    m = media_from_documents(spark, sf_dir).where(F.col("kind") == "image")
+    probe = m.orderBy("media_id").limit(RESIZE_EXEC_PROBE)
+    return (
+        resize_images(probe, RESIZE_MAX_SIDE)
+        .select(
+            "media_id",
+            "src_w",
+            "src_h",
+            "dst_w",
+            "dst_h",
+            "resized",
+            "n_out",
+            "px_sum",
+            "px_mean",
+        )
+        .orderBy("media_id")
     )
 
 
@@ -372,8 +478,8 @@ ORACLE: dict[str, str] = {
 # oracle uses)
 ORACLE["multimodal_resize_plan"] = f"""
     WITH m AS (
-        SELECT CAST((doc_id * 37 + n_chars) % 480 + 16 AS BIGINT) AS w,
-               CAST((n_chars * 11 + doc_id) % 480 + 16 AS BIGINT) AS h
+        SELECT CAST((doc_id * {DIM_W_COEF} + n_chars) % {DIM_MOD} + {DIM_MIN} AS BIGINT) AS w,
+               CAST((n_chars * {DIM_H_COEF} + doc_id) % {DIM_MOD} + {DIM_MIN} AS BIGINT) AS h
         FROM documents WHERE doc_id % 3 = 0
     ), p AS (
         SELECT (GREATEST(w, h) > {RESIZE_MAX_SIDE}) AS will_resize,
@@ -393,10 +499,57 @@ ORACLE["multimodal_resize_plan"] = f"""
     FROM p GROUP BY 1 ORDER BY will_resize
 """
 
+# Byte-level replay of the fake-codec resize over the same probe slice:
+# identical dim derivation, identical integer target math (`//`), and the
+# identical 1-D nearest-neighbor index map out[j] = buf[(j·n) // m] via
+# hex() arithmetic — the same replay style as multimodal_media_features.
+ORACLE["multimodal_resize_exec"] = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, encode(text) AS payload,
+               CAST((doc_id * {DIM_W_COEF} + n_chars) % {DIM_MOD} + {DIM_MIN} AS BIGINT) AS w,
+               CAST((n_chars * {DIM_H_COEF} + doc_id) % {DIM_MOD} + {DIM_MIN} AS BIGINT) AS h
+        FROM documents WHERE doc_id % 3 = 0
+        ORDER BY doc_id LIMIT {RESIZE_EXEC_PROBE}
+    ), d AS (
+        SELECT media_id, w, h, GREATEST(w, h) AS mx,
+               CAST(octet_length(payload) AS BIGINT) AS n, hex(payload) AS hx
+        FROM m
+    ), p AS (
+        SELECT media_id, w, h, n, hx,
+               (mx > {RESIZE_MAX_SIDE}) AS resized,
+               CASE WHEN mx > {RESIZE_MAX_SIDE}
+                    THEN w * {RESIZE_MAX_SIDE} // mx ELSE w END AS tw,
+               CASE WHEN mx > {RESIZE_MAX_SIDE}
+                    THEN h * {RESIZE_MAX_SIDE} // mx ELSE h END AS th
+        FROM d
+    ), s AS (
+        SELECT media_id, w, h, tw, th, resized,
+               CASE WHEN resized AND n > 0 THEN tw * th
+                    WHEN resized THEN 0 ELSE n END AS n_out,
+               CASE WHEN n = 0 THEN 0
+                    WHEN resized THEN list_sum(list_transform(
+                        range(0, tw * th),
+                        j -> ('0x' || substr(hx, 2 * ((j * n) // (tw * th)) + 1, 2))::BIGINT))
+                    ELSE list_sum(list_transform(range(1, n + 1),
+                        i -> ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT))
+               END AS px_sum
+        FROM p
+    )
+    SELECT media_id, w AS src_w, h AS src_h, tw AS dst_w, th AS dst_h,
+           resized, CAST(n_out AS BIGINT) AS n_out,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           CASE WHEN n_out > 0
+                THEN FLOOR(CAST(px_sum AS DOUBLE) / n_out * 1000000 + 0.5)
+                     / 1000000
+                ELSE 0.0 END AS px_mean
+    FROM s ORDER BY media_id
+"""
+
 QUERIES = {
     "multimodal_frame_plan": frame_plan,
     "multimodal_media_features": media_feature_stats,
     "multimodal_resize_plan": resize_plan,
+    "multimodal_resize_exec": resize_exec_stats,
 }
 
 

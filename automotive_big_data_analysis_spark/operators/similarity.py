@@ -1694,7 +1694,10 @@ def _frontier_tag() -> str:
     that shape only the frontier EVALUATION; a change to any of these
     must rebuild the stored rows, never serve stale ones). Lowercase:
     the tag lands in Spark database/table names."""
-    rad = "".join(str(r) for r in TRADEOFF_RADII)
+    # Separator-joined like SQ8_RERANK_LEVELS (round-11 ADVICE: an
+    # unseparated digit join collides distinct tuples — (1,2) vs (12,)
+    # — into one tag, exactly the staleness the tag exists to prevent).
+    rad = "_".join(str(r) for r in TRADEOFF_RADII)
     rr = "_".join(str(x) for x in SQ8_RERANK_LEVELS)
     return f"r{rad}x{LSH_MT_RADIUS}n{N_QUERIES}k{TOP_K}c{rr}"
 

@@ -19,6 +19,7 @@ the pins without re-running anything).
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import statistics
@@ -35,13 +36,19 @@ REPS = 5
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    out_path = None
-    if args and args[0] == "--out":
-        args.pop(0)
-        out_path = args.pop(0)
+    # argparse so --out is recognized anywhere on the line (round-11
+    # ADVICE: the positional scan only honored it first, crashed on a
+    # trailing --out, and happily wrote an empty pins artifact).
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", dest="out_path", default=None)
+    ap.add_argument("names", nargs="+", help="[sf_dir] query names")
+    ns = ap.parse_args()
+    out_path = ns.out_path
+    args = ns.names
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     names = args
+    if not names:
+        ap.error("no query names given")
     spark = get_spark(app_name="pin_bench")
     spark.range(1).count()
     spark.read.parquet("/root/testdata/sf0.001/region.parquet").count()

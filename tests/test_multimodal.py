@@ -46,7 +46,7 @@ def test_media_features_requires_codec(media):
 
 def test_resize_requires_codec(media):
     with pytest.raises(Exception) as err:
-        mm.resize_images(media, 32, 32).collect()
+        mm.resize_images(media, 32, require_real_codec=True).collect()
     assert "NotImplementedError" in str(err.value) or "requires PIL" in str(err.value)
 
 
@@ -88,14 +88,53 @@ def test_resize_plan_semantics(spark):
     assert rows[False].dst_pixels == rows[False].src_pixels
 
 
-def test_resize_passthrough_updates_meta(media):
-    out = mm.resize_images(media, 32, 32, require_real_codec=False)
+def test_resize_exec_fake_resample(media):
+    """The fake-codec resize is the exact 1-D nearest-neighbor resample
+    out[j] = buf[(j·n) // m]: verify payload bytes and stats against an
+    in-test Python replay (synth_media dims are 64×32)."""
+    import math
+
+    orig = {r.media_id: bytes(r.payload) for r in media.collect()}
+    rows = mm.resize_images(media, 32).collect()
+    assert all(r.resized is True for r in rows)  # mx=64 > 32
+    for r in rows:
+        assert (r.src_w, r.src_h, r.dst_w, r.dst_h) == (64, 32, 32, 16)
+        buf = orig[r.media_id]
+        n, m = len(buf), 32 * 16
+        want = bytes(buf[(j * n) // m] for j in range(m))
+        assert bytes(r.payload) == want
+        assert r.n_out == m and r.px_sum == sum(want)
+        assert r.px_mean == math.floor(r.px_sum / m * 1e6 + 0.5) / 1e6
+
+
+def test_resize_passthrough_at_or_under_target(media):
+    # synth dims 64×32 ≤ default target 256 → payload passes through
+    out = mm.resize_images(media)
     rows = out.collect()
-    assert all(r.meta.width == 32 and r.meta.height == 32 for r in rows)
     assert all(r.resized is False for r in rows)
-    # payload untouched
+    assert all((r.dst_w, r.dst_h) == (r.src_w, r.src_h) for r in rows)
     orig = {r.media_id: bytes(r.payload) for r in media.collect()}
     assert all(bytes(r.payload) == orig[r.media_id] for r in rows)
+    assert all(r.n_out == len(orig[r.media_id]) for r in rows)
+
+
+def test_resize_exec_gate_probe(spark):
+    """The driver-gate slice: fixed probe size, deterministic membership
+    (lowest media_ids of the image slice), plan math agrees with
+    resize_plan's target derivation."""
+    from tests.conftest import SF_SMOKE
+
+    rows = mm.resize_exec_stats(spark, SF_SMOKE).collect()
+    assert len(rows) == mm.RESIZE_EXEC_PROBE
+    ids = [r.media_id for r in rows]
+    assert ids == sorted(ids) and all(i % 3 == 0 for i in ids)
+    for r in rows:
+        mx = max(r.src_w, r.src_h)
+        if mx > mm.RESIZE_MAX_SIDE:
+            assert r.resized and max(r.dst_w, r.dst_h) == mm.RESIZE_MAX_SIDE
+            assert r.n_out == r.dst_w * r.dst_h
+        else:
+            assert not r.resized and (r.dst_w, r.dst_h) == (r.src_w, r.src_h)
 
 
 def test_sample_frames_plan(media):

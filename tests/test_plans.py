@@ -152,6 +152,20 @@ def test_frame_plan_never_reads_text_payload(spark):
     assert "n_chars" in rp
 
 
+def test_resize_exec_reads_payload_exactly_once(spark):
+    """The resize EXECUTOR is the stage that pays decode: its plan must
+    scan the documents payload exactly once and push it through exactly
+    one Arrow mapInPandas stage — no re-read, no self-join."""
+    from automotive_big_data_analysis_spark.operators import multimodal as mm
+
+    df = mm.resize_exec_stats(spark, SF)
+    schemas = px.read_schemas(df)
+    assert len(schemas) == 1, schemas  # one scan of documents
+    assert "text" in schemas[0]  # the payload source column IS read here
+    plan = px.physical_plan(df)
+    assert plan.count("MapInPandas") == 1, plan
+
+
 def test_bucketed_join_has_no_exchange_under_join(spark, tmp_path):
     from automotive_big_data_analysis_spark.sources import bucketed as bk
 
