@@ -898,7 +898,13 @@ def knn_ivfpq(
     (``_ranked_cells`` / ``_pq_codes``) — one coarse assignment and one
     encode pass per corpus snapshot serve knn_ivf, knn_pq, and this
     composition, and every search reads index files."""
-    scored = _ivfpq_adc_scored(spark, sf_dir, nprobe)
+    return _ivfpq_topk(_ivfpq_adc_scored(spark, sf_dir, nprobe))
+
+
+def _ivfpq_topk(scored: DataFrame) -> DataFrame:
+    """Top-``TOP_K`` cut of an ADC-scored candidate relation (split out
+    so the family recall report can score once and cut twice — round-11
+    VERDICT item 3)."""
     w = Window.partitionBy("query_id").orderBy(F.col("adec").asc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -981,13 +987,34 @@ def knn_ivfpq_rerank(
     :func:`knn_ivfpq`; stage 3 reads R full vectors per query via a
     bucketed join on vec_id — per-query I/O is bounded by R, not the
     corpus."""
-    shortlist_w = Window.partitionBy("query_id").orderBy(
-        F.col("adec").asc(), F.col("vec_id")
+    return _rerank_exact(
+        spark,
+        sf_dir,
+        _ivfpq_adc_scored(spark, sf_dir, nprobe),
+        [F.col("adec").asc(), F.col("vec_id")],
+        RERANK_R,
     )
+
+
+def _rerank_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    scored: DataFrame,
+    shortlist_order: list,
+    depth: int,
+) -> DataFrame:
+    """Stage 3 of a rerank pipeline, shared by :func:`knn_ivfpq_rerank`
+    and :func:`knn_sq8_rerank`: cut the approximate-scored candidate
+    relation to the per-query top-``depth`` shortlist (under the
+    method's own ordering), then re-score exactly those rows with the
+    exact cosine and emit the final top-``TOP_K``. Taking ``scored`` as
+    a parameter lets the family recall report run the expensive scoring
+    pass ONCE for a composition and its rerank (round-11 VERDICT
+    item 3)."""
+    shortlist_w = Window.partitionBy("query_id").orderBy(*shortlist_order)
     shortlist = (
-        _ivfpq_adc_scored(spark, sf_dir, nprobe)
-        .withColumn("rr", F.row_number().over(shortlist_w))
-        .where(F.col("rr") <= RERANK_R)
+        scored.withColumn("rr", F.row_number().over(shortlist_w))
+        .where(F.col("rr") <= depth)
         .select("query_id", "vec_id")
     )
     emb = _emb(spark, sf_dir)
@@ -1136,7 +1163,13 @@ def knn_ivf_sq8(
     Ranking is pure integer comparison; both stored indexes are the
     ones the standalone methods read, so the composition adds zero
     index state."""
-    scored = _ivf_sq8_scored(spark, sf_dir, nprobe)
+    return _ivf_sq8_topk(_ivf_sq8_scored(spark, sf_dir, nprobe))
+
+
+def _ivf_sq8_topk(scored: DataFrame) -> DataFrame:
+    """Top-``TOP_K`` cut of an integer-SQ8-scored candidate relation
+    (split out so the family recall report can score once and cut twice
+    — round-11 VERDICT item 3)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("qdot").desc(), F.col("vec_id")
     )
@@ -1201,35 +1234,12 @@ def knn_sq8_rerank(
     :func:`knn_ivf_sq8` (≈ 1/3 of the rows at 1/8 the bytes); stage 3
     reads ``SQ8_RERANK_R`` full vectors per query via the bucketed
     vec_id join — per-query I/O bounded by R, not the corpus."""
-    shortlist_w = Window.partitionBy("query_id").orderBy(
-        F.col("qdot").desc(), F.col("vec_id")
-    )
-    shortlist = (
-        _ivf_sq8_scored(spark, sf_dir, nprobe)
-        .withColumn("rr", F.row_number().over(shortlist_w))
-        .where(F.col("rr") <= SQ8_RERANK_R)
-        .select("query_id", "vec_id")
-    )
-    emb = _emb(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    exact = (
-        shortlist.join(emb, "vec_id")
-        .join(F.broadcast(queries), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "vec_id", "cosine")
+    return _rerank_exact(
+        spark,
+        sf_dir,
+        _ivf_sq8_scored(spark, sf_dir, nprobe),
+        [F.col("qdot").desc(), F.col("vec_id")],
+        SQ8_RERANK_R,
     )
 
 
@@ -1249,14 +1259,23 @@ RECALL_METHODS = (
 # the single 8-method report was the bench's most expensive query and
 # its cost grew with EVERY new ANN method; now each family pays its own
 # ground-truth comparison once and a new method only enlarges its own
-# family's bill). The union of the four family reports is the full
+# family's bill). The union of the family reports is the full
 # per-method report exactly (pinned by test): the families partition
 # RECALL_METHODS.
+#
+# Round 12: the 4-method hybrid family (5.5 s — the heaviest registered
+# query) is split into its pq and sq8 halves. Measured at sf0.1, the
+# report's cost is CRITICAL-PATH latency (~15 sequential tiny stages
+# per method pipeline), not redundant compute — sharing the scored
+# pass bought nothing (see knn_recall_report) — so the bounding lever
+# is methods-per-report: each half carries one composition plus its
+# rerank (~2.5-3 s), and the partition/union invariant still holds.
 RECALL_FAMILIES: dict[str, tuple[str, ...]] = {
     "lsh": ("lsh", "lsh_mt"),
     "prune": ("ivf",),
     "compress": ("pq", "sq8"),
-    "hybrid": ("ivfpq", "ivfpq_rr", "ivf_sq8", "sq8_rr"),
+    "hybrid_pq": ("ivfpq", "ivfpq_rr"),
+    "hybrid_sq8": ("ivf_sq8", "sq8_rr"),
 }
 
 
@@ -1280,7 +1299,19 @@ def knn_recall_report(
     index structure comes from the shared memoized builders, so a
     report costs one brute-force scan plus per-method tiny joins.
     Recall is an exact integer ratio (one IEEE division, round 6) —
-    fully oracle-able because every input ranking is deterministic."""
+    fully oracle-able because every input ranking is deterministic.
+
+    Sharing note (round-11 VERDICT item 3, measured and REJECTED): a
+    composition and its rerank do re-derive the same scored-candidate
+    relation, but materializing it once (eager ``localCheckpoint`` or
+    ``persist``+count) made the report SLOWER at sf0.1 (6.6-7.6 s vs
+    5.5 s): the duplicate subtrees run in PARALLEL union branches on
+    idle cores, so the redundancy costs CPU, not wall-clock, while an
+    eager materialization serializes scoring before the report (a lazy
+    ``persist`` is a no-op — both branches race past the unfilled
+    cache inside the single action). The structural fix is the
+    verdict's alternative: the hybrid family is SPLIT into pq/sq8
+    halves below, bounding each registered query's critical path."""
     import functools
 
     bf = _bf_table(spark, sf_dir).select("query_id", "vec_id")
@@ -3297,7 +3328,8 @@ QUERIES = {
     "knn_recall_report_lsh": _recall_report_family("lsh"),
     "knn_recall_report_prune": _recall_report_family("prune"),
     "knn_recall_report_compress": _recall_report_family("compress"),
-    "knn_recall_report_hybrid": _recall_report_family("hybrid"),
+    "knn_recall_report_hybrid_pq": _recall_report_family("hybrid_pq"),
+    "knn_recall_report_hybrid_sq8": _recall_report_family("hybrid_sq8"),
     "knn_recall_tradeoff": knn_recall_tradeoff,
     "knn_index_footprint": knn_index_footprint,
     "knn_operating_point": knn_operating_point,
