@@ -366,7 +366,12 @@ def conversion_stream(
 # hash gates prove it), so the harness runs the stream at a bounded
 # count sized to the replay, not the batch session. Production sizes
 # this to the cluster and the keyspace, same knob.
-STREAM_SHUFFLE_PARTITIONS = 8
+# Round-12 probe (r11 VERDICT item 7), warm quiet-probe A/B over all
+# seven gates at sf0.1: 8 → 22.9/23.6 s, 4 → 22.2/21.6 s, 2 → no
+# further gain (24.9 s cold-ordered run); hashes byte-identical at
+# every width. 4 is the knee — below it per-store checkpoint savings
+# stop paying for lost replay parallelism.
+STREAM_SHUFFLE_PARTITIONS = 4
 
 
 def run_to_memory(
