@@ -224,3 +224,80 @@ def test_global_ntile_grid_escalation_path(spark):
         for r in df.select("key", F.ntile(7).over(w).alias("tile")).collect()
     }
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=4096),  # n source bytes
+    st.integers(min_value=1, max_value=4096),  # m output samples
+)
+def test_resample_index_map_invariants(n, m):
+    """The fake-codec resize's 1-D nearest-neighbor index map
+    out[j] = buf[(j·n)//m] (multimodal.resize_images and its DuckDB
+    hex-arithmetic mirror evaluate this identical integer expression):
+    indices stay in-bounds, are monotone non-decreasing, start at the
+    first sample, and the map is the identity when m == n."""
+    idx = [(j * n) // m for j in range(m)]
+    if n == 0:
+        assert all(i == 0 for i in idx)  # guarded: empty buffers skip the map
+        return
+    assert all(0 <= i < n for i in idx)
+    assert idx == sorted(idx)
+    assert idx[0] == 0
+    if m == n:
+        assert idx == list(range(n))
+    # downsampling never skips more than ceil(n/m) source positions
+    step = -(-n // m)
+    assert all(b - a <= step for a, b in zip(idx, idx[1:]))
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.binary(min_size=0, max_size=300),  # payload
+            st.integers(min_value=16, max_value=495),  # width
+            st.integers(min_value=16, max_value=495),  # height
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_resize_exec_matches_python_reference(spark, rows):
+    """The Arrow mapInPandas resize executor equals a direct Python
+    replay of the shared definition (dims, resample, integer stats) for
+    ANY payload bytes and dims — the engine-independent contract the
+    DuckDB oracle relies on."""
+    import math
+
+    from automotive_big_data_analysis_spark.operators import multimodal as mm
+
+    data = [
+        (i, "image", payload, (w, h, 16000, 1, "fake"))
+        for i, (payload, w, h) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,format:string>",
+    )
+    got = {r.media_id: r for r in mm.resize_images(df, mm.RESIZE_MAX_SIDE).collect()}
+    for i, (payload, w, h) in enumerate(rows):
+        n, mx = len(payload), max(w, h)
+        if mx > mm.RESIZE_MAX_SIDE:
+            tw, th = w * mm.RESIZE_MAX_SIDE // mx, h * mm.RESIZE_MAX_SIDE // mx
+            m = tw * th
+            out = bytes(payload[(j * n) // m] for j in range(m)) if n else b""
+            resized = True
+        else:
+            tw, th, out, resized = w, h, payload, False
+        r = got[i]
+        assert (r.src_w, r.src_h, r.dst_w, r.dst_h, r.resized) == (w, h, tw, th, resized)
+        assert bytes(r.payload) == out
+        assert (r.n_out, r.px_sum) == (len(out), sum(out))
+        expect_mean = (
+            math.floor(sum(out) / len(out) * 1_000_000 + 0.5) / 1_000_000
+            if out
+            else 0.0
+        )
+        assert r.px_mean == expect_mean
