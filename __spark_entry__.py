@@ -86,6 +86,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # displacements, and the full registry is re-verified by this round's
 # committed six-config sweeps.
 #
+# POST-FREEZE registration (registry 165 → 166), with a six-config
+# local addendum in ORACLE_ADDENDUM_r12.txt (all green, hashes
+# layout-invariant per SF) — lead the r13 window with it (the
+# r9-zstd/r10-mt/r11-footprint posture, cleared every time):
+#   * `text_bpe_merges` — the iterative BPE tokenizer-TRAINING loop
+#     (3 driver-coordinated merge rounds over the weighted letter-run
+#     vocabulary, each round's heavy lifting distributed; the DuckDB
+#     oracle unrolls the rounds verbatim, the embedding_kmeans
+#     pattern), completing the lifecycle text_bpe_pairs only scores
+#     one round of. Shared-definition replace semantics pinned by
+#     tests (incl. the boundary-space overlap case, proven identical
+#     in Spark/DuckDB/Python).
+#
 # Round-11 policy (kept for provenance; per round-10 VERDICT items
 # 1/3/5 + ADVICE):
 #   (a) the SIX queries with no driver row ever:

@@ -360,6 +360,153 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGE_ROUNDS = 3
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN ``BPE_MERGE_ROUNDS`` byte-pair-encoding merges — the
+    iterative tokenizer-training loop itself, completing the lifecycle
+    :func:`bpe_pair_stats` only scores one round of (the
+    embedding_kmeans pattern applied to text: a driver-coordinated loop
+    whose per-round heavy lifting is distributed, unrolled verbatim by
+    the DuckDB oracle).
+
+    Vocabulary = maximal ASCII letter runs (identical
+    ``regexp_extract_all(text, '[A-Za-z]+')`` on both engines) with
+    corpus occurrence counts; each piece's symbol state is a
+    space-joined character string with sentinel boundary spaces
+    (`` a b c ``). Per round: (1) adjacent-pair counts weighted by
+    piece count — a map-side array expression feeding one
+    |pair-vocab|-sized partial-combined aggregation; (2) the merge =
+    the max-count pair, ties broken on the pair string (TakeOrdered 1,
+    a bounded driver round like the k-means model update); (3) apply:
+    literal left-to-right ``replace(s, ' a b ', ' ab ')`` — Spark's
+    ``F.replace`` and DuckDB's ``replace`` share non-overlapping
+    left-to-right semantics, including the boundary-space-consumption
+    case where an immediate re-occurrence (`` a b a b ``) skips the
+    second match in BOTH engines (the shared-definition discipline:
+    what matters is that the two engines compute the identical
+    function, pinned by test). The tokenize pass is
+    ``localCheckpoint``-ed once (the k-means trainer pattern); the
+    per-round state stays lazy because its lineage is only ``r``
+    map-side literal replaces over that checkpoint.
+
+    Output: one row per round — the merged pair, its weighted count,
+    and how many distinct vocabulary pieces the merge rewrote. At
+    100 TB the loop's per-round cost is |letter-piece vocabulary|-
+    sized (millions of rows), not corpus-sized: the corpus is read
+    once to build the weighted vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), F.lit(0))
+            ).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            "piece",
+            "cnt",
+            F.concat(
+                F.lit(" "), F.regexp_replace("piece", "(.)", "$1 ")
+            ).alias("s"),
+        )
+        .localCheckpoint()
+    )
+    rows = []
+    cur = vocab
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        arr = F.split(F.trim(F.col("s")), " ")
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(arr, i), F.element_at(arr, i + F.lit(1))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            cur.select(F.explode(pairs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), "pair")
+            .limit(1)
+            .collect()
+        )[0]
+        merged = top.pair.replace(" ", "")
+        # lineage stays shallow (r literal replaces over the checkpointed
+        # v0), so per-round re-checkpointing would only add jobs: the
+        # vocabulary is |letter-piece|-sized and the replace is a
+        # map-side expression
+        nxt = cur.select(
+            "piece",
+            "cnt",
+            F.replace(
+                F.col("s"), F.lit(f" {top.pair} "), F.lit(f" {merged} ")
+            ).alias("s"),
+            F.col("s").alias("prev_s"),
+        )
+        affected = nxt.where(F.col("s") != F.col("prev_s")).count()
+        rows.append((rnd, top.pair, merged, int(top.c), int(affected)))
+        cur = nxt.select("piece", "cnt", "s")
+    return spark.createDataFrame(
+        rows,
+        "round int, pair string, merged string, pair_count long, "
+        "pieces_affected long",
+    ).orderBy("round")
+
+
+def _bpe_merge_sql() -> str:
+    """Unrolled CTE chain mirroring :func:`bpe_merge_table` round for
+    round (the embedding_kmeans oracle pattern): v0 is the weighted
+    letter-run vocabulary with sentinel-spaced symbol strings; each
+    round derives pair counts, picks the (count desc, pair asc) top-1
+    via scalar subqueries, and applies the identical literal replace."""
+    ctes = [
+        """v0 AS (
+            SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   ' ' || regexp_replace(piece, '(.)', '\\1 ', 'g') AS s
+            FROM (
+                SELECT UNNEST(regexp_extract_all(text, '[A-Za-z]+')) AS piece
+                FROM documents
+            ) GROUP BY piece
+        )"""
+    ]
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""p{r} AS (
+            SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+                SELECT cnt, UNNEST(list_transform(
+                    range(1, GREATEST(len(arr), 1)),
+                    i -> arr[i] || ' ' || arr[i+1])) AS pair
+                FROM (SELECT cnt, string_split(trim(s), ' ') AS arr FROM v{p})
+            ) GROUP BY pair
+        ), t{r} AS (
+            SELECT pair, c, replace(pair, ' ', '') AS merged
+            FROM p{r} ORDER BY c DESC, pair LIMIT 1
+        ), v{r} AS (
+            SELECT piece, cnt,
+                   replace(s, ' ' || (SELECT pair FROM t{r}) || ' ',
+                           ' ' || (SELECT merged FROM t{r}) || ' ') AS s,
+                   s AS prev_s
+            FROM v{p}
+        ), a{r} AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS aff FROM v{r}
+            WHERE s != prev_s
+        )"""
+        )
+    selects = " UNION ALL ".join(
+        f"""SELECT {r} AS round, t{r}.pair, t{r}.merged,
+               t{r}.c AS pair_count, (SELECT aff FROM a{r}) AS pieces_affected
+           FROM t{r}"""
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return f"WITH {', '.join(ctes)} {selects} ORDER BY round"
+
+
 # --- DuckDB oracles ---------------------------------------------------------
 
 _TOKENS = r"regexp_extract_all(text, '\S+')"
@@ -475,10 +622,13 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["text_bpe_merges"] = _bpe_merge_sql()
+
 QUERIES = {
     "contamination_stats": contamination_stats,
     "pack_token_shards": pack_token_shards,
     "temperature_rebalance": temperature_rebalance,
     "text_bpe_pairs": bpe_pair_stats,
+    "text_bpe_merges": bpe_merge_table,
     "training_epoch_order": training_epoch_order,
 }

@@ -181,3 +181,62 @@ def test_epoch_order_avoids_single_partition_corpus_window(spark):
     # only the |epochs|x16-row offset aggregate may be unpartitioned —
     # and it is partitioned by epoch here, so there must be NONE
     assert len(corpus_windows) == 0
+
+
+def test_bpe_merges_reference_replay(spark):
+    """The 3-round merge loop equals a direct Python replay of the shared
+    definition (weighted adjacent-pair counts over the letter-run
+    vocabulary, (count desc, pair asc) top-1, literal left-to-right
+    replace) — including the boundary-space-consumption overlap case."""
+    import re
+    from collections import Counter
+
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    vocab = Counter()
+    for r in docs:
+        vocab.update(re.findall(r"[A-Za-z]+", r.text))
+    state = {w: " " + " ".join(w) + " " for w in vocab}
+    expect = []
+    for rnd in range(1, tp.BPE_MERGE_ROUNDS + 1):
+        pc = Counter()
+        for w, s in state.items():
+            syms = s.split()
+            for a, b in zip(syms, syms[1:]):
+                pc[f"{a} {b}"] += vocab[w]
+        top = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        pair, c = top
+        merged = pair.replace(" ", "")
+        affected = 0
+        for w, s in state.items():
+            # str.replace IS left-to-right non-overlapping — the same
+            # semantics as Spark F.replace and DuckDB replace
+            ns = s.replace(f" {pair} ", f" {merged} ")
+            if ns != s:
+                affected += 1
+            state[w] = ns
+        expect.append((rnd, pair, merged, c, affected))
+    got = [
+        (r.round, r.pair, r.merged, r.pair_count, r.pieces_affected)
+        for r in tp.bpe_merge_table(spark, SF).collect()
+    ]
+    assert got == expect
+    # merges are genuinely applied: round counts never increase
+    counts = [r[3] for r in expect]
+    assert all(c > 0 for c in counts)
+
+
+def test_replace_overlap_semantics_shared(spark):
+    """Pin the boundary-space-consumption behavior the merge relies on:
+    ' a b a b ' merges only the FIRST occurrence (the match consumes the
+    shared boundary space) — identically in Spark, DuckDB, and Python."""
+    import duckdb
+
+    s = " a b a b "
+    py = s.replace(" a b ", " ab ")
+    spark_val = spark.createDataFrame([(s,)], "s string").select(
+        F.replace("s", F.lit(" a b "), F.lit(" ab ")).alias("r")
+    ).collect()[0].r
+    duck_val = duckdb.sql(
+        "SELECT replace(' a b a b ', ' a b ', ' ab ') AS r"
+    ).fetchone()[0]
+    assert py == spark_val == duck_val == " ab a b "
