@@ -164,7 +164,7 @@ def media_features(df: DataFrame, require_real_codec: bool = False) -> DataFrame
 
 
 def resize_images(
-    df: DataFrame, max_side: int | None = None, require_real_codec: bool = False
+    df: DataFrame, max_side: int | None = None, require_real_codec: bool = True
 ) -> DataFrame:
     """Image-resize EXECUTION stage (the pay-the-decode half of the
     plan/execute pair — :func:`resize_plan` is the metadata-only half,
@@ -173,14 +173,16 @@ def resize_images(
 
     Arrow-batched ``mapInPandas``; the codec call is isolated exactly
     like :func:`media_features`. With a real codec installed this is
-    where PIL would decode → resample → re-encode; without one
-    (``require_real_codec=False``) it runs the DETERMINISTIC FAKE
-    resample: the payload bytes are the sample buffer (the fake-decode
-    contract), and a resize to ``dst_w × dst_h`` is a 1-D
-    nearest-neighbor resample to ``m = dst_w·dst_h`` samples,
-    ``out[j] = buf[(j·n) // m]`` — exact integer index math a SQL
-    oracle replays byte-for-byte. ``require_real_codec=True`` raises
-    NotImplementedError instead of faking.
+    where PIL would decode → resample → re-encode; the PUBLIC default
+    is FAIL-LOUD (``require_real_codec=True`` raises
+    NotImplementedError when no codec is installed — callers never
+    silently receive fake pixels). Passing ``require_real_codec=False``
+    explicitly (what :func:`resize_exec_stats` does for the oracle
+    gate) opts into the DETERMINISTIC FAKE resample: the payload bytes
+    are the sample buffer (the fake-decode contract), and a resize to
+    ``dst_w × dst_h`` is a 1-D nearest-neighbor resample to
+    ``m = dst_w·dst_h`` samples, ``out[j] = buf[(j·n) // m]`` — exact
+    integer index math a SQL oracle replays byte-for-byte.
 
     Output: one row per input with the resized payload plus exact
     integer pixel stats over the OUTPUT buffer (``n_out``, ``px_sum``,
@@ -376,7 +378,10 @@ def resize_exec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_from_documents(spark, sf_dir).where(F.col("kind") == "image")
     probe = m.orderBy("media_id").limit(RESIZE_EXEC_PROBE)
     return (
-        resize_images(probe, RESIZE_MAX_SIDE)
+        # explicit opt-in to the deterministic fake resample: this gate
+        # exists precisely to hash the fake-codec path (the public
+        # operator default stays fail-loud, per round-12 ADVICE)
+        resize_images(probe, RESIZE_MAX_SIDE, require_real_codec=False)
         .select(
             "media_id",
             "src_w",

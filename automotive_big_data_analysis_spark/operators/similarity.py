@@ -354,12 +354,21 @@ def _index_tag(p: IvfParams) -> str:
     )
 
 
-def _stored_index(spark: SparkSession, sf_dir: str, name: str, bucket_col: str, build) -> DataFrame:
+def _stored_index(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    bucket_col: str,
+    build,
+    supersede_prefix: str | None = None,
+) -> DataFrame:
     """Store-through ANN index table — the production lifecycle: index
     structures (coarse codebook, cell assignment, PQ codes) are TRAINED
     once per corpus snapshot and persisted; every search reads index
     FILES (``sources/stored.py`` — parameter-tagged paths, bucketed
-    layout, DDL re-attach across sessions)."""
+    layout, DDL re-attach across sessions). ``supersede_prefix`` GCs
+    older same-family generations whose tag lives in the TABLE name
+    (see ``stored_table``)."""
     from automotive_big_data_analysis_spark.sources.stored import stored_table
 
     return stored_table(
@@ -373,6 +382,7 @@ def _stored_index(spark: SparkSession, sf_dir: str, name: str, bucket_col: str, 
         build,
         n_buckets=ANN_INDEX_BUCKETS,
         src_table="embeddings",
+        supersede_prefix=supersede_prefix,
     )
 
 
@@ -1290,7 +1300,7 @@ def knn_recall_report(
     method, how many of each query's true top-``TOP_K`` neighbors the
     approximate search returned (micro-averaged over queries). The
     registered queries are the per-FAMILY slices
-    (``knn_recall_report_{lsh,prune,compress,hybrid}`` —
+    (``knn_recall_report_{lsh,prune,compress,hybrid_pq,hybrid_sq8}`` —
     ``RECALL_FAMILIES``); the all-methods default exists for tests and
     ad-hoc evaluation, and the family union equals it exactly.
 
@@ -1751,6 +1761,12 @@ def _frontier_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"recall_frontier_{_frontier_tag()}",
         "method",
         lambda: _recall_tradeoff_frame(spark, sf_dir),
+        # the frontier tag lives in the TABLE name, so a tag change
+        # (format or constants) would orphan the old generation in the
+        # same database forever — GC it on first build (round-12 ADVICE;
+        # no trailing underscore: the r10 generation was the bare
+        # "recall_frontier" name)
+        supersede_prefix="recall_frontier",
     )
 
 

@@ -2,8 +2,8 @@
 packing, domain rebalancing, and tokenizer pair statistics.
 
 Training-data-pipeline extension (no reference analog — the reference's
-surface stops at single-table SQL, SURVEY §2): the four operations that
-sit between a curated corpus (``operators/pipeline.py``) and a training
+surface stops at single-table SQL, SURVEY §2): the operations that sit
+between a curated corpus (``operators/pipeline.py``) and a training
 run:
 
 * benchmark contamination — n-gram overlap of every candidate document
@@ -15,7 +15,12 @@ run:
   counts (rate ∝ count^(α-1), the multilingual "temperature sampling"
   rule), applied as a deterministic content-keyed filter;
 * BPE pair statistics — adjacent wordpiece-pair frequencies, i.e. the
-  candidate-scoring pass of one byte-pair-encoding merge round.
+  candidate-scoring pass of one byte-pair-encoding merge round;
+* BPE merge training — the iterative driver-coordinated tokenizer-
+  training loop (canonical non-overlapping merge application, identical
+  across Spark/DuckDB/Python via the space-doubling replace trick);
+* BPE apply — the post-training encode pass: per-language token counts
+  and chars/token compression with the trained merge table.
 
 Everything is built-in JVM expressions (regexp / higher-order array
 functions / windows) — no Python in the row path — and every operator has
@@ -363,13 +368,43 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGE_ROUNDS = 3
 
 
-def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAIN ``BPE_MERGE_ROUNDS`` byte-pair-encoding merges — the
-    iterative tokenizer-training loop itself, completing the lifecycle
-    :func:`bpe_pair_stats` only scores one round of (the
-    embedding_kmeans pattern applied to text: a driver-coordinated loop
-    whose per-round heavy lifting is distributed, unrolled verbatim by
-    the DuckDB oracle).
+def _bpe_merge_expr(col, pair: str, merged: str):
+    """CANONICAL non-overlapping left-to-right merge of ``pair`` inside a
+    sentinel-spaced symbol string (`` a b c ``), as a single chained
+    ``replace`` — the space-DOUBLING trick: after ``' ' -> '  '`` every
+    adjacent occurrence carries its own boundary spaces, so one
+    non-overlapping replace of ``' a  b '`` merges EVERY occurrence
+    (`` a b a b `` -> `` ab ab ``, matching tokenizer-standard BPE merge
+    application), and the final ``'  ' -> ' '`` restores the single-space
+    form exactly (the replacement re-establishes the doubled delimiter
+    invariant, proven by test against a token-scan reference). Spark
+    ``F.replace``, DuckDB ``replace`` and Python ``str.replace`` share
+    these semantics, so the three engines compute the identical
+    function."""
+    doubled = F.replace(col, F.lit(" "), F.lit("  "))
+    applied = F.replace(
+        doubled,
+        F.lit(" " + pair.replace(" ", "  ") + " "),
+        F.lit(f" {merged} "),
+    )
+    return F.replace(applied, F.lit("  "), F.lit(" "))
+
+
+def _bpe_merge_sql_expr(expr: str, pair_sql: str, merged_sql: str) -> str:
+    """The DuckDB twin of :func:`_bpe_merge_expr` (``pair_sql`` /
+    ``merged_sql`` are SQL string expressions, e.g. scalar subqueries)."""
+    return (
+        f"replace(replace(replace({expr}, ' ', '  '), "
+        f"' ' || replace({pair_sql}, ' ', '  ') || ' ', "
+        f"' ' || {merged_sql} || ' '), '  ', ' ')"
+    )
+
+
+def _train_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the ``BPE_MERGE_ROUNDS`` tokenizer-training loop; returns one
+    ``(round, pair, merged, pair_count, pieces_affected)`` tuple per
+    round. Shared by :func:`bpe_merge_table` (which reports it) and
+    :func:`bpe_apply_stats` (which tokenizes the corpus with it).
 
     Vocabulary = maximal ASCII letter runs (identical
     ``regexp_extract_all(text, '[A-Za-z]+')`` on both engines) with
@@ -379,23 +414,11 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece count — a map-side array expression feeding one
     |pair-vocab|-sized partial-combined aggregation; (2) the merge =
     the max-count pair, ties broken on the pair string (TakeOrdered 1,
-    a bounded driver round like the k-means model update); (3) apply:
-    literal left-to-right ``replace(s, ' a b ', ' ab ')`` — Spark's
-    ``F.replace`` and DuckDB's ``replace`` share non-overlapping
-    left-to-right semantics, including the boundary-space-consumption
-    case where an immediate re-occurrence (`` a b a b ``) skips the
-    second match in BOTH engines (the shared-definition discipline:
-    what matters is that the two engines compute the identical
-    function, pinned by test). The tokenize pass is
-    ``localCheckpoint``-ed once (the k-means trainer pattern); the
-    per-round state stays lazy because its lineage is only ``r``
-    map-side literal replaces over that checkpoint.
-
-    Output: one row per round — the merged pair, its weighted count,
-    and how many distinct vocabulary pieces the merge rewrote. At
-    100 TB the loop's per-round cost is |letter-piece vocabulary|-
-    sized (millions of rows), not corpus-sized: the corpus is read
-    once to build the weighted vocabulary."""
+    a bounded driver round like the k-means model update); (3) apply
+    the merge canonically via :func:`_bpe_merge_expr`. The tokenize
+    pass is ``localCheckpoint``-ed once (the k-means trainer pattern);
+    the per-round state stays lazy because its lineage is only ``3r``
+    map-side literal replaces over that checkpoint."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(
@@ -436,21 +459,42 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )[0]
         merged = top.pair.replace(" ", "")
-        # lineage stays shallow (r literal replaces over the checkpointed
+        # lineage stays shallow (3r literal replaces over the checkpointed
         # v0), so per-round re-checkpointing would only add jobs: the
         # vocabulary is |letter-piece|-sized and the replace is a
         # map-side expression
         nxt = cur.select(
             "piece",
             "cnt",
-            F.replace(
-                F.col("s"), F.lit(f" {top.pair} "), F.lit(f" {merged} ")
-            ).alias("s"),
+            _bpe_merge_expr(F.col("s"), top.pair, merged).alias("s"),
             F.col("s").alias("prev_s"),
         )
         affected = nxt.where(F.col("s") != F.col("prev_s")).count()
         rows.append((rnd, top.pair, merged, int(top.c), int(affected)))
         cur = nxt.select("piece", "cnt", "s")
+    return rows
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN ``BPE_MERGE_ROUNDS`` byte-pair-encoding merges — the
+    iterative tokenizer-training loop itself, completing the lifecycle
+    :func:`bpe_pair_stats` only scores one round of (the
+    embedding_kmeans pattern applied to text: a driver-coordinated loop
+    whose per-round heavy lifting is distributed, unrolled verbatim by
+    the DuckDB oracle — see :func:`_train_bpe` for the loop shape).
+
+    Merge application is CANONICAL non-overlapping BPE (every
+    occurrence merges, `` a b a b `` -> `` ab ab ``) via
+    :func:`_bpe_merge_expr`'s space-doubling trick, identical across
+    Spark/DuckDB/Python and pinned by test against a token-scan
+    reference.
+
+    Output: one row per round — the merged pair, its weighted count,
+    and how many distinct vocabulary pieces the merge rewrote. At
+    100 TB the loop's per-round cost is |letter-piece vocabulary|-
+    sized (millions of rows), not corpus-sized: the corpus is read
+    once to build the weighted vocabulary."""
+    rows = _train_bpe(spark, sf_dir)
     return spark.createDataFrame(
         rows,
         "round int, pair string, merged string, pair_count long, "
@@ -458,12 +502,72 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
-def _bpe_merge_sql() -> str:
-    """Unrolled CTE chain mirroring :func:`bpe_merge_table` round for
-    round (the embedding_kmeans oracle pattern): v0 is the weighted
-    letter-run vocabulary with sentinel-spaced symbol strings; each
-    round derives pair counts, picks the (count desc, pair asc) top-1
-    via scalar subqueries, and applies the identical literal replace."""
+def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained BPE merge table to the corpus — the encode pass
+    every tokenizer pipeline runs after training, and the measurement
+    that justifies training at all: per-language token counts and
+    compression (chars/token) after the ``BPE_MERGE_ROUNDS`` merges
+    (before any merge each character is its own token, so
+    ``total_chars`` IS the before-token-count and the before-ratio is
+    identically 1.0).
+
+    Tokenization is applied to the per-language letter-run VOCABULARY
+    weighted by occurrence count, never to raw documents — identical
+    words tokenize identically, so the encode pass is
+    |lang × piece-vocab|-sized while the reported totals are
+    corpus-sized (the same aggregation-pushdown shape as
+    :func:`_train_bpe`; at 100 TB the corpus is read once for the
+    weighted vocabulary and the merge chain is ``3r`` map-side literal
+    replaces). The merges come from :func:`_train_bpe` (driver-bounded:
+    one 1-row TakeOrdered per round); the DuckDB oracle unrolls the
+    same training rounds verbatim and applies the identical canonical
+    replace chain."""
+    merges = [(r[1], r[2]) for r in _train_bpe(spark, sf_dir)]
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), F.lit(0))
+            ).alias("piece"),
+        )
+        .groupBy("lang", "piece")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    s = F.concat(F.lit(" "), F.regexp_replace("piece", "(.)", "$1 "))
+    for pair, merged in merges:
+        s = _bpe_merge_expr(s, pair, merged)
+    per = vocab.select(
+        "lang",
+        "cnt",
+        F.length("piece").cast("long").alias("chars"),
+        F.size(F.split(F.trim(s), " ")).cast("long").alias("tok"),
+    )
+    total_chars = F.sum(F.col("cnt") * F.col("chars"))
+    total_tokens = F.sum(F.col("cnt") * F.col("tok"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_pieces"),
+            F.sum("cnt").cast("long").alias("piece_occurrences"),
+            total_chars.cast("long").alias("total_chars"),
+            total_tokens.cast("long").alias("total_tokens"),
+            (total_chars.cast("double") / total_tokens.cast("double")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_train_ctes() -> list[str]:
+    """Unrolled CTE chain mirroring :func:`_train_bpe` round for round
+    (the embedding_kmeans oracle pattern): v0 is the weighted letter-run
+    vocabulary with sentinel-spaced symbol strings; each round derives
+    pair counts, picks the (count desc, pair asc) top-1 via scalar
+    subqueries, and applies the identical CANONICAL replace chain
+    (:func:`_bpe_merge_sql_expr`). Shared by the merge-table and the
+    apply oracles."""
     ctes = [
         """v0 AS (
             SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -476,6 +580,9 @@ def _bpe_merge_sql() -> str:
     ]
     for r in range(1, BPE_MERGE_ROUNDS + 1):
         p = r - 1
+        applied = _bpe_merge_sql_expr(
+            "s", f"(SELECT pair FROM t{r})", f"(SELECT merged FROM t{r})"
+        )
         ctes.append(
             f"""p{r} AS (
             SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c FROM (
@@ -488,23 +595,55 @@ def _bpe_merge_sql() -> str:
             SELECT pair, c, replace(pair, ' ', '') AS merged
             FROM p{r} ORDER BY c DESC, pair LIMIT 1
         ), v{r} AS (
-            SELECT piece, cnt,
-                   replace(s, ' ' || (SELECT pair FROM t{r}) || ' ',
-                           ' ' || (SELECT merged FROM t{r}) || ' ') AS s,
-                   s AS prev_s
+            SELECT piece, cnt, {applied} AS s, s AS prev_s
             FROM v{p}
         ), a{r} AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS aff FROM v{r}
             WHERE s != prev_s
         )"""
         )
+    return ctes
+
+
+def _bpe_merge_sql() -> str:
+    """DuckDB oracle for :func:`bpe_merge_table`."""
     selects = " UNION ALL ".join(
         f"""SELECT {r} AS round, t{r}.pair, t{r}.merged,
                t{r}.c AS pair_count, (SELECT aff FROM a{r}) AS pieces_affected
            FROM t{r}"""
         for r in range(1, BPE_MERGE_ROUNDS + 1)
     )
-    return f"WITH {', '.join(ctes)} {selects} ORDER BY round"
+    return f"WITH {', '.join(_bpe_train_ctes())} {selects} ORDER BY round"
+
+
+def _bpe_apply_sql() -> str:
+    """DuckDB oracle for :func:`bpe_apply_stats`: the same unrolled
+    training rounds, then the identical canonical replace chain applied
+    to the per-language weighted vocabulary."""
+    s = "' ' || regexp_replace(piece, '(.)', '\\1 ', 'g')"
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        s = _bpe_merge_sql_expr(
+            s, f"(SELECT pair FROM t{r})", f"(SELECT merged FROM t{r})"
+        )
+    return f"""WITH {', '.join(_bpe_train_ctes())}, lv AS (
+            SELECT lang, piece, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT lang,
+                       UNNEST(regexp_extract_all(text, '[A-Za-z]+')) AS piece
+                FROM documents
+            ) GROUP BY lang, piece
+        ), applied AS (
+            SELECT lang, cnt, CAST(len(piece) AS BIGINT) AS chars,
+                   CAST(len(string_split(trim({s}), ' ')) AS BIGINT) AS tok
+            FROM lv
+        )
+        SELECT lang, COUNT(*) AS n_pieces,
+               CAST(SUM(cnt) AS BIGINT) AS piece_occurrences,
+               CAST(SUM(cnt * chars) AS BIGINT) AS total_chars,
+               CAST(SUM(cnt * tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(cnt * chars) AS DOUBLE)
+                   / CAST(SUM(cnt * tok) AS DOUBLE) AS chars_per_token
+        FROM applied GROUP BY lang ORDER BY lang"""
 
 
 # --- DuckDB oracles ---------------------------------------------------------
@@ -623,6 +762,7 @@ ORACLE: dict[str, str] = {
 }
 
 ORACLE["text_bpe_merges"] = _bpe_merge_sql()
+ORACLE["text_bpe_apply"] = _bpe_apply_sql()
 
 QUERIES = {
     "contamination_stats": contamination_stats,
@@ -630,5 +770,6 @@ QUERIES = {
     "temperature_rebalance": temperature_rebalance,
     "text_bpe_pairs": bpe_pair_stats,
     "text_bpe_merges": bpe_merge_table,
+    "text_bpe_apply": bpe_apply_stats,
     "training_epoch_order": training_epoch_order,
 }

@@ -62,12 +62,21 @@ def stored_table(
     build: Callable[[], DataFrame],
     n_buckets: int = DEFAULT_BUCKETS,
     src_table: str | None = None,
+    supersede_prefix: str | None = None,
 ) -> DataFrame:
     """Return the stored table ``name`` for (corpus, tag), building it
     write-through from ``build()`` on first touch. Pass ``src_table``
     (the corpus table the structure derives from) to fold its content
     fingerprint into the path — regenerated source data then forces a
-    fresh build instead of reading a stale index."""
+    fresh build instead of reading a stale index.
+
+    ``supersede_prefix`` marks ``name`` as the SOLE live generation of a
+    table family whose name embeds its own parameter tag (e.g.
+    ``recall_frontier_<frontier-tag>``): on first build of a new tag,
+    sibling tables in the same database that share the prefix but not
+    the current name are dropped and their files removed — a tag-format
+    change would otherwise orphan the old generation forever (round-12
+    ADVICE: it is never read under the new tag and never cleaned)."""
     # the bucket count shapes the physical layout exactly like any
     # semantic parameter: folding it into the path means a changed
     # count builds a fresh layout instead of re-attaching old files
@@ -85,6 +94,26 @@ def stored_table(
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     path = f"{loc}/{name}"
     existing = {t.name for t in spark.catalog.listTables(db)}
+    if supersede_prefix and name not in existing:
+        # GC superseded same-family generations: attached stale tables
+        # are dropped from the catalog, and stale dirs (attached or
+        # left by a previous session) are removed from disk. Only this
+        # database's tables sharing the family prefix are touched.
+        import shutil
+
+        for t in sorted(existing):
+            if t.startswith(supersede_prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+                existing.discard(t)
+        if os.path.isdir(loc):
+            for d in os.listdir(loc):
+                stale = os.path.join(loc, d)
+                if (
+                    d.startswith(supersede_prefix)
+                    and d != name
+                    and os.path.isdir(stale)
+                ):
+                    shutil.rmtree(stale, ignore_errors=True)
     if name not in existing:
         if stem and not os.path.exists(f"{path}/_SUCCESS"):
             # first touch of a NEW corpus generation: prune this

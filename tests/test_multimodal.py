@@ -50,6 +50,15 @@ def test_resize_requires_codec(media):
     assert "NotImplementedError" in str(err.value) or "requires PIL" in str(err.value)
 
 
+def test_resize_default_is_fail_loud(media):
+    """The PUBLIC default is require_real_codec=True (round-12 ADVICE):
+    callers that don't opt into the fake resample fail loudly rather
+    than silently receiving fake pixels."""
+    with pytest.raises(Exception) as err:
+        mm.resize_images(media, 32).collect()
+    assert "NotImplementedError" in str(err.value) or "requires PIL" in str(err.value)
+
+
 def test_resize_plan_semantics(spark):
     """Aspect-preserving target math: a resized item's longer side lands
     EXACTLY on the target (floor(max·256/max) = 256), nothing grows, and
@@ -95,7 +104,7 @@ def test_resize_exec_fake_resample(media):
     import math
 
     orig = {r.media_id: bytes(r.payload) for r in media.collect()}
-    rows = mm.resize_images(media, 32).collect()
+    rows = mm.resize_images(media, 32, require_real_codec=False).collect()
     assert all(r.resized is True for r in rows)  # mx=64 > 32
     for r in rows:
         assert (r.src_w, r.src_h, r.dst_w, r.dst_h) == (64, 32, 32, 16)
@@ -109,7 +118,7 @@ def test_resize_exec_fake_resample(media):
 
 def test_resize_passthrough_at_or_under_target(media):
     # synth dims 64×32 ≤ default target 256 → payload passes through
-    out = mm.resize_images(media)
+    out = mm.resize_images(media, require_real_codec=False)
     rows = out.collect()
     assert all(r.resized is False for r in rows)
     assert all((r.dst_w, r.dst_h) == (r.src_w, r.src_h) for r in rows)

@@ -281,7 +281,7 @@ def test_resize_exec_matches_python_reference(spark, rows):
         "media_id long, kind string, payload binary, "
         "meta struct<width:int,height:int,sample_rate:int,n_frames:int,format:string>",
     )
-    got = {r.media_id: r for r in mm.resize_images(df, mm.RESIZE_MAX_SIDE).collect()}
+    got = {r.media_id: r for r in mm.resize_images(df, mm.RESIZE_MAX_SIDE, require_real_codec=False).collect()}
     for i, (payload, w, h) in enumerate(rows):
         n, mx = len(payload), max(w, h)
         if mx > mm.RESIZE_MAX_SIDE:

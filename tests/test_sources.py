@@ -430,6 +430,48 @@ def test_stored_table_prunes_superseded_fingerprints(spark, tmp_path):
     }
 
 
+def test_stored_table_supersede_prefix_gcs_stale_generations(spark, tmp_path):
+    """A table family whose parameter tag lives in the TABLE name (the
+    recall_frontier shape) must GC superseded generations on first
+    build of a new tag (round-12 ADVICE: a tag-format change otherwise
+    orphans the old table in the same database forever). Tables outside
+    the family prefix must survive."""
+    from automotive_big_data_analysis_spark.sources import stored
+
+    src = str(tmp_path / "corpus")
+    spark.range(5).toDF("doc_id").write.parquet(f"{src}/documents.parquet")
+
+    def build():
+        return spark.read.parquet(f"{src}/documents.parquet").selectExpr(
+            "doc_id", "doc_id * 2 AS v"
+        )
+
+    def make(name, prefix=None):
+        return stored.stored_table(
+            spark, str(tmp_path / "wh"), "gc_test", src, "tag", name,
+            "doc_id", build, src_table="documents",
+            supersede_prefix=prefix,
+        )
+
+    make("frontier_012", prefix="frontier_")
+    make("unrelated")  # outside the family — must survive
+    db_dir = next(d for d in (tmp_path / "wh").iterdir())
+    assert (db_dir / "frontier_012").is_dir()
+    # new tag format supersedes the old generation
+    out = make("frontier_0_1_2", prefix="frontier_")
+    assert out.count() == 5
+    names = {d.name for d in db_dir.iterdir() if d.is_dir()}
+    assert "frontier_0_1_2" in names
+    assert "frontier_012" not in names  # GC'd: dir removed
+    assert "unrelated" in names
+    # and the catalog no longer lists the stale generation
+    db = next(
+        x.name for x in spark.catalog.listDatabases() if x.name.startswith("gc_test")
+    )
+    tables = {t.name for t in spark.catalog.listTables(db)}
+    assert "frontier_012" not in tables and "frontier_0_1_2" in tables
+
+
 def test_schema_evolution_merged_read_null_fills_exactly(spark):
     """mergeSchema across producer generations: row-lossless union,
     `value` null-filled for exactly the generation-1 rows, generation

@@ -183,11 +183,35 @@ def test_epoch_order_avoids_single_partition_corpus_window(spark):
     assert len(corpus_windows) == 0
 
 
+def _py_canonical_merge(s: str, pair: str, merged: str) -> str:
+    """The Python twin of ``tp._bpe_merge_expr`` (space-doubling trick)."""
+    return (
+        s.replace(" ", "  ")
+        .replace(" " + pair.replace(" ", "  ") + " ", f" {merged} ")
+        .replace("  ", " ")
+    )
+
+
+def _token_scan_merge(syms: list[str], a: str, b: str, merged: str) -> list[str]:
+    """Canonical BPE merge application by direct left-to-right token scan
+    — the tokenizer-standard definition the replace trick must match."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def test_bpe_merges_reference_replay(spark):
     """The 3-round merge loop equals a direct Python replay of the shared
     definition (weighted adjacent-pair counts over the letter-run
-    vocabulary, (count desc, pair asc) top-1, literal left-to-right
-    replace) — including the boundary-space-consumption overlap case."""
+    vocabulary, (count desc, pair asc) top-1, CANONICAL non-overlapping
+    merge application) — and the space-doubling replace trick equals the
+    token-scan definition on every vocabulary piece it touches."""
     import re
     from collections import Counter
 
@@ -205,12 +229,15 @@ def test_bpe_merges_reference_replay(spark):
                 pc[f"{a} {b}"] += vocab[w]
         top = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
         pair, c = top
+        a, b = pair.split(" ")
         merged = pair.replace(" ", "")
         affected = 0
         for w, s in state.items():
-            # str.replace IS left-to-right non-overlapping — the same
-            # semantics as Spark F.replace and DuckDB replace
-            ns = s.replace(f" {pair} ", f" {merged} ")
+            ns = _py_canonical_merge(s, pair, merged)
+            # the replace trick IS the token-scan canonical definition
+            assert ns == " " + " ".join(
+                _token_scan_merge(s.split(), a, b, merged)
+            ) + " "
             if ns != s:
                 affected += 1
             state[w] = ns
@@ -225,18 +252,74 @@ def test_bpe_merges_reference_replay(spark):
     assert all(c > 0 for c in counts)
 
 
-def test_replace_overlap_semantics_shared(spark):
-    """Pin the boundary-space-consumption behavior the merge relies on:
-    ' a b a b ' merges only the FIRST occurrence (the match consumes the
-    shared boundary space) — identically in Spark, DuckDB, and Python."""
+def test_canonical_merge_semantics_shared(spark):
+    """Pin the CANONICAL merge the space-doubling trick implements:
+    ' a b a b ' merges BOTH occurrences (adjacent matches no longer
+    share a boundary space after doubling) — identically in Spark,
+    DuckDB, and Python, and equal to the token-scan definition."""
     import duckdb
 
-    s = " a b a b "
-    py = s.replace(" a b ", " ab ")
-    spark_val = spark.createDataFrame([(s,)], "s string").select(
-        F.replace("s", F.lit(" a b "), F.lit(" ab ")).alias("r")
-    ).collect()[0].r
-    duck_val = duckdb.sql(
-        "SELECT replace(' a b a b ', ' a b ', ' ab ') AS r"
-    ).fetchone()[0]
-    assert py == spark_val == duck_val == " ab a b "
+    cases = [
+        (" a b a b ", "a b", "ab", " ab ab "),  # immediate re-occurrence
+        (" a a a ", "a a", "aa", " aa a "),  # self-overlap stays non-overlapping
+        (" x y ", "a b", "ab", " x y "),  # no occurrence round-trips exactly
+        (" a b c a b ", "a b", "ab", " ab c ab "),
+    ]
+    for s, pair, merged, want in cases:
+        a, b = pair.split(" ")
+        scan = " " + " ".join(_token_scan_merge(s.split(), a, b, merged)) + " "
+        py = _py_canonical_merge(s, pair, merged)
+        spark_val = (
+            spark.createDataFrame([(s,)], "s string")
+            .select(tp._bpe_merge_expr(F.col("s"), pair, merged).alias("r"))
+            .collect()[0]
+            .r
+        )
+        duck_val = duckdb.sql(
+            "SELECT "
+            + tp._bpe_merge_sql_expr(f"'{s}'", f"'{pair}'", f"'{merged}'")
+            + " AS r"
+        ).fetchone()[0]
+        assert py == spark_val == duck_val == scan == want
+
+
+def test_bpe_apply_reference_replay(spark):
+    """bpe_apply_stats equals a Python replay: train the merges, apply
+    them canonically to the per-lang letter-run vocabulary, aggregate
+    weighted token/char totals."""
+    import re
+    from collections import Counter
+
+    merges = [(r[1], r[2]) for r in tp._train_bpe(spark, SF)]
+    assert len(merges) == tp.BPE_MERGE_ROUNDS
+    docs = load_table(spark, SF, "documents").select("lang", "text").collect()
+    lv = Counter()
+    for r in docs:
+        for piece in re.findall(r"[A-Za-z]+", r.text):
+            lv[(r.lang, piece)] += 1
+    agg = {}
+    for (lang, piece), cnt in lv.items():
+        s = " " + " ".join(piece) + " "
+        for pair, merged in merges:
+            s = _py_canonical_merge(s, pair, merged)
+        tok = len(s.split())
+        a = agg.setdefault(lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += cnt
+        a[2] += cnt * len(piece)
+        a[3] += cnt * tok
+    got = {
+        r.lang: (
+            r.n_pieces,
+            r.piece_occurrences,
+            r.total_chars,
+            r.total_tokens,
+            r.chars_per_token,
+        )
+        for r in tp.bpe_apply_stats(spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for lang, (np_, occ, chars, toks) in agg.items():
+        assert got[lang] == (np_, occ, chars, toks, chars / toks)
+        # merges genuinely compress: tokens after < chars (= tokens before)
+        assert toks < chars
