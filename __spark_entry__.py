@@ -37,21 +37,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #       Spark/DuckDB/Python, pinned against a token-scan reference in
 #       tests/test_training_prep.py; the oracle unrolls the identical
 #       canonical chain).
-#   (b) position 2: `text_bpe_apply` (NEW this round — VERDICT item 2):
-#       the post-training encode pass closing the BPE lifecycle — the
-#       corpus tokenized WITH the trained merge table over the per-lang
-#       weighted letter-run vocabulary; per-lang token counts and
-#       chars/token compression; oracle replays the training rounds and
-#       the canonical apply chain verbatim.
+#   (b) positions 2-3: the TWO queries registered this round:
+#       * `text_bpe_apply` (VERDICT item 2): the post-training encode
+#         pass closing the BPE lifecycle — the corpus tokenized WITH
+#         the trained merge table over the per-lang weighted letter-run
+#         vocabulary; per-lang token counts and chars/token
+#         compression; oracle replays the training rounds and the
+#         canonical apply chain verbatim.
+#       * `dedup_index_update_stats` (VERDICT item 7): nightly UPDATE
+#         accounting for the banded-MinHash pair index — the
+#         knn_index_update_stats shape applied to dedup: per band,
+#         history/incoming bucket occupancy and the combinatorial
+#         count of NEW candidate pairs tonight's batch enqueues,
+#         estimated from per-bucket arithmetic without materializing
+#         the pair space.
 #   (c) the TWENTY r9-cohort queries displaced from the r12 window
 #       (oldest driver evidence in the registry; named with kin
 #       rationale in the round-12 header below), rotated back exactly
 #       as ordered there.
-#   (d) 28 of the 46-query r10 freshness cohort (newest driver row =
-#       r10; 2+20 take 22 slots), chosen so every operator FAMILY in
+#   (d) 27 of the 46-query r10 freshness cohort (newest driver row =
+#       r10; 3+20 take 23 slots), chosen so every operator FAMILY in
 #       the cohort is represented and both r12 watch items get fresh
 #       driver evidence (`stream_user_totals_evict`,
-#       `dedup_corpus_overlap`). The EIGHTEEN displaced — each
+#       `dedup_corpus_overlap`). The NINETEEN displaced — each
 #       r10-driver-green, value-unchanged, re-verified on this round's
 #       committed six-config sweeps, ALL from the relational/TPC-H
 #       family whose in-window kin coverage is the densest in the
@@ -70,8 +78,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #       large_volume_customers, local_supplier_volume, min_cost_supplier,
 #       nation_market_share, order_priority_check, priority_status_pivot,
 #       product_type_profit, promo_revenue_ratio, returned_item_revenue,
-#       shipping_priority, small_quantity_revenue. Rotate them back in
-#       r14.
+#       shipping_priority, small_quantity_revenue, rollup_order_counts
+#       (GROUP-BY-count kin year_trend + events_rollup_hierarchy
+#       in-window). Rotate them back in r14.
 # After this gate every registered query is driver-green at least once,
 # nothing has evidence older than r10 except the 18 adjudicated
 # displacements, and the full registry is re-verified by this round's
@@ -268,8 +277,10 @@ _SWEEP_PRIORITY = [
     # (a) the r12 post-freeze registration (no driver row) — ALSO
     # value-changed this round (canonical merge application)
     "text_bpe_merges",
-    # (b) NEW this round: the post-training encode pass
+    # (b) NEW this round: the post-training encode pass + the dedup
+    # index-update accounting (VERDICT items 2 and 7)
     "text_bpe_apply",
+    "dedup_index_update_stats",
     # (c) the displaced r9 cohort, rotated back (oldest driver evidence)
     "embedding_label_centroids",
     "embedding_projection_quality",
@@ -320,7 +331,6 @@ _SWEEP_PRIORITY = [
     "bloom_prune_join_stats",
     "events_rollup_hierarchy",
     "year_trend",
-    "rollup_order_counts",
 ]
 # The window is exactly full (50 entries).
 

@@ -237,6 +237,38 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_candidates(sh, _minhash_candidates_table(spark, sf_dir))
 
 
+def _band_entries(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bucket): one banded-LSH bucket key per
+    (document, band) — the stacked index-entry form both the candidate
+    build and the index-update accounting aggregate over."""
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)],
+                )
+            ).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    return bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"band{b}").alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band_id", "e.bucket")
+
+
 def _minhash_candidates_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored banded-LSH candidate pair list (see
     :func:`minhash_lsh_pairs` for the semantics) — split out so the
@@ -246,33 +278,7 @@ def _minhash_candidates_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_cached(spark, sf_dir)
 
     def build() -> DataFrame:
-        sig = _minhash_signatures(sh)
-        bands = sig.select(
-            "doc_id",
-            *[
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)],
-                    )
-                ).alias(f"band{b}")
-                for b in range(N_BANDS)
-            ],
-        )
-        stacked = bands.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.col(f"band{b}").alias("bucket"),
-                        )
-                        for b in range(N_BANDS)
-                    ]
-                )
-            ).alias("e"),
-        ).select("doc_id", "e.band_id", "e.bucket")
+        stacked = _band_entries(_minhash_signatures(sh))
         left = stacked.alias("x")
         right = stacked.alias("y")
         return (
@@ -475,6 +481,63 @@ def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("hist_dup") == 0) & (F.col("batch_dup") == 0), 1)
             .otherwise(0)
         ).cast("long").alias("n_admitted"),
+    )
+
+
+def index_update_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly UPDATE accounting for the banded-MinHash dedup index —
+    the ``knn_index_update_stats`` shape applied to the pair index
+    (round-12 VERDICT item 7): the INCOMING batch (doc_id %
+    ``INCOMING_MOD`` == 0, the split :func:`incremental_dedup_stats`
+    dedups with) is assigned to band buckets under the FROZEN banding
+    (the salted-md5 bands are data-independent, the analog of the
+    frozen ANN codebook), and the report prices tonight's index update
+    per band BEFORE any pair is materialized: how many bucket entries
+    each split holds, how many buckets the batch touches, the
+    combinatorial count of NEW candidate pairs the update enqueues for
+    verification (incoming×history collisions plus incoming-internal
+    pairs per bucket), and the hottest bucket's incoming load (the
+    post-ingest skew signal — a bucket whose postings grow unboundedly
+    wants attention, the dedup twin of the ANN hot-cell vote).
+
+    Scale shape: one pass over the STORED shingle index → |docs|-row
+    signatures → |docs|×``N_BANDS`` stacked entries → a partial-combined
+    aggregate keyed on (band, bucket) → an ``N_BANDS``-row report.
+    Candidate WORK is estimated from per-bucket occupancy arithmetic —
+    the quadratic pair space is never generated (at 100 TB this is the
+    report a scheduler reads to size tonight's verify stage).
+    Deterministic end-to-end (salted md5 everywhere), so DuckDB replays
+    it exactly."""
+    sh = _shingles_cached(spark, sf_dir)
+    stacked = _band_entries(_minhash_signatures(sh))
+    inc = F.col("doc_id") % INCOMING_MOD == 0
+    per_bucket = stacked.groupBy("band_id", "bucket").agg(
+        F.sum(F.when(~inc, 1).otherwise(0)).alias("nh"),
+        F.sum(F.when(inc, 1).otherwise(0)).alias("ni"),
+    )
+    return (
+        per_bucket.groupBy("band_id")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("nh").cast("long").alias("n_hist_entries"),
+            F.sum("ni").cast("long").alias("n_inc_entries"),
+            F.sum(F.when(F.col("ni") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_buckets_touched"),
+            F.sum(F.col("ni") * F.col("nh")).cast("long").alias(
+                "n_new_cross_cands"
+            ),
+            # ni*(ni-1) is even, so the half is exact in one double
+            # division on both engines (same IEEE op, values ≪ 2^53)
+            (F.sum(F.col("ni") * (F.col("ni") - 1)) / F.lit(2))
+            .cast("long")
+            .alias("n_new_within_cands"),
+            F.round(
+                F.sum("ni") / (F.sum("nh") + F.sum("ni")), 6
+            ).alias("incoming_share"),
+            F.max("ni").cast("long").alias("max_bucket_incoming"),
+        )
+        .orderBy("band_id")
     )
 
 
@@ -1283,6 +1346,35 @@ ORACLE["dedup_incremental_stats"] = (
     """
 )
 
+# The banded index-entry CTE (sh → msig → bands) reused verbatim; the
+# per-bucket occupancy arithmetic mirrors index_update_stats exactly.
+ORACLE["dedup_index_update_stats"] = (
+    _SHINGLES_CTE
+    + _MINHASH_CAND_CTE
+    + f"""
+    , fb AS (
+        SELECT band_id, bucket,
+               SUM(CASE WHEN doc_id % {INCOMING_MOD} = 0 THEN 0 ELSE 1 END)
+                   AS nh,
+               SUM(CASE WHEN doc_id % {INCOMING_MOD} = 0 THEN 1 ELSE 0 END)
+                   AS ni
+        FROM bands GROUP BY band_id, bucket
+    )
+    SELECT band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(nh) AS BIGINT) AS n_hist_entries,
+           CAST(SUM(ni) AS BIGINT) AS n_inc_entries,
+           CAST(SUM(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buckets_touched,
+           CAST(SUM(ni * nh) AS BIGINT) AS n_new_cross_cands,
+           CAST(SUM(ni * (ni - 1)) / 2 AS BIGINT) AS n_new_within_cands,
+           ROUND(CAST(SUM(ni) AS DOUBLE) / (SUM(nh) + SUM(ni)), 6)
+               AS incoming_share,
+           CAST(MAX(ni) AS BIGINT) AS max_bucket_incoming
+    FROM fb GROUP BY band_id ORDER BY band_id
+"""
+)
+
 QUERIES = {
     "dedup_exact_stats": exact_stats,
     "dedup_ngram_pairs": ngram_jaccard_pairs,
@@ -1292,6 +1384,7 @@ QUERIES = {
     "dedup_simhash_groups": simhash_groups,
     "dedup_cdc_chunks": cdc_chunk_stats,
     "dedup_incremental_stats": incremental_dedup_stats,
+    "dedup_index_update_stats": index_update_stats,
     "dedup_quality_report": candidate_quality_report,
     "dedup_corpus_overlap": corpus_overlap_stats,
     "dedup_span_stats": duplicate_span_stats,

@@ -371,3 +371,51 @@ def test_span_stats_agrees_with_naive_recomputation(spark, tmp_path):
     assert row.dup_positions == dup_pos
     assert row.dup_ratio == round(dup_pos / n_pos, 6)
     assert row.n_crossdoc_spans > 0  # the planted overlap was detected
+
+
+def test_index_update_stats_reconciles_with_band_entries(spark):
+    """The per-band update report reconciles with a direct Python replay
+    over the stacked band entries at sf0.001: every doc contributes one
+    entry per band (n_hist + n_inc == |docs| per band), the bucket
+    arithmetic matches the combinatorial definition, and the report
+    prices candidate work without materializing pairs."""
+    from collections import defaultdict
+
+    SF = "/root/testdata/sf0.001"
+    sh = dedup._shingles_cached(spark, SF)
+    entries = dedup._band_entries(dedup._minhash_signatures(sh)).collect()
+    n_docs = len({e.doc_id for e in entries})
+    per = defaultdict(lambda: [0, 0])  # (band, bucket) -> [nh, ni]
+    for e in entries:
+        per[(e.band_id, e.bucket)][e.doc_id % dedup.INCOMING_MOD == 0] += 1
+    expect = {}
+    for band in range(dedup.N_BANDS):
+        bs = {k: v for k, v in per.items() if k[0] == band}
+        nh = sum(v[0] for v in bs.values())
+        ni = sum(v[1] for v in bs.values())
+        expect[band] = (
+            len(bs),
+            nh,
+            ni,
+            sum(1 for v in bs.values() if v[1] > 0),
+            sum(v[0] * v[1] for v in bs.values()),
+            sum(v[1] * (v[1] - 1) for v in bs.values()) // 2,
+            round(ni / (nh + ni), 6),
+            max(v[1] for v in bs.values()),
+        )
+    got = {
+        r.band_id: (
+            r.n_buckets,
+            r.n_hist_entries,
+            r.n_inc_entries,
+            r.n_buckets_touched,
+            r.n_new_cross_cands,
+            r.n_new_within_cands,
+            r.incoming_share,
+            r.max_bucket_incoming,
+        )
+        for r in dedup.index_update_stats(spark, SF).collect()
+    }
+    assert got == expect
+    for band, (nb, nh, ni, *_rest) in expect.items():
+        assert nh + ni == n_docs  # one entry per (doc, band)
