@@ -86,6 +86,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # displacements, and the full registry is re-verified by this round's
 # committed six-config sweeps.
 #
+# POST-FREEZE registration (registry 168 → 169), with a six-config
+# local addendum in ORACLE_ADDENDUM_r13.txt (all green, hashes
+# layout-invariant per SF) — lead the r14 window with it (the
+# r10-zstd/r11-footprint/r12-bpe posture, cleared every time):
+#   * `knn_index_gc_audit` — the stale-generation warehouse GC audit,
+#     knn_index_footprint's sibling (r12 VERDICT item 7's named
+#     candidate): which stored index GENERATIONS are stale under the
+#     current tags and what they hold, gated deterministically via a
+#     planted three-generation lifecycle replay (the
+#     docs_pii_scrub_planted convention); the production removal sweep
+#     `sources/stored.gc_stale_generations` is exercised on real
+#     leftovers every run and pytest-gated for the remove path.
+#
 # Round-12 policy (kept for provenance; per round-11 VERDICT items 1/2):
 #   (a) positions 1-2: the TWO r11 post-freeze registrations — the only
 #       registry entries with no driver row ever (six-config local

@@ -1897,6 +1897,131 @@ def knn_index_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GC_AUDIT_LOCATION = "/tmp/abda_gc_audit"
+# The stale-params generation is planted under the factor-1.0
+# PREDECESSOR of the shipped K = clamp(ceil(2.0·sqrt(N)), 8, 65536)
+# coarse-quantizer sizing (the r8-era fixed operating point's shape).
+# Interpolated into BOTH engines' expressions (round-12 ADVICE
+# discipline for shared formula constants).
+GC_SUPERSEDED_K_FACTOR = 1.0
+
+
+def _gc_k_old(n: int) -> int:
+    """Coarse-quantizer size under the superseded factor-1.0 rule."""
+    import math
+
+    return min(
+        max(math.ceil(GC_SUPERSEDED_K_FACTOR * math.sqrt(n)), IVF_K_MIN),
+        IVF_K_MAX,
+    )
+
+
+def knn_index_gc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STALE-GENERATION warehouse GC audit — ``knn_index_footprint``'s
+    sibling (round 13, closing the index-storage lifecycle: integrity →
+    footprint → GC): which stored index GENERATIONS are stale under the
+    current tags, what they hold, and which the nightly sweep reclaims.
+    The parameter-tagged path scheme (``sources/stored.py``) guarantees
+    a superseded tag is never read again, so every non-live generation
+    is pure disk leak — the class round-12 ADVICE observed on a
+    tag-format change. ``stored_table``'s build-time pruning only fires
+    when a NEW generation is built; :func:`gc_stale_generations` is the
+    standalone sweep for the no-rebuild case, and this audit gates it.
+
+    Determinism (the ``docs_pii_scrub_planted`` convention): the audit
+    runs against a PLANTED warehouse-lifecycle replay in a dedicated
+    location — three generations of a two-table index family built from
+    the corpus by the real machinery: the LIVE generation under the
+    current tag + corpus fingerprint, a generation trained under the
+    superseded factor-{GC_SUPERSEDED_K_FACTOR} sizing and the pre-SQ8
+    tag FORMAT (``stale_params``), and the current tag over a
+    superseded corpus fingerprint (``stale_corpus``). Each run first
+    lets the production sweep reclaim any lineage outside the three
+    current bases (exercising the removal path on real leftovers), then
+    plants what is missing and reports the classification. Spark COUNTS
+    THE STORED FILES while the oracle derives the same counts from the
+    sizing definitions — the footprint integrity trick: equality
+    certifies the planted artifacts match their definitions and the
+    classifier saw exactly the generations it should.
+
+    Scale shape: driver-side metadata walk (os.stat only) plus three
+    codebook-scale parquet counts; nothing touches vector payloads.
+    Reclaim itself is plan-only here (``reclaim`` column); the removing
+    entry point is ``gc_stale_generations(remove=True)``, pytest-gated
+    (a lazily-evaluated report cannot read files its own builder
+    already deleted)."""
+    import functools
+    import os
+
+    from automotive_big_data_analysis_spark.sources.stored import (
+        gc_stale_generations,
+        source_fingerprint,
+    )
+
+    p = ivf_params(spark, sf_dir)
+    corpus = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    fp = source_fingerprint(sf_dir, "embeddings")
+    assert fp != "0" * 10  # the planted stale-corpus fingerprint
+    tag = _index_tag(p)
+    # pre-SQ8 tag format: every component up to (not including) the
+    # trailing s{SQ8_LEVELS} — component letters are unique, so rfind
+    # is exact
+    old_format_tag = tag[: tag.rfind("s")]
+    k_old = _gc_k_old(p.n)
+    gens = [
+        ("live", f"{corpus}_{tag}_{fp}", p.k, True),
+        ("stale_corpus", f"{corpus}_{tag}_{'0' * 10}", p.k, False),
+        ("stale_params", f"{corpus}_{old_format_tag}_{fp}", k_old, False),
+    ]
+    # nightly sweep first: reclaim lineage outside the current three
+    # bases (superseded fingerprints from earlier corpus generations)
+    gc_stale_generations(
+        GC_AUDIT_LOCATION,
+        f"{corpus}_",
+        keep_bases={base for _, base, _, _ in gens},
+        remove=True,
+    )
+    emb = _emb(spark, sf_dir)
+    parts = []
+    for gen, base, k_cb, is_live in gens:
+        loc = f"{GC_AUDIT_LOCATION}/{base}"
+        tables = {
+            "codebook": _seed_rows(emb, k_cb).select("vec_id"),
+            "cells": _seed_rows(emb, (k_cb + 1) // 2).select(
+                F.col("vec_id").alias("cell_id")
+            ),
+        }
+        for t, df in tables.items():
+            if not os.path.exists(f"{loc}/{t}/_SUCCESS"):
+                df.coalesce(1).write.mode("overwrite").parquet(f"{loc}/{t}")
+        n_tables = len(
+            [
+                t
+                for t in os.listdir(loc)
+                if os.path.isdir(os.path.join(loc, t))
+            ]
+        )
+        stored = functools.reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(f"{loc}/{t}").select(F.lit(1).alias("one"))
+                for t in sorted(tables)
+            ],
+        )
+        parts.append(
+            stored.agg(F.count("*").cast("long").alias("n_rows")).select(
+                F.lit(gen).alias("generation"),
+                F.lit(n_tables).cast("long").alias("n_tables"),
+                "n_rows",
+                F.lit(is_live).alias("is_live"),
+                F.lit(not is_live).alias("reclaim"),
+            )
+        )
+    return functools.reduce(DataFrame.unionByName, parts).orderBy(
+        "generation"
+    )
+
+
 def projection_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss projection audit: per label, how well the
     fixed random projection to ``vectors.PROJ_DIM`` dims preserves
@@ -3221,6 +3346,34 @@ ORACLE["knn_index_footprint"] = f"""
     FROM counts ORDER BY artifact
 """
 
+# GC audit: the oracle derives each planted generation's stored row
+# counts from the sizing DEFINITIONS — live/stale_corpus under the
+# current k, stale_params under the superseded factor-1.0 rule — while
+# Spark counts the planted files (the footprint integrity trick).
+ORACLE["knn_index_gc_audit"] = f"""
+    WITH e AS (
+        SELECT vec_id FROM embeddings
+    ){_PARAMS_CTE}, p2 AS (
+        SELECT k,
+               LEAST(GREATEST(CAST(CEIL({GC_SUPERSEDED_K_FACTOR}
+                                        * SQRT(n)) AS BIGINT),
+                              {IVF_K_MIN}), {IVF_K_MAX}) AS k_old
+        FROM pk
+    ), g AS (
+        SELECT 'live' AS generation, k + (k + 1) // 2 AS n_rows,
+               TRUE AS is_live
+        FROM p2
+        UNION ALL
+        SELECT 'stale_corpus', k + (k + 1) // 2, FALSE FROM p2
+        UNION ALL
+        SELECT 'stale_params', k_old + (k_old + 1) // 2, FALSE FROM p2
+    )
+    SELECT generation, CAST(2 AS BIGINT) AS n_tables,
+           CAST(n_rows AS BIGINT) AS n_rows, is_live,
+           NOT is_live AS reclaim
+    FROM g ORDER BY generation
+"""
+
 # Autotune selection over the frontier: the full tradeoff oracle nests
 # as a CTE; the shared tie rule (clears-target, then cheapest probe,
 # then best recall) replays exactly.
@@ -3348,6 +3501,7 @@ QUERIES = {
     "knn_recall_report_hybrid_sq8": _recall_report_family("hybrid_sq8"),
     "knn_recall_tradeoff": knn_recall_tradeoff,
     "knn_index_footprint": knn_index_footprint,
+    "knn_index_gc_audit": knn_index_gc_audit,
     "knn_operating_point": knn_operating_point,
     "knn_index_update_stats": index_update_stats,
     "knn_index_retrain_decision": index_retrain_decision,

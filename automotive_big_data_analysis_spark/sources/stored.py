@@ -51,6 +51,65 @@ def source_fingerprint(sf_dir: str, table: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
+def scan_generations(location: str, corpus_prefix: str) -> list[dict]:
+    """One dict per on-disk index GENERATION (database directory) under
+    ``location`` belonging to ``corpus_prefix``: its base name, the
+    table directories it contains, and the bytes it holds. Driver-side
+    metadata walk (``os.stat`` only — the ``source_fingerprint``
+    discipline); no data files are opened. This is the inventory half
+    of the warehouse GC an index fleet runs per corpus snapshot: the
+    parameter-tagged path scheme guarantees a SUPERSEDED tag is never
+    read again, so every generation that is not the live base is pure
+    disk leak (round-12 ADVICE observed exactly that class on a
+    tag-format change)."""
+    out: list[dict] = []
+    if not os.path.isdir(location):
+        return out
+    for d in sorted(os.listdir(location)):
+        base = os.path.join(location, d)
+        if not d.startswith(corpus_prefix) or not os.path.isdir(base):
+            continue
+        tables = sorted(
+            t
+            for t in os.listdir(base)
+            if os.path.isdir(os.path.join(base, t))
+        )
+        n_bytes = 0
+        for root, _dirs, files in os.walk(base):
+            for fn in files:
+                n_bytes += os.stat(os.path.join(root, fn)).st_size
+        out.append({"base": d, "tables": tables, "bytes": n_bytes})
+    return out
+
+
+def gc_stale_generations(
+    location: str,
+    corpus_prefix: str,
+    keep_bases: set[str],
+    remove: bool = False,
+) -> list[dict]:
+    """Classify every generation of ``corpus_prefix`` under ``location``
+    as live (its base is in ``keep_bases``) or stale, and — with
+    ``remove`` — reclaim the stale ones from disk. Returns the
+    pre-removal inventory with ``live``/``removed`` flags. Only
+    directories owned by this corpus prefix are ever touched; other
+    corpora and unrelated locations are invisible to the walk. The
+    complement of ``stored_table``'s build-time pruning (which only
+    fires when a NEW generation is built): this is the standalone
+    nightly sweep that reclaims generations orphaned by parameter-tag
+    changes with no rebuild in between."""
+    import shutil
+
+    gens = scan_generations(location, corpus_prefix)
+    for g in gens:
+        g["live"] = g["base"] in keep_bases
+        g["removed"] = False
+        if remove and not g["live"]:
+            shutil.rmtree(os.path.join(location, g["base"]), ignore_errors=True)
+            g["removed"] = True
+    return gens
+
+
 def stored_table(
     spark: SparkSession,
     location: str,

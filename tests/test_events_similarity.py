@@ -858,3 +858,73 @@ def test_knn_ivf_sq8_candidates_respect_cell_pruning(spark):
     assert shared, "expected overlap between sq8 and ivf_sq8 top-5"
     for q, v, d in shared:
         assert sq8[(q, v)] == d
+
+
+def test_gc_stale_generations_removes_only_stale(tmp_path):
+    """The nightly warehouse sweep must reclaim exactly the non-live
+    generations of the requested corpus prefix: other corpora are
+    invisible to the walk, the live base is never touched, and the
+    returned inventory (pre-removal bytes/tables) carries the
+    live/removed classification."""
+    import os
+
+    from automotive_big_data_analysis_spark.sources.stored import (
+        gc_stale_generations,
+        scan_generations,
+    )
+
+    loc = str(tmp_path / "wh")
+    for d in ("corp_a_live", "corp_a_old", "other_b_keep"):
+        os.makedirs(os.path.join(loc, d, "t1"))
+        with open(os.path.join(loc, d, "t1", "f.parquet"), "wb") as f:
+            f.write(b"x" * 10)
+    gens = gc_stale_generations(loc, "corp_a_", {"corp_a_live"}, remove=True)
+    by = {g["base"]: g for g in gens}
+    assert set(by) == {"corp_a_live", "corp_a_old"}
+    assert by["corp_a_live"]["live"] and not by["corp_a_live"]["removed"]
+    assert by["corp_a_old"]["removed"] and not by["corp_a_old"]["live"]
+    assert by["corp_a_old"]["bytes"] == 10
+    assert by["corp_a_old"]["tables"] == ["t1"]
+    assert os.path.isdir(os.path.join(loc, "corp_a_live"))
+    assert not os.path.isdir(os.path.join(loc, "corp_a_old"))
+    assert os.path.isdir(os.path.join(loc, "other_b_keep"))
+    # remove=False is a pure plan: nothing reclaimed
+    plan = gc_stale_generations(loc, "other_b_", set(), remove=False)
+    assert plan[0]["removed"] is False
+    assert os.path.isdir(os.path.join(loc, "other_b_keep"))
+    assert scan_generations(loc, "corp_a_")[0]["base"] == "corp_a_live"
+
+
+def test_gc_audit_matches_definitions_and_sweeps_lineage(spark):
+    """The planted-lifecycle GC audit must report exactly the three
+    generations with counts the sizing definitions imply (live and
+    stale_corpus under the current k, stale_params under the superseded
+    factor-1.0 rule), classify only the live base as live, reclaim any
+    lineage outside the three current bases on its opening sweep, and
+    be idempotent run-to-run."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    stray = os.path.join(sim.GC_AUDIT_LOCATION, "sf0_001_superseded_lineage")
+    os.makedirs(os.path.join(stray, "codebook"), exist_ok=True)
+    rows = {
+        r.generation: r for r in sim.knn_index_gc_audit(spark, sf).collect()
+    }
+    p = sim.ivf_params(spark, sf)
+    k_old = sim._gc_k_old(p.n)
+    assert set(rows) == {"live", "stale_corpus", "stale_params"}
+    assert all(r.n_tables == 2 for r in rows.values())
+    assert rows["live"].n_rows == p.k + (p.k + 1) // 2
+    assert rows["stale_corpus"].n_rows == p.k + (p.k + 1) // 2
+    assert rows["stale_params"].n_rows == k_old + (k_old + 1) // 2
+    assert k_old < p.k  # the superseded sizing is a DIFFERENT point here
+    assert rows["live"].is_live and not rows["live"].reclaim
+    assert not rows["stale_corpus"].is_live and rows["stale_corpus"].reclaim
+    assert not rows["stale_params"].is_live and rows["stale_params"].reclaim
+    # the opening sweep reclaimed the planted superseded lineage
+    assert not os.path.isdir(stray)
+    # idempotent: a second run reports the identical classification
+    again = {
+        r.generation: r for r in sim.knn_index_gc_audit(spark, sf).collect()
+    }
+    assert again == rows
