@@ -86,9 +86,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # displacements, and the full registry is re-verified by this round's
 # committed six-config sweeps.
 #
-# POST-FREEZE registration (registry 168 → 169), with a six-config
-# local addendum in ORACLE_ADDENDUM_r13.txt (all green, hashes
-# layout-invariant per SF) — lead the r14 window with it (the
+# POST-FREEZE registrations (registry 168 → 170), each with a
+# six-config local addendum in ORACLE_ADDENDUM_r13.txt (all green,
+# hashes layout-invariant per SF) — lead the r14 window with them (the
 # r10-zstd/r11-footprint/r12-bpe posture, cleared every time):
 #   * `knn_index_gc_audit` — the stale-generation warehouse GC audit,
 #     knn_index_footprint's sibling (r12 VERDICT item 7's named
@@ -98,6 +98,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     docs_pii_scrub_planted convention); the production removal sweep
 #     `sources/stored.gc_stale_generations` is exercised on real
 #     leftovers every run and pytest-gated for the remove path.
+#   * `multimodal_frame_exec` — the video frame-extraction EXECUTION
+#     stage, completing the frame plan/execute pair the way
+#     multimodal_resize_exec completed resize: the identical frame
+#     selection as sample_frames, the deterministic fake decode
+#     partitioning the payload into n_frames contiguous spans
+#     [f·n // nf, (f+1)·n // nf), exact per-frame byte stats over a
+#     fixed FRAME_EXEC_PROBE video slice DuckDB-replayed via hex()
+#     arithmetic; payload-read-exactly-once plan-asserted; public
+#     operator default stays fail-loud (require_real_codec=True).
 #
 # Round-12 policy (kept for provenance; per round-11 VERDICT items 1/2):
 #   (a) positions 1-2: the TWO r11 post-freeze registrations — the only

@@ -276,6 +276,118 @@ def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
     )
 
 
+FRAME_EVERY_NTH = 10  # the sampling stride sample_frames/frame_plan use
+# The frame-exec gate hashes a FIXED-size probe slice (first N video
+# rows by media_id) — the RESIZE_EXEC_PROBE discipline: the extractor
+# pays O(selected-frame bytes) per row on both engines, so the oracle
+# cost must be SF-invariant while the operator stays unbounded.
+FRAME_EXEC_PROBE = 16
+
+
+def extract_frames(
+    df: DataFrame,
+    every_nth: int = FRAME_EVERY_NTH,
+    require_real_codec: bool = True,
+) -> DataFrame:
+    """Video frame-extraction EXECUTION stage (the pay-the-decode half
+    of the plan/execute pair — :func:`sample_frames` is the metadata-only
+    half, and this stage materializes the IDENTICAL frame selection:
+    indices ``0, every_nth, …`` below ``n_frames``).
+
+    Arrow-batched ``mapInPandas``; the codec call is isolated exactly
+    like :func:`media_features`/:func:`resize_images`, and the PUBLIC
+    default is FAIL-LOUD (``require_real_codec=True`` raises
+    NotImplementedError when no codec is installed — callers never
+    silently receive fake frames; the round-12 ADVICE discipline).
+    With a real decoder this is where the container would be demuxed
+    and the selected frames seek-decoded. The explicit
+    ``require_real_codec=False`` opt-in (what :func:`frame_exec_stats`
+    does for the oracle gate) uses the DETERMINISTIC FAKE decode: the
+    payload's ``n`` bytes ARE the sample buffer, partitioned into
+    ``n_frames`` contiguous frames by the same integer index map the
+    fake resample uses — frame ``f`` spans bytes
+    ``[f·n // n_frames, (f+1)·n // n_frames)`` — so a SQL oracle
+    replays every extracted byte.
+
+    Output: one row per SELECTED frame with exact integer byte stats
+    (``frame_bytes``, ``byte_sum``, ``byte_mean`` via the shared
+    scaled-floor r6 rounding tree). At 100 TB the selection stride
+    bounds the decode I/O to ~1/every_nth of the payload volume —
+    which is the point of sampling before feature extraction."""
+
+    out_schema = (
+        "media_id long, frame_index int, n_frames int, frame_bytes long, "
+        "byte_sum long, byte_mean double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        if require_real_codec and not _codec_available():
+            raise NotImplementedError(
+                "frame extraction requires a video codec; not available "
+                "in this environment (pass require_real_codec=False for "
+                "the deterministic fake decode)"
+            )
+        for pdf in it:
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(buf)
+                nf = int(meta["n_frames"])
+                # mirror sample_frames: sequence(0, max(nf-1, 0), step)
+                for f in range(0, max(nf, 1), every_nth):
+                    lo = f * n // nf if nf > 0 else 0
+                    hi = (f + 1) * n // nf if nf > 0 else 0
+                    seg = buf[lo:hi]
+                    s = int(seg.sum()) if len(seg) else 0
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_index": f,
+                            "n_frames": nf,
+                            "frame_bytes": hi - lo,
+                            "byte_sum": s,
+                            "byte_mean": (
+                                math.floor(s / (hi - lo) * 1_000_000 + 0.5)
+                                / 1_000_000
+                                if hi > lo
+                                else 0.0
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload", "meta").mapInPandas(
+        batches, out_schema
+    )
+
+
+def frame_exec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the frame-extraction EXECUTION stage over a
+    fixed-size probe slice (first ``FRAME_EXEC_PROBE`` video rows by
+    media_id — deterministic at every SF and layout). Completes the
+    plan/execute pair the way :func:`resize_exec_stats` completed
+    resize: the planner (:func:`frame_plan`) is gated on the full
+    corpus because it reads only metadata; the executor pays decode
+    work per selected frame on BOTH engines, so its hash gate runs on
+    a bounded probe while the operator itself stays unbounded. The
+    payload is decoded exactly once — one documents scan, one
+    mapInPandas (plan-asserted in tests/test_plans.py)."""
+    m = media_from_documents(spark, sf_dir).where(F.col("kind") == "video")
+    probe = m.orderBy("media_id").limit(FRAME_EXEC_PROBE)
+    # explicit opt-in to the deterministic fake decode: this gate exists
+    # precisely to hash the fake-codec path (the public operator default
+    # stays fail-loud)
+    return extract_frames(
+        probe, FRAME_EVERY_NTH, require_real_codec=False
+    ).orderBy("media_id", "frame_index")
+
+
 def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapter: the ``documents`` corpus viewed as a media lake.
 
@@ -550,8 +662,48 @@ ORACLE["multimodal_resize_exec"] = f"""
     FROM s ORDER BY media_id
 """
 
+# Byte-level replay of the fake-codec frame extraction over the same
+# probe slice: identical n_frames derivation, identical frame selection
+# (range step FRAME_EVERY_NTH below n_frames), and the identical integer
+# frame-boundary map [f·n // nf, (f+1)·n // nf) via hex() arithmetic —
+# the multimodal_resize_exec replay style.
+ORACLE["multimodal_frame_exec"] = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, encode(text) AS payload,
+               CAST((n_chars % 50) * 10 + 10 AS BIGINT) AS nf
+        FROM documents WHERE doc_id % 3 = 2
+        ORDER BY doc_id LIMIT {FRAME_EXEC_PROBE}
+    ), d AS (
+        SELECT media_id, nf,
+               CAST(octet_length(payload) AS BIGINT) AS n,
+               hex(payload) AS hx
+        FROM m
+    ), fr AS (
+        SELECT media_id, nf, n, hx, CAST(f.f AS BIGINT) AS fi
+        FROM d, UNNEST(range(0, GREATEST(nf, 1), {FRAME_EVERY_NTH})) AS f(f)
+    ), seg AS (
+        SELECT media_id, fi, nf,
+               (fi + 1) * n // nf - fi * n // nf AS frame_bytes,
+               COALESCE(list_sum(list_transform(
+                   range(fi * n // nf, (fi + 1) * n // nf),
+                   j -> ('0x' || substr(hx, 2 * j + 1, 2))::BIGINT)), 0)
+                   AS byte_sum
+        FROM fr
+    )
+    SELECT media_id, CAST(fi AS INTEGER) AS frame_index,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(frame_bytes AS BIGINT) AS frame_bytes,
+           CAST(byte_sum AS BIGINT) AS byte_sum,
+           CASE WHEN frame_bytes > 0
+                THEN FLOOR(CAST(byte_sum AS DOUBLE) / frame_bytes
+                           * 1000000 + 0.5) / 1000000
+                ELSE 0.0 END AS byte_mean
+    FROM seg ORDER BY media_id, frame_index
+"""
+
 QUERIES = {
     "multimodal_frame_plan": frame_plan,
+    "multimodal_frame_exec": frame_exec_stats,
     "multimodal_media_features": media_feature_stats,
     "multimodal_resize_plan": resize_plan,
     "multimodal_resize_exec": resize_exec_stats,

@@ -180,3 +180,87 @@ def test_media_from_documents_gate_queries(spark):
     feats = mm.media_feature_stats(spark, SF_SMOKE)
     got = feats.limit(20).collect()
     assert got and all(r.n_bytes >= r.n_samples for r in got)
+
+
+def test_extract_frames_fake_decode_exact(spark):
+    """The fake frame decode partitions the payload into n_frames
+    contiguous spans [f·n // nf, (f+1)·n // nf) and extracts every
+    every_nth-th span; byte stats replay exactly, including the uneven
+    split and the empty-payload edge."""
+    import math
+
+    schema = (
+        "media_id long, payload binary, meta struct<width:int,height:int,"
+        "sample_rate:int,n_frames:int,format:string>"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytes(range(10)), (1, 1, 0, 5, "fake")),
+            (2, b"", (1, 1, 0, 4, "fake")),
+            (3, bytes(range(7)), (1, 1, 0, 3, "fake")),
+        ],
+        schema,
+    )
+    out = {
+        (r.media_id, r.frame_index): r
+        for r in mm.extract_frames(
+            df, every_nth=2, require_real_codec=False
+        ).collect()
+    }
+    # media 1: n=10, nf=5 → frames 0,2,4 span [0,2), [4,6), [8,10)
+    assert {f for m, f in out if m == 1} == {0, 2, 4}
+    assert out[(1, 0)].frame_bytes == 2 and out[(1, 0)].byte_sum == 0 + 1
+    assert out[(1, 2)].byte_sum == 4 + 5 and out[(1, 4)].byte_sum == 8 + 9
+    # media 3: n=7, nf=3, uneven split → frame 0 = [0,2), frame 2 = [4,7)
+    assert out[(3, 0)].byte_sum == 0 + 1
+    assert out[(3, 2)].frame_bytes == 3 and out[(3, 2)].byte_sum == 4 + 5 + 6
+    assert out[(3, 2)].byte_mean == math.floor(15 / 3 * 1e6 + 0.5) / 1e6
+    # media 2: empty payload → zero-byte frames with zero stats
+    assert out[(2, 0)].frame_bytes == 0 and out[(2, 0)].byte_sum == 0
+    assert out[(2, 0)].byte_mean == 0.0
+    # stride-1 extraction reconstructs the payload exactly: the spans
+    # partition the buffer
+    full = mm.extract_frames(
+        df.where(F.col("media_id") == 3), every_nth=1, require_real_codec=False
+    ).collect()
+    assert sum(r.frame_bytes for r in full) == 7
+    assert sum(r.byte_sum for r in full) == sum(range(7))
+
+
+def test_extract_frames_default_is_fail_loud(media):
+    """The PUBLIC default is require_real_codec=True (round-12 ADVICE):
+    callers that don't opt into the fake decode fail loudly rather than
+    silently receiving fake frames."""
+    with pytest.raises(Exception) as err:
+        mm.extract_frames(media.where(F.col("kind") == "video")).collect()
+    assert "NotImplementedError" in str(err.value) or "codec" in str(err.value)
+
+
+def test_frame_exec_gate_matches_plan_selection(spark):
+    """The executor's (media_id, frame_index) set must equal the
+    metadata plan's on the probe slice — the exec pays decode only for
+    frames the plan selected, and its selection math is the plan's."""
+    from tests.conftest import SF_SMOKE
+
+    exec_rows = mm.frame_exec_stats(spark, SF_SMOKE).collect()
+    probe_ids = {r.media_id for r in exec_rows}
+    assert len(probe_ids) == mm.FRAME_EXEC_PROBE
+    assert all(i % 3 == 2 for i in probe_ids)  # the video slice
+    assert probe_ids == set(
+        sorted(
+            r.media_id
+            for r in mm.frame_plan(spark, SF_SMOKE)
+            .select("media_id")
+            .distinct()
+            .collect()
+        )[: mm.FRAME_EXEC_PROBE]
+    )  # lowest media_ids — deterministic probe membership
+    plan_sel = {
+        (r.media_id, r.frame_index)
+        for r in mm.frame_plan(spark, SF_SMOKE).collect()
+        if r.media_id in probe_ids
+    }
+    assert plan_sel == {(r.media_id, r.frame_index) for r in exec_rows}
+    for r in exec_rows:  # selected frames only: stride FRAME_EVERY_NTH
+        assert r.frame_index % mm.FRAME_EVERY_NTH == 0
+        assert r.frame_index < r.n_frames

@@ -600,3 +600,17 @@ def test_rollup_hierarchy_rescans_fact_once(spark):
     df = ev.rollup_hierarchy(spark, SF)
     assert len(px.read_schemas(df)) == 1
     assert px.has_partial_aggregation(df)
+
+
+def test_frame_exec_reads_payload_exactly_once(spark):
+    """The frame EXECUTOR is the stage that pays decode: its plan must
+    scan the documents payload exactly once and push it through exactly
+    one Arrow mapInPandas stage — no re-read, no self-join."""
+    from automotive_big_data_analysis_spark.operators import multimodal as mm
+
+    df = mm.frame_exec_stats(spark, SF)
+    schemas = px.read_schemas(df)
+    assert len(schemas) == 1, schemas  # one scan of documents
+    assert "text" in schemas[0]  # the payload source column IS read here
+    plan = px.physical_plan(df)
+    assert plan.count("MapInPandas") == 1, plan
