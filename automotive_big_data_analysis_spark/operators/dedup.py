@@ -316,6 +316,7 @@ def build_indexes(spark: SparkSession, sf_dir: str) -> None:
     _shingles_cached(spark, sf_dir)
     _minhash_candidates_table(spark, sf_dir)
     pair_index_table(spark, sf_dir)
+    _simhash_signature_table(spark, sf_dir)
 
 
 def _verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -700,11 +701,39 @@ def _simhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED per-document SimHash signature table (round-13
+    optimization): the signature computation (tokenize → md5 per token →
+    64 per-bit majority sums) is a per-snapshot index artifact exactly
+    like the MinHash candidate list — a production simhash dedup keeps
+    signatures persistent so nightly batches compare against stored
+    values instead of re-hashing the corpus. Before this table existed,
+    BOTH registered consumers (``dedup_simhash_groups``,
+    ``dedup_quality_report``) re-ran the full signature pipeline per
+    query — the quality report's docstring already promised "both
+    inputs are STORED index tables", which is now true. Built by
+    :func:`build_indexes`, billed in the bench's ``index_build_s``."""
+    from automotive_big_data_analysis_spark.sources.stored import stored_table
+
+    return stored_table(
+        spark,
+        PAIR_INDEX_LOCATION,
+        "pair_idx",
+        sf_dir,
+        _index_tag(),
+        "simhash_signatures",
+        "doc_id",
+        lambda: _simhash_signature_df(spark, sf_dir),
+        src_table="documents",
+    )
+
+
 def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup groups: docs sharing a 16-nibble signature
-    (:func:`_simhash_signature_df`) form a group; output is per-group
-    size and doc-id span for groups larger than one."""
-    sig = _simhash_signature_df(spark, sf_dir)
+    (:func:`_simhash_signature_table` — stored index files) form a
+    group; output is per-group size and doc-id span for groups larger
+    than one."""
+    sig = _simhash_signature_table(spark, sf_dir)
     return (
         sig.groupBy("signature")
         .agg(
@@ -830,7 +859,7 @@ def candidate_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replays every number."""
     truth = pair_index_table(spark, sf_dir).select("doc_a", "doc_b")
     lsh = _minhash_candidates_table(spark, sf_dir).select("doc_a", "doc_b")
-    ssig = _simhash_signature_df(spark, sf_dir)
+    ssig = _simhash_signature_table(spark, sf_dir)
     x, y = ssig.alias("x"), ssig.alias("y")
     sim = x.join(
         y,
@@ -895,7 +924,20 @@ def corpus_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection, estimated and exact Jaccard."""
     sh = _shingles_cached(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    gsh = sh.join(src, "doc_id").select("source", "shingle").distinct()
+    # Stage the distinct (source, shingle) relation ONCE (round-13
+    # optimization): both consumers below — the 64-way min-hash
+    # signature aggregate and the exact intersection join — scan it, and
+    # without a barrier each re-runs the shingle-index read, the doc_id
+    # join, and the distinct shuffle (plan showed the whole subtree
+    # duplicated). The staged relation is (|sources| × distinct
+    # shingles) rows of two short strings — the same dimension-bounded
+    # footprint the sketch design already assumes.
+    gsh = (
+        sh.join(src, "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .localCheckpoint()
+    )
     sig = gsh.groupBy("source").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"c{j}:"), F.col("shingle")))).alias(

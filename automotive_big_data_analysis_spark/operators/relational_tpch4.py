@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.catalog import load_table, spread
 from automotive_big_data_analysis_spark.functions import exact as ex
 
 # Q2-style slice: one type, every fifth size.
@@ -71,7 +71,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and collapses map-side instead of shuffling a ranked
     relation. Top-N by the unique (region, partkey) order keeps the
     output bounded (TakeOrdered, no global sort)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -143,7 +143,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition) — bounded far under 2⁶³ — then DECIMAL-widen across the
     tiny intermediate (the Q8 two-level pattern,
     ``relational_tpch.nation_market_share``)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -204,7 +204,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     on partkey (Catalyst reuses the exchange); everything after is
     dimension-sized. Suppliers decorate via one join against the
     supplier⋈nation broadcast pipeline."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
