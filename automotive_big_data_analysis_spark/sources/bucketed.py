@@ -79,6 +79,9 @@ def _register_existing(
     )
 
 
+_LAYOUT_READY: set[tuple[str, str, str]] = set()
+
+
 def write_bucketed_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -96,12 +99,26 @@ def write_bucketed_tables(
     # bucket count in the path: a changed N_BUCKETS lays out fresh files
     # instead of re-attaching the old layout under a wrong declaration
     loc = f"{location}/{os.path.basename(sf_dir.rstrip('/'))}_nb{N_BUCKETS}"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{loc}'")
-    existing = {t.name for t in spark.catalog.listTables(database)}
     specs = [
         ("orders_b", "orders", "o_orderkey"),
         ("lineitem_b", "lineitem", "l_orderkey"),
     ]
+    # registration memo (round-13, same discipline as sources/stored.py):
+    # once this application has verified the layout, later calls skip the
+    # CREATE DATABASE + listTables catalog round-trips; external wipes
+    # are caught by the per-table _SUCCESS stat.
+    memo_key = (spark.sparkContext.applicationId, database, loc)
+    if (
+        not overwrite
+        and memo_key in _LAYOUT_READY
+        and all(
+            os.path.exists(f"{loc}/{table}/_SUCCESS") for table, _, _ in specs
+        )
+    ):
+        return
+    _LAYOUT_READY.discard(memo_key)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{loc}'")
+    existing = {t.name for t in spark.catalog.listTables(database)}
     for table, source, key in specs:
         if not overwrite and table in existing:
             continue
@@ -114,6 +131,7 @@ def write_bucketed_tables(
         df.write.bucketBy(N_BUCKETS, key).sortBy(key).option(
             "path", path
         ).mode("overwrite").saveAsTable(f"{database}.{table}")
+    _LAYOUT_READY.add(memo_key)
 
 
 def bucketed_join_revenue(

@@ -30,6 +30,20 @@ from automotive_big_data_analysis_spark.sources.bucketed import (
 
 DEFAULT_BUCKETS = 8
 
+# Registration memo (round-13 optimization): once a stored table has been
+# verified registered in THIS application, later accesses skip the
+# catalog round-trips (CREATE DATABASE IF NOT EXISTS + listTables — each
+# a driver-side job; the ANN recall reports touch ~10 stored tables per
+# query and the footprint audit ran ~100 such jobs per invocation).
+# Staleness is unaffected: the key embeds the full generation path —
+# corpus basename, parameter tag, bucket count, and the source-table
+# content fingerprint — so a regenerated corpus or changed parameters
+# produce a NEW key and take the slow verification path. External
+# deletion (the bench wipes index dirs between runs, tests exercise
+# rebuilds) is caught by re-checking the _SUCCESS marker on every hit —
+# an os.stat, not a catalog call.
+_REGISTERED: set[tuple[str, str, str]] = set()
+
 
 def source_fingerprint(sf_dir: str, table: str) -> str:
     """Cheap content fingerprint of a source table: a hash of every file's
@@ -150,8 +164,13 @@ def stored_table(
     base = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{tag}"
     db = f"{db_prefix}_{base}"
     loc = f"{location}/{base}"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     path = f"{loc}/{name}"
+    memo_key = (spark.sparkContext.applicationId, loc, name)
+    if memo_key in _REGISTERED:
+        if os.path.exists(f"{path}/_SUCCESS"):
+            return spark.table(f"{db}.{name}")
+        _REGISTERED.discard(memo_key)  # wiped externally — re-verify
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     existing = {t.name for t in spark.catalog.listTables(db)}
     if supersede_prefix and name not in existing:
         # GC superseded same-family generations: attached stale tables
@@ -198,4 +217,5 @@ def stored_table(
             df.write.bucketBy(n_buckets, bucket_col).sortBy(bucket_col).option(
                 "path", path
             ).mode("overwrite").saveAsTable(f"{db}.{name}")
+    _REGISTERED.add(memo_key)
     return spark.table(f"{db}.{name}")
