@@ -932,10 +932,18 @@ def corpus_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicated). The staged relation is (|sources| × distinct
     # shingles) rows of two short strings — the same dimension-bounded
     # footprint the sketch design already assumes.
+    # Repartition BEFORE the checkpoint: the distinct's shuffle output is
+    # AQE-coalesced to a handful of partitions at test scale, and a
+    # localCheckpoint freezes that width — so the 64-way md5 min-hash map
+    # work below ran on 4 tasks regardless of cores (stage profile,
+    # round 13). An explicit width pins the checkpoint at full
+    # parallelism; at production scale the relation is large enough that
+    # AQE would keep it wide anyway and the extra exchange is noise.
     gsh = (
         sh.join(src, "doc_id")
         .select("source", "shingle")
         .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
     sig = gsh.groupBy("source").agg(

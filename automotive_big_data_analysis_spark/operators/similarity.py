@@ -1325,7 +1325,6 @@ def knn_recall_report(
     import functools
 
     bf = _bf_table(spark, sf_dir).select("query_id", "vec_id")
-    truth = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
     impls = {
         "lsh": knn_lsh,
         "lsh_mt": knn_lsh_multitable,
@@ -1337,28 +1336,50 @@ def knn_recall_report(
         "ivf_sq8": knn_ivf_sq8,
         "sq8_rr": knn_sq8_rerank,
     }
-    per = []
-    for name in methods:
-        m = impls[name](spark, sf_dir).select("query_id", "vec_id")
-        hits = (
-            bf.join(m, ["query_id", "vec_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count("*").alias("n_hits"))
+    # Round-13 restructure (same values, fewer exchanges): the old shape
+    # aggregated hits PER QUERY, left-joined the per-query truth counts,
+    # then immediately re-aggregated everything to per-method totals —
+    # two shuffle stages per method plus a truth groupBy that the final
+    # SUMs collapse anyway (recall_at_k = Σ hits / Σ truth, and
+    # n_queries/n_true are method-independent corpus constants). Count
+    # the semi-join survivors per method directly and attach the two
+    # global totals via a constant-key broadcast join: per method the
+    # only remaining stages are its own search pipeline plus one shared
+    # count aggregate. The per-method row is guaranteed even at zero
+    # hits by seeding from the literal method list.
+    per = [
+        bf.join(
+            impls[name](spark, sf_dir).select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "left_semi",
+        ).select(F.lit(name).alias("method"))
+        for name in methods
+    ]
+    counts = (
+        functools.reduce(DataFrame.unionByName, per)
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = bf.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_true"),
+    )
+    seed = bf.sparkSession.createDataFrame(
+        [(m,) for m in methods], "method string"
+    )
+    return (
+        seed.withColumn("j", F.lit(1))
+        .join(F.broadcast(counts), "method", "left")
+        .join(F.broadcast(totals.withColumn("j", F.lit(1))), "j")
+        .select(
+            "method",
+            "n_queries",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_true"), 6
+            ).alias("recall_at_k"),
         )
-        per.append(
-            truth.join(hits, "query_id", "left").select(
-                F.lit(name).alias("method"),
-                "query_id",
-                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-                "n_true",
-            )
-        )
-    allm = functools.reduce(DataFrame.unionByName, per)
-    return allm.groupBy("method").agg(
-        F.count("*").alias("n_queries"),
-        F.sum("n_hits").cast("long").alias("n_hits"),
-        F.sum("n_true").cast("long").alias("n_true"),
-        F.round(F.sum("n_hits") / F.sum("n_true"), 6).alias("recall_at_k"),
     )
 
 

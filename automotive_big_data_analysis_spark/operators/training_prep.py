@@ -400,7 +400,9 @@ def _bpe_merge_sql_expr(expr: str, pair_sql: str, merged_sql: str) -> str:
     )
 
 
-def _train_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
+def _train_bpe(
+    spark: SparkSession, sf_dir: str, with_affected: bool = True
+) -> list[tuple]:
     """Run the ``BPE_MERGE_ROUNDS`` tokenizer-training loop; returns one
     ``(round, pair, merged, pair_count, pieces_affected)`` tuple per
     round. Shared by :func:`bpe_merge_table` (which reports it) and
@@ -469,7 +471,14 @@ def _train_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
             _bpe_merge_expr(F.col("s"), top.pair, merged).alias("s"),
             F.col("s").alias("prev_s"),
         )
-        affected = nxt.where(F.col("s") != F.col("prev_s")).count()
+        # pieces_affected is a REPORTING column of bpe_merge_table only;
+        # the apply path consumes just (pair, merged), so skipping the
+        # count drops one full vocab-scan job per round (round 13).
+        affected = (
+            nxt.where(F.col("s") != F.col("prev_s")).count()
+            if with_affected
+            else 0
+        )
         rows.append((rnd, top.pair, merged, int(top.c), int(affected)))
         cur = nxt.select("piece", "cnt", "s")
     return rows
@@ -522,7 +531,9 @@ def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 1-row TakeOrdered per round); the DuckDB oracle unrolls the
     same training rounds verbatim and applies the identical canonical
     replace chain."""
-    merges = [(r[1], r[2]) for r in _train_bpe(spark, sf_dir)]
+    merges = [
+        (r[1], r[2]) for r in _train_bpe(spark, sf_dir, with_affected=False)
+    ]
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(

@@ -114,6 +114,14 @@ def write_bucketed_tables(
         and all(
             os.path.exists(f"{loc}/{table}/_SUCCESS") for table, _, _ in specs
         )
+        # the catalog can forget the entries while the memo stays warm
+        # (a test/new-session drops the TABLE, files intact) — tableExists
+        # is a driver-local lookup, far cheaper than the CREATE DATABASE +
+        # listTables round-trips the memo exists to skip
+        and all(
+            spark.catalog.tableExists(f"{database}.{table}")
+            for table, _, _ in specs
+        )
     ):
         return
     _LAYOUT_READY.discard(memo_key)

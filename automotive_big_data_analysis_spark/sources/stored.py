@@ -168,8 +168,14 @@ def stored_table(
     memo_key = (spark.sparkContext.applicationId, loc, name)
     if memo_key in _REGISTERED:
         if os.path.exists(f"{path}/_SUCCESS"):
-            return spark.table(f"{db}.{name}")
-        _REGISTERED.discard(memo_key)  # wiped externally — re-verify
+            try:
+                return spark.table(f"{db}.{name}")
+            except Exception:
+                # catalog forgot the entry while the memo stayed warm
+                # (table dropped / fresh catalog) — re-attach below via
+                # the full DDL path (lifecycle test pins this)
+                pass
+        _REGISTERED.discard(memo_key)  # wiped or detached — re-verify
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     existing = {t.name for t in spark.catalog.listTables(db)}
     if supersede_prefix and name not in existing:

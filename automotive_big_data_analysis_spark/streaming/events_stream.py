@@ -14,6 +14,8 @@ tests and demos.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -373,6 +375,36 @@ def conversion_stream(
 # stop paying for lost replay parallelism.
 STREAM_SHUFFLE_PARTITIONS = 4
 
+# Scratch root for the BOUNDED-replay gates' checkpoints. Without an
+# explicit checkpointLocation Spark puts the temp checkpoint under
+# java.io.tmpdir (/tmp — disk-backed on this host), and every
+# micro-batch then pays offset-WAL + commit-log + state-store delta
+# writes with fsync against the disk (~250-320 ms of the instrumented
+# ~550-700 ms per-batch floor, STREAM_INSTRUMENT_r13.txt). These
+# checkpoints have no recovery value past the call — the sink is an
+# in-memory table that dies with the process — so they belong on
+# node-local fast scratch, the same placement rule as RocksDB local
+# dirs or shuffle local dirs (guide §6). A real deployment with a
+# durable sink sets a durable checkpointLocation on its own query;
+# this root only serves the bounded-replay harness gates. Env override
+# for hosts without /dev/shm semantics.
+_STREAM_SCRATCH_ROOT = os.environ.get(
+    "SPARK_GRAFT_STREAM_SCRATCH",
+    "/dev/shm" if os.path.isdir("/dev/shm") else None,
+)
+
+
+def _scratch_checkpoint() -> str | None:
+    """A fresh checkpoint dir on the fast scratch root (None → let Spark
+    pick its default temp checkpoint). Caller removes it."""
+    if not _STREAM_SCRATCH_ROOT:
+        return None
+    import tempfile
+
+    return tempfile.mkdtemp(
+        prefix="abda_stream_ckpt_", dir=_STREAM_SCRATCH_ROOT
+    )
+
 
 def run_to_memory(
     stream_df: DataFrame,
@@ -392,17 +424,18 @@ def run_to_memory(
     would scope the override via a cloned SparkSession
     (``spark.newSession()`` shares the catalog but isolates conf)
     instead of set/restore."""
+    import shutil
+
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    ckpt = _scratch_checkpoint()
     try:
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(query_name)
-            .start()
-        )
+        writer = stream_df.writeStream.outputMode(output_mode)
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.format("memory").queryName(query_name).start()
         try:
             q.processAllAvailable()
         finally:
@@ -410,6 +443,8 @@ def run_to_memory(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -646,13 +681,12 @@ def stream_user_totals_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
         )
+        ckpt = _scratch_checkpoint()
         try:
-            q = (
-                totals.writeStream.outputMode("append")
-                .format("memory")
-                .queryName(name)
-                .start()
-            )
+            writer = totals.writeStream.outputMode("append")
+            if ckpt is not None:
+                writer = writer.option("checkpointLocation", ckpt)
+            q = writer.format("memory").queryName(name).start()
             try:
                 q.processAllAvailable()  # drain the corpus
                 _sentinel(1)  # advance the watermark past every timeout
@@ -663,6 +697,8 @@ def stream_user_totals_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            if ckpt is not None:
+                shutil.rmtree(ckpt, ignore_errors=True)
         out = spark.sql(f"SELECT * FROM {name}")
         rows = (
             out.where(F.col("user_id") >= 0)

@@ -462,6 +462,37 @@ def test_stream_hourly_rollup_driver_gate_matches_batch(spark):
     assert got == want
 
 
+def test_stream_scratch_checkpoint_used_and_cleaned(spark):
+    """The bounded-replay gates checkpoint on the fast scratch root
+    (round-13 optimization: /tmp is disk-backed here, so the per-batch
+    offset-WAL/commit/state writes paid disk fsync) and must remove
+    their checkpoint directory when the query finishes — a leaked dir
+    per invocation would accumulate in tmpfs forever."""
+    import os
+
+    from automotive_big_data_analysis_spark.streaming import (
+        events_stream as es,
+    )
+
+    root = es._STREAM_SCRATCH_ROOT
+    if not root:
+        import pytest
+
+        pytest.skip("no scratch root on this host")
+
+    def leftovers() -> set[str]:
+        return {
+            d
+            for d in os.listdir(root)
+            if d.startswith("abda_stream_ckpt_")
+        }
+
+    before = leftovers()
+    es.stream_hourly_rollup(spark, "/root/testdata/sf0.001").collect()
+    es.stream_user_totals_evict(spark, "/root/testdata/sf0.001").collect()
+    assert leftovers() == before  # every gate cleaned its checkpoint
+
+
 def test_stream_user_sessions_driver_gate_matches_batch(spark):
     """The second driver-gated streaming query (JSONL landing stream ->
     complete-mode session_window) must reproduce the batch lag-gap
