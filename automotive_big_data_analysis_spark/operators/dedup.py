@@ -317,6 +317,7 @@ def build_indexes(spark: SparkSession, sf_dir: str) -> None:
     _minhash_candidates_table(spark, sf_dir)
     pair_index_table(spark, sf_dir)
     _simhash_signature_table(spark, sf_dir)
+    component_labels(spark, sf_dir)
 
 
 def _verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -546,6 +547,36 @@ CC_MAX_ITERS = 12  # propagation radius 2^12 ≫ any real dup-cluster diameter
 
 
 def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document connected-component label over the near-duplicate
+    pair graph, served from the STORED label table (round-13
+    optimization): the CC propagation is a deterministic function of
+    the verified pair index, and a production dedup pipeline
+    materializes cluster assignments right after pair generation —
+    survivor selection, split assignment, and audit queries all read
+    the SAME cluster table rather than re-running label propagation
+    per query. Built by :func:`build_indexes` (billed in the bench's
+    ``index_build_s``); store-through on first touch otherwise. Both
+    registered consumers (``dedup_components``,
+    ``sample_leakage_safe_split``) previously re-ran the full
+    iterative loop — ~6 sequential join+checkpoint rounds — per
+    invocation."""
+    from automotive_big_data_analysis_spark.sources.stored import stored_table
+
+    return stored_table(
+        spark,
+        PAIR_INDEX_LOCATION,
+        "pair_idx",
+        sf_dir,
+        _index_tag(),
+        "component_labels",
+        "doc_id",
+        lambda: _component_labels_df(spark, sf_dir),
+        n_buckets=PAIR_INDEX_BUCKETS,
+        src_table="documents",
+    )
+
+
+def _component_labels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document connected-component label over the near-duplicate
     pair graph: (doc_id, label) for every doc that appears in at least
     one verified pair, where label = the minimum doc_id in the doc's
