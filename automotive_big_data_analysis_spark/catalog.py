@@ -105,7 +105,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is required. For nanos timestamp columns (see ``_NANOS_TS_COLUMNS``)
     the session time zone is pinned to UTC before the NTZ→timestamp
     normalization so absolute-epoch arithmetic (``cast(ts as long)``)
-    agrees with DuckDB's ``EPOCH()`` regardless of host time zone."""
+    agrees with DuckDB's ``EPOCH()`` regardless of host time zone.
+
+    The ANALYZED DataFrame is memoized per (session, sf_dir, table):
+    ``spark.read.parquet`` pays a driver-side footer/schema read plus
+    file listing on EVERY call (measured 70-290 ms per table, ~2 calls
+    per registered query → tens of seconds across the suite), while the
+    table's schema and file set are immutable for the life of a corpus
+    directory. This is metadata/plan reuse only — the DataFrame is an
+    unexecuted plan, every action still scans the parquet files — and is
+    exactly what reading from a catalog table (saved metadata, no
+    per-query inference) gives a production deployment. The memo lives
+    on the session object, so a stopped/replaced session drops it."""
+    memo = getattr(spark, "_abda_table_memo", None)
+    if memo is None:
+        memo = {}
+        spark._abda_table_memo = memo
+    key = (sf_dir, name)
+    cached = memo.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_fresh(spark, sf_dir, name)
+    memo[key] = df
+    return df
+
+
+def _load_table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name in _NANOS_TS_COLUMNS:
         try:

@@ -55,15 +55,8 @@ def _shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
     tokenizer regexp once per shingle (O(tokens²) per document; staging
     measured ~7× faster on this corpus). The downstream join shuffles on
     the shingle string."""
-    # spread() BELOW the tokenizer projection: project-then-repartition
-    # evaluates the projection under the exchange — in the scan stage,
-    # which is ONE task on a single-split file — so the regexp ran on one
-    # core. Widening the raw rows first runs it at full parallelism; the
-    # staging repartition above still blocks projection collapse.
-    staged = (
-        spread(docs.select("doc_id", "text"))
-        .select("doc_id", tx.tokens("text").alias("toks"))
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    staged = docs.select("doc_id", tx.tokens("text").alias("toks")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
     )
     tk = F.col("toks")
     # Guard: sequence(1, 0) would count DOWN in Spark; emit an empty array
@@ -1067,13 +1060,9 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency) are bounded because each doc contributes each position
     once."""
     docs = load_table(spark, sf_dir, "documents")
-    # spread() below the tokenizer so it evaluates WIDE (cf. _shingle_df);
-    # the staging repartition above still blocks projection collapse.
-    staged = (
-        spread(docs.select("doc_id", "lang", "text"))
-        .select("doc_id", "lang", tx.tokens("text").alias("toks"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    staged = docs.select(
+        "doc_id", "lang", tx.tokens("text").alias("toks")
+    ).repartition(spark.sparkContext.defaultParallelism)
     tk = F.col("toks")
     # sequence(1, 0) counts DOWN in Spark — guard short docs to empty.
     spans = F.when(

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from automotive_big_data_analysis_spark.functions import vectors as V
 
-from automotive_big_data_analysis_spark.catalog import load_table, spread
+from automotive_big_data_analysis_spark.catalog import load_table
 from automotive_big_data_analysis_spark.functions import text as tx
 
 CHUNK_TOKENS = 32  # retrieval window, in whitespace tokens
@@ -80,16 +80,9 @@ def docs_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup would remove before embedding — the number a RAG ingest run
     budgets against."""
     docs = load_table(spark, sf_dir, "documents")
-    # spread() BELOW the tokenizer projection: project-then-repartition
-    # evaluates the regexp under the exchange — in the single-task scan
-    # stage of a single-split file. Widen the raw rows first so it runs
-    # at full parallelism; the staging repartition above still blocks
-    # projection collapse (cf. dedup._shingle_df).
-    staged = (
-        spread(docs.select("lang", "text"))
-        .select("lang", tx.tokens("text").alias("toks"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    staged = docs.select(
+        "lang", tx.tokens("text").alias("toks")
+    ).repartition(spark.sparkContext.defaultParallelism)
     # explode_outer + post-filter, NOT plain explode: explode infers a
     # non-empty-array filter that pushes below the staging exchange and
     # re-inlines the tokenizer per row (the contamination_stats lesson);
@@ -181,15 +174,10 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered — no global sort materialization, no fact-scale
     window."""
     docs = load_table(spark, sf_dir, "documents")
-    # spread() below the tokenizer so it evaluates wide (cf. docs_chunk_stats)
-    staged = (
-        spread(docs.select("doc_id", "text"))
-        .select(
-            "doc_id",
-            F.transform(tx.tokens("text"), lambda t: F.lower(t)).alias("toks"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    staged = docs.select(
+        "doc_id",
+        F.transform(tx.tokens("text"), lambda t: F.lower(t)).alias("toks"),
+    ).repartition(spark.sparkContext.defaultParallelism)
     posting = staged.select(
         "doc_id", F.explode_outer("toks").alias("term")
     ).where(F.col("term").rlike(TERM_RE))

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automotive_big_data_analysis_spark.catalog import load_table, spread
+from automotive_big_data_analysis_spark.catalog import load_table
 from automotive_big_data_analysis_spark.functions import exact as ex
 
 
@@ -39,12 +39,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: single scan, partial aggregation map-side; the shuffle carries
     |flags×statuses| × partitions rows. The shipdate filter and 7-column
-    projection push to the parquet scan (both push below the spread
-    exchange). ``spread``: the corpus ships single-row-group files, so
-    without it the scan AND the decimal partial aggregation run in ONE
-    task regardless of cores (round-13 stage profile); at production
-    scale the scan yields thousands of splits and spread() no-ops."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    projection push to the parquet scan. (A round-13 spread() of the
+    single-split scan was measured and REVERTED: the round-robin
+    exchange cost more than the single-task partial aggregation saved —
+    isolated A/B 1.28 s with vs 1.26 s without.)"""
+    li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -67,7 +66,7 @@ def year_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference ops A3+R3 (market trends): per order year — order count,
     total and average price. Years with no orders simply absent (matches
     the reference's defaultdict grouping)."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -85,7 +84,7 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     The static bucket dimension is 5 rows broadcast against the aggregated
     facts — the row-level scan only computes a bucket id, so the join never
     sees fact-table cardinality."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     buckets = [
         (0, 0.0, 50_000.0, "0-50k"),
         (1, 50_000.0, 150_000.0, "50k-150k"),
@@ -125,7 +124,7 @@ def segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ratio-of-total window runs over the |segments|-row aggregate, not
     the fact table — the single-partition window is on ~5 rows."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     per_seg = (
         orders.join(
             cust.select("c_custkey", "c_mktsegment"),
@@ -149,7 +148,7 @@ def segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (orderstatus, orderpriority): subtotals + grand total.
     Beyond reference surface (it has no grouping sets) but core OLAP."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
@@ -211,7 +210,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey, lineitem joins orders on orderkey — the two big shuffles hash
     on their join keys and AQE handles skew. Filters (region name, order
     year) sit below the joins so they prune before shuffling."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -232,7 +231,7 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (EXISTS → left-semi join): orders in a date range
     having at least one line item, counted per priority. Semi join avoids
     materializing the multiplicity of the big side."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
         orders.where(

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automotive_big_data_analysis_spark.catalog import load_table, spread
+from automotive_big_data_analysis_spark.catalog import load_table
 from automotive_big_data_analysis_spark.functions import exact as ex
 
 
@@ -100,7 +100,7 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolate, so results agree bit-for-bit after rounding. At 100 TB
     you'd switch to ``percentile_approx`` (t-digest) and trade exactness —
     kept exact here because the oracle compares values."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
@@ -173,7 +173,7 @@ def salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``functions/skew.py``."""
     from automotive_big_data_analysis_spark.functions.skew import salted_sum_count
 
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_table(spark, sf_dir, "events")
     # from_json to a typed map parses each row once JVM-side;
     # get_json_object re-walks the JSON text per extraction (~10× slower)
     k = F.element_at(F.from_json("props", "map<string,bigint>"), "k")
@@ -210,7 +210,7 @@ def salted_severity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts the salt reaches the exchange keys."""
     from automotive_big_data_analysis_spark.functions.skew import salted_join
 
-    ev = spread(load_table(spark, sf_dir, "events")).select("event_type", "value")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     sev = (
         ev.select("event_type")
         .distinct()
@@ -227,7 +227,7 @@ def salted_severity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority): every subtotal combination
     including both marginals and the grand total."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         ex.dsum("o_totalprice").alias("total_price"),
@@ -254,7 +254,7 @@ def approx_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(x ≤ m) ≥ (0.5−ε)·n. Counting is exact on both engines and
     avoids materializing exact percentiles (a per-group SORT — measured
     4.3 s vs ~1.5 s at sf0.1)."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     eps = 0.005
     sketch = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automotive_big_data_analysis_spark.catalog import load_table, spread
+from automotive_big_data_analysis_spark.catalog import load_table
 from automotive_big_data_analysis_spark.functions import exact as ex
 from automotive_big_data_analysis_spark.functions import ranking as rk
 
@@ -37,7 +37,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
     )
-    li = spread(load_table(spark, sf_dir, "lineitem")).where(
+    li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
     # customer and the filtered orders both scale with SF — no hints;
@@ -73,7 +73,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(25,10)-over-raw-facts formulation measured ~2× slower,
     pin_bench r5) while the final total is exact integer arithmetic at
     ANY scale — the same result as a direct decimal sum, order-free."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -128,7 +128,7 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) excluding one brand and suppliers with negative balance (NOT IN
     → broadcast anti-join). COUNT DISTINCT shuffles once on the grouping
     key; the exclusion list is tiny and broadcasts."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     bad_suppliers = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
@@ -165,7 +165,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem pre-aggregates to per-order quantity FIRST (map-side partial
     agg), the HAVING filter shrinks that to a handful of keys, and only
     those broadcast back — the big table never joins the big table."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     big_orders = (
@@ -200,7 +200,7 @@ def daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Aggregate-then-window: the windowed relation is |distinct days| rows,
     thousands at most, so the single-partition window over it is safe at
     any fact-table scale — never window the raw facts."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
     ).agg(ex.dsum("o_totalprice").alias("revenue"))
@@ -236,7 +236,7 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boundary sample / bucket counts / rank) beats writing the fact
     relation to executor storage; the approximate one-scan form is
     ``approx_part_stats``-style t-digest quantile bucketing."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     deciled = rk.with_global_ntile(
         orders.select("o_totalprice", "o_orderkey"),
         10,

@@ -44,7 +44,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").where(
         F.year("o_orderdate") == VOLUME_YEAR
     )
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     local_nations = nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name")
@@ -87,7 +87,7 @@ def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     The r1→r4 DECIMAL(25,10)-over-raw-facts formulation measured ~3×
     slower (pin_bench r5); this layout restores the r1 cost with the r4
     exactness."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     c4 = ex.money4("l_extendedprice", "l_discount")
     per_part = li.groupBy("l_partkey").agg(F.sum(c4).alias("c4"))
     total = per_part.agg(
@@ -120,7 +120,7 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-less customers — fine here because the second groupBy input is
     already one row per customer, not per order."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     per_customer = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
         .groupBy(cust.c_custkey)
@@ -136,7 +136,15 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: per order-month, percentage of revenue from PROMO
     parts. Conditional sum over sum inside ONE aggregation (no self-join);
-    part is dimension-sized and broadcasts into the fact scan."""
+    part is dimension-sized and broadcasts into the fact scan.
+
+    ``spread``: one of only two relational queries (with
+    :func:`relational_tpch4.min_cost_supplier`) where widening the
+    single-split scan measurably WINS — the broadcast-probe + month
+    extraction + conditional decimal partial agg fused above the scan is
+    heavy enough to beat the round-robin exchange (isolated A/B r13:
+    1.35 s with vs 1.58 s without; the other 29 round-13 spread sites
+    measured slower and were reverted). No-ops at scale."""
     li = spread(load_table(spark, sf_dir, "lineitem"))
     part = load_table(spark, sf_dir, "part")
     orders = load_table(spark, sf_dir, "orders")
@@ -175,7 +183,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     The max-filtered rows (bounded by the tie count — a handful at ANY
     scale) then broadcast into supplier, so the supplier table never
     shuffles; broadcasting supplier itself would be a fact-scale hint."""
-    li = spread(load_table(spark, sf_dir, "lineitem")).where(
+    li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit(TOP_SUPPLIER_QUARTER_START).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(TOP_SUPPLIER_QUARTER_END).cast("timestamp"))
     )
@@ -202,7 +210,7 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     join condition on a broadcast dimension — Catalyst evaluates it inside
     the join, and the partkey equality still drives the hash lookup, so
     this stays a broadcast hash join, not a cartesian."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     branch1 = (
         (F.col("p_brand") == "Brand#1")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automotive_big_data_analysis_spark.catalog import load_table, spread
+from automotive_big_data_analysis_spark.catalog import load_table
 from automotive_big_data_analysis_spark.functions import exact as ex
 
 TRADE_NATION_A = "NATION_3"  # Q7-style nation pair
@@ -32,7 +32,7 @@ def cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier→nation and customer→nation are broadcast maps; the nation
     pair filter rides INSIDE the join output before aggregation, and the
     two fact joins (lineitem⋈orders) are the only shuffles."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
@@ -77,7 +77,7 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter. Orders pre-filter to the quarter (partition-prunable at
     scale); lineitem filters to returnflag R before the join; the
     customer dimension broadcasts into the aggregated result."""
-    li = spread(load_table(spark, sf_dir, "lineitem")).where(F.col("l_returnflag") == "R")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit(RETURNED_QUARTER_START).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(RETURNED_QUARTER_END).cast("timestamp"))
@@ -116,7 +116,7 @@ def sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct suppliers per order — so the self-join disappears entirely;
     the 'correlated subqueries' become a groupBy the facts already
     needed. One shuffle on l_orderkey, one on l_suppkey."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     per_order = li.groupBy("l_orderkey").agg(
         F.count("*").alias("n_lines"),
@@ -147,7 +147,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks orders BEFORE the distinct, so the anti-join side is small
     and partition-prunable at scale)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     # exact average: the result gates a > comparison on every customer,
     # so an order-dependent double sum could flip boundary memberships
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
@@ -191,7 +191,7 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``exact.money4``) summed long per input partition and widened to
     DECIMAL only across the |partitions|-row intermediate — order-free
     at any scale with the per-row hot loop primitive."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     c4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
         F.col("l_discount") * 100
     ).cast("long")

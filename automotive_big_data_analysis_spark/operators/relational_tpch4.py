@@ -70,7 +70,15 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (region, part) — (cost, suppkey) is a total order, so the pick is
     deterministic and collapses map-side instead of shuffling a ranked
     relation. Top-N by the unique (region, partkey) order keeps the
-    output bounded (TakeOrdered, no global sort)."""
+    output bounded (TakeOrdered, no global sort).
+
+    ``spread``: one of only two relational queries (with
+    :func:`relational_tpch2.promo_revenue_ratio`) where widening the
+    single-split scan measurably WINS — the broadcast slice probe plus
+    the per-row unit-cost arithmetic and (partkey, suppkey) partial MIN
+    fused above the scan dominate when run single-task (isolated A/B
+    r13: 2.17 s with vs 3.90 s without; the other 29 round-13 spread
+    sites measured slower and were reverted). No-ops at scale."""
     li = spread(load_table(spark, sf_dir, "lineitem"))
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
@@ -143,7 +151,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition) — bounded far under 2⁶³ — then DECIMAL-widen across the
     tiny intermediate (the Q8 two-level pattern,
     ``relational_tpch.nation_market_share``)."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -204,7 +212,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     on partkey (Catalyst reuses the exchange); everything after is
     dimension-sized. Suppliers decorate via one join against the
     supplier⋈nation broadcast pipeline."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")

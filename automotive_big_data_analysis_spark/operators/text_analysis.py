@@ -120,13 +120,8 @@ def lang_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # classification, the final label join) and without a barrier each
     # would re-scan and re-normalize the corpus (plan showed 6 FileScans,
     # 0 ReusedExchange); one slim (id, lang, normalized-text) row per doc
-    # spread() BELOW the normalize projection: project-then-repartition
-    # evaluates the regexp under the exchange — in the single-task scan
-    # stage of a single-split file. Widen the raw rows first so the
-    # checkpoint materializes the normalization at full parallelism.
     staged = (
-        spread(docs.select("doc_id", "lang", "text"))
-        .select("doc_id", "lang", norm.alias("nt"))
+        docs.select("doc_id", "lang", norm.alias("nt"))
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
@@ -221,13 +216,8 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is pure per-row array arithmetic with NO explode (nothing ever
     fans out), and the only other exchange is the |langs|-row rollup."""
     docs = load_table(spark, sf_dir, "documents")
-    # spread() below the tokenizer so it evaluates wide (cf. the
-    # trigram-confusion staging above); the repartition still blocks
-    # projection collapse of the gram lambda.
-    staged = (
-        spread(docs.select("lang", "text"))
-        .select("lang", tx.tokens("text").alias("toks"))
-        .repartition(spark.sparkContext.defaultParallelism)
+    staged = docs.select("lang", tx.tokens("text").alias("toks")).repartition(
+        spark.sparkContext.defaultParallelism
     )
     tk = F.col("toks")
     grams = F.when(
@@ -768,15 +758,7 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partition on the word; the final top-k is a TakeOrdered over
     the support-filtered pair vocabulary, never a global sort."""
     docs = load_table(spark, sf_dir, "documents")
-    # spread the RAW text, project tokens wide, then a staging
-    # repartition so the bigram lambda slices a bound attribute —
-    # spread(select(tokens)) alone evaluated the tokenizer under the
-    # exchange, i.e. in the single-task scan stage.
-    staged = (
-        spread(docs.select("text"))
-        .select(tx.tokens("text").alias("toks"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    staged = spread(docs.select(tx.tokens("text").alias("toks")))
     tk = F.col("toks")
     bigrams = F.when(
         F.size(tk) >= 2,

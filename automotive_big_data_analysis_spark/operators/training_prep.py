@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automotive_big_data_analysis_spark.catalog import load_table, spread
+from automotive_big_data_analysis_spark.catalog import load_table
 from automotive_big_data_analysis_spark.functions import exact as ex
 from automotive_big_data_analysis_spark.functions import text as tx
 from automotive_big_data_analysis_spark.operators.sampling import (
@@ -90,11 +90,8 @@ def contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each side tokenizes only its own slice (the source filter pushes to
     # the scan) and stages the token array behind a narrow round-robin
     # exchange so the gram lambda reads an attribute — see _gram_hashes
-    # spread() BELOW each tokenizer projection: project-then-repartition
-    # evaluates the regexp under the exchange — in the single-task scan
-    # stage of a single-split file (cf. dedup._shingle_df).
     bench_toks = (
-        spread(docs.where(F.col("source") == BENCH_SOURCE).select("text"))
+        docs.where(F.col("source") == BENCH_SOURCE)
         .select(tx.tokens("text").alias("toks"))
         .repartition(n_parts)
     )
@@ -110,11 +107,7 @@ def contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_hit", F.lit(1))
     )
     cand = (
-        spread(
-            docs.where(F.col("source") != BENCH_SOURCE).select(
-                "doc_id", "lang", "text"
-            )
-        )
+        docs.where(F.col("source") != BENCH_SOURCE)
         .select("doc_id", "lang", tx.tokens("text").alias("toks"))
         .repartition(n_parts)
         .select(
@@ -348,13 +341,9 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is TakeOrdered, never a global sort."""
     docs = load_table(spark, sf_dir, "documents")
     # stage the piece array behind an exchange: the pair lambda indexes it
-    # per element, and an inlined regexp would re-tokenize per pair.
-    # spread() below so the wordpiece split itself evaluates wide, not in
-    # the single-task scan stage (cf. dedup._shingle_df).
-    staged = (
-        spread(docs.select("text"))
-        .select(tx.wordpieces("text").alias("p"))
-        .repartition(spark.sparkContext.defaultParallelism)
+    # per element, and an inlined regexp would re-tokenize per pair
+    staged = docs.select(tx.wordpieces("text").alias("p")).repartition(
+        spark.sparkContext.defaultParallelism
     )
     pieces = F.col("p")
     pairs = F.when(
