@@ -53,10 +53,22 @@ def _interchange_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         "props",
-    )
+    ).repartition(MIRROR_FILES)
 
 
-INTERCHANGE_VERSION = 1  # bump when EVENTS_TEXT_SCHEMA changes
+# Part-file count for every interchange mirror. The corpus parquet is a
+# single split, so a straight write produced ONE text file — and every
+# consumer then parsed/decompressed the whole mirror on ONE core: the
+# streaming gates' JSON parse (FileStreamSource assigns whole files to
+# tasks), and the gzip connector's decompress (unsplittable codec).
+# Eight files = the streaming readers' ``maxFilesPerTrigger``, so the
+# bounded replay still drains in ONE micro-batch while the parse runs
+# 8-wide; batch connectors read 8-wide too. A real landing tier is
+# many-filed by construction — the single-file mirror was the
+# unrealistic shape, not this one.
+MIRROR_FILES = 8
+
+INTERCHANGE_VERSION = 2  # bump when EVENTS_TEXT_SCHEMA or layout changes
 
 # Deterministic corruption rule for the dead-letter mirror: every event
 # whose id is divisible by this is written as a TRUNCATED record (cut

@@ -179,12 +179,22 @@ def stream_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = gated.withWatermark(
         "ingest_ts", "3650 days"
     ).dropDuplicatesWithinWatermark(["lang", "content_hash"])
+    # Project the survivors to the three columns the accounting needs
+    # BEFORE the memory sink (stateless projection after the stateful
+    # dedup, so the gated operator is untouched): the sink otherwise
+    # materializes every survivor's full cleaned text in driver memory
+    # only for total_chars to reduce it to a length (guide §2.3 —
+    # project before the data moves; §5 — keep data work off the
+    # driver). Same rows, same aggregate values.
+    slim = deduped.select(
+        "lang", "quality", F.length("clean_text").alias("clean_len")
+    )
     name = f"stream_curated_{uuid.uuid4().hex[:8]}"
-    out = run_to_memory(deduped, name, output_mode="append")
+    out = run_to_memory(slim, name, output_mode="append")
     rows = out.groupBy("lang").agg(
         F.count("*").alias("n_kept"),
         ex.davg("quality").alias("avg_quality"),
-        F.sum(F.length("clean_text")).cast("long").alias("total_chars"),
+        F.sum("clean_len").cast("long").alias("total_chars"),
     )
     result = spark.createDataFrame(rows.collect(), rows.schema)
     spark.catalog.dropTempView(name)

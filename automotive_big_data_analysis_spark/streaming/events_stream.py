@@ -371,9 +371,16 @@ def conversion_stream(
 # Round-12 probe (r11 VERDICT item 7), warm quiet-probe A/B over all
 # seven gates at sf0.1: 8 → 22.9/23.6 s, 4 → 22.2/21.6 s, 2 → no
 # further gain (24.9 s cold-ordered run); hashes byte-identical at
-# every width. 4 is the knee — below it per-store checkpoint savings
-# stop paying for lost replay parallelism.
-STREAM_SHUFFLE_PARTITIONS = 4
+# every width. 4 was the knee — below it per-store checkpoint savings
+# stopped paying for lost replay parallelism.
+# Round-13 re-probe AFTER the checkpoints moved to node-local scratch
+# (/dev/shm): the per-store fsync cost that set the r12 knee is gone,
+# so state-pass parallelism wins again — evict-gate A/B 1 → 13.1 s,
+# 2 → 10.0, 4 → 8.6, 8 → 7.0; all-seven-gates sweep 4 → 26.5-27.1 s,
+# 16 → 23.9, 32 → 24.4 (quiet probes 0.09-0.14, hashes identical at
+# every width — the gates prove partition-independence). 16 is the new
+# knee: past it the extra task overhead cancels the parallelism.
+STREAM_SHUFFLE_PARTITIONS = 16
 
 # Scratch root for the BOUNDED-replay gates' checkpoints. Without an
 # explicit checkpointLocation Spark puts the temp checkpoint under
@@ -553,7 +560,10 @@ def stream_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_written(spark, sf_dir, "jsonl")
     joined = conversion_stream(
         read_event_stream_jsonl(spark, path), watermark="90 days"
-    )
+    ).select("user_id", "click_id", "purchase_id", "value")
+    # ^ stateless projection after the stateful join: the memory sink
+    # holds only the columns the accounting reads (the two timestamps
+    # exist to express the join condition, not the result).
     name = f"stream_conv_{uuid.uuid4().hex[:8]}"
     out = run_to_memory(joined, name, output_mode="append")
     rows = out.groupBy("user_id").agg(
