@@ -116,17 +116,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     unexecuted plan, every action still scans the parquet files — and is
     exactly what reading from a catalog table (saved metadata, no
     per-query inference) gives a production deployment. The memo lives
-    on the session object, so a stopped/replaced session drops it."""
+    on the session object, so a stopped/replaced session drops it.
+
+    The key embeds ``source_fingerprint`` (file names/sizes/mtimes —
+    an ``os.stat`` walk, no data read), so an in-session rewrite of the
+    table directory self-invalidates: the rewritten files produce a new
+    fingerprint and the stale plan (with its frozen file listing) is
+    dropped rather than served. This keeps the documented
+    ``release()``/corpus-refresh contract without the release hooks
+    having to know about this memo."""
+    from automotive_big_data_analysis_spark.sources.stored import (
+        source_fingerprint,
+    )
+
     memo = getattr(spark, "_abda_table_memo", None)
     if memo is None:
         memo = {}
         spark._abda_table_memo = memo
     key = (sf_dir, name)
+    fp = source_fingerprint(sf_dir, name)
     cached = memo.get(key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == fp:
+        return cached[1]
     df = _load_table_fresh(spark, sf_dir, name)
-    memo[key] = df
+    memo[key] = (fp, df)
     return df
 
 

@@ -380,7 +380,9 @@ def conversion_stream(
 # 16 → 23.9, 32 → 24.4 (quiet probes 0.09-0.14, hashes identical at
 # every width — the gates prove partition-independence). 16 is the new
 # knee: past it the extra task overhead cancels the parallelism.
-STREAM_SHUFFLE_PARTITIONS = 16
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "16")
+)
 
 # Scratch root for the BOUNDED-replay gates' checkpoints. Without an
 # explicit checkpointLocation Spark puts the temp checkpoint under

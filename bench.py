@@ -504,6 +504,18 @@ def main() -> None:
                 # one-time per-corpus-snapshot builds (wiped + rebuilt
                 # every run); per-query numbers are warm-index reads
                 "index_build_s": index_build,
+                # Accounting-honest total (round-13 VERDICT item 3):
+                # query seconds PLUS the index-build seconds, so moving
+                # work between a stored-index build and its consumer
+                # queries can never inflate the round-over-round
+                # comparison — a precompute shift is net-neutral under
+                # this metric and only a REAL reduction moves it. The
+                # legacy ``value`` (queries only, builds billed
+                # separately) is unchanged for comparability with every
+                # prior round's artifact.
+                "value_with_index_build": round(
+                    total + sum(index_build.values()), 3
+                ),
                 "metric": "total_wall_clock_headline_queries",
                 "value": total,
                 "sf": sf,
