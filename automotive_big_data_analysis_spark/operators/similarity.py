@@ -89,7 +89,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "vec_id",
-        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        F.round(V.cosine_unrolled("qv", "v"), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -171,7 +171,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "vec_id",
-        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        F.round(V.cosine_unrolled("qv", "v"), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -473,27 +473,45 @@ def knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table, signature) exactly like :func:`knn_lsh`, so at 100 TB each
     table's postings co-locate by signature and a query reads L × probe
     bucket lists. See ``LSH_MT_RADIUS`` for the measured operating
-    point and the honest comparison against IVF."""
+    point and the honest comparison against IVF.
+
+    Round-14 restructure (same values — hash-gated): the probe side
+    reads each query's per-table signature FROM the stored postings
+    (``vec_id < N_QUERIES`` rows carry exactly the signature the build
+    computed) the way :func:`knn_lsh` always has, instead of
+    re-deriving it per query via an L-branch union that re-scanned and
+    re-spread the embeddings per table — 4 scans + 4 round-robin
+    exchanges, and ~2.5k py4j calls constructing the L×8-plane literal
+    tree, pure driver latency (guide §2.4/§5); and the in-bucket exact
+    scoring uses the codegen'd unrolled cosine
+    (``vectors.cosine_unrolled`` — bit-identical ascending folds) in
+    place of the interpreted ``aggregate``/``zip_with`` fold (guide
+    §1.2: per-task work, after the shape is right)."""
     post = _lsh_mt_postings(spark, sf_dir)
-    emb = _emb(spark, sf_dir)
     masks = [m for m, _ in _lsh_probe_masks(LSH_MT_RADIUS)]
     mask_arr = F.array(*[F.lit(m) for m in masks])
-    q = emb.where(F.col("vec_id") < N_QUERIES)
-    probes = None
-    for t in range(V.LSH_TABLES):
-        p = q.select(
-            F.lit(t).alias("ptbl"),
+    probes = (
+        post.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("tbl").alias("ptbl"),
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("sig").alias("qsig"),
+        )
+        .select(
+            "ptbl",
+            "query_id",
+            "qv",
+            "qsig",
             F.explode(mask_arr).alias("mask"),
-            V.lsh_signature_mt(F.col("v"), t).alias("qsig"),
-        ).select(
+        )
+        .select(
             "ptbl",
             "query_id",
             "qv",
             F.col("qsig").bitwiseXOR(F.col("mask")).alias("psig"),
         )
-        probes = p if probes is None else probes.unionByName(p)
+    )
     scored = (
         post.join(
             F.broadcast(probes),
@@ -504,7 +522,7 @@ def knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(V.cosine_unrolled("qv", "v"), 6).alias("cosine"),
         )
         # a pair discovered by several tables (or several masks across
         # tables) must rank once; cosine is deterministic per pair so
@@ -610,7 +628,7 @@ def knn_ivf(
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(V.cosine_unrolled("qv", "v"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -665,7 +683,7 @@ def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(V.cosine_unrolled("qv", "v"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1037,7 +1055,7 @@ def _rerank_exact(
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(V.cosine_unrolled("qv", "v"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1530,7 +1548,7 @@ def _recall_tradeoff_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "vec_id",
         "pr",
-        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        F.round(V.cosine_unrolled("qv", "v"), 6).alias("cos"),
     )
     ivf = _recall_frontier_rows(
         ivf_scored, bf, truth, levels, "ivf", [F.col("cos").desc()]
@@ -1590,7 +1608,7 @@ def _recall_tradeoff_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "pr",
-            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+            F.round(V.cosine_unrolled("qv", "v"), 6).alias("cos"),
         )
     )
     lsh = _recall_frontier_rows(
@@ -1663,7 +1681,7 @@ def _recall_tradeoff_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "pr_r",
         "pr_t",
-        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        F.round(V.cosine_unrolled("qv", "v"), 6).alias("cos"),
     )
     lsh_mt = _recall_frontier_rows(
         mt_scored.select("query_id", "vec_id", F.col("pr_r").alias("pr"), "cos"),
@@ -1732,7 +1750,7 @@ def _recall_tradeoff_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "pr",
-            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+            F.round(V.cosine_unrolled("qv", "v"), 6).alias("cos"),
         )
     )
     sq8_rr = _recall_frontier_rows(
