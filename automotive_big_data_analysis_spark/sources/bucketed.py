@@ -127,18 +127,27 @@ def write_bucketed_tables(
     _LAYOUT_READY.discard(memo_key)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{loc}'")
     existing = {t.name for t in spark.catalog.listTables(database)}
-    for table, source, key in specs:
+    def _ensure_one(table: str, source: str, key: str) -> None:
         if not overwrite and table in existing:
-            continue
+            return
         df = load_table(spark, sf_dir, source)
         path = f"{loc}/{table}"
         if not overwrite and os.path.exists(f"{path}/_SUCCESS"):
             _register_existing(spark, database, table, path, df, key)
-            continue
+            return
         spark.sql(f"DROP TABLE IF EXISTS {database}.{table}")
         df.write.bucketBy(N_BUCKETS, key).sortBy(key).option(
             "path", path
         ).mode("overwrite").saveAsTable(f"{database}.{table}")
+
+    # the two ingest shuffles are independent writes to disjoint paths;
+    # overlap them so the smaller table's write hides inside the larger
+    # one's tail (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(_ensure_one, *spec) for spec in specs]:
+            fut.result()
     _LAYOUT_READY.add(memo_key)
 
 

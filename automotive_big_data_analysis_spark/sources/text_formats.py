@@ -145,8 +145,16 @@ def _ensure_written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
 def ensure_mirrors(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the interchange mirrors for the corpus — the
     upstream-producer scaffolding the bench harness pre-writes (and
-    times separately) so connector queries measure the READ path only."""
-    for fmt in (
+    times separately) so connector queries measure the READ path only.
+
+    The seven format writes are independent single-action jobs against
+    disjoint output dirs, each leaving most of the cluster idle (8
+    write tasks on 32 cores, codec-bound for gzip/bzip2) — so they run
+    from a driver thread pool and back-fill each other (guide §2.6;
+    measured ~9.6 s sequential → bounded by the slowest codec)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    fmts = (
         "jsonl",
         "csv",
         "jsonl_gzip",
@@ -154,8 +162,12 @@ def ensure_mirrors(spark: SparkSession, sf_dir: str) -> None:
         "orc",
         "parquet_zstd",
         "jsonl_dirty",
-    ):
-        _ensure_written(spark, sf_dir, fmt)
+    )
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for fut in [
+            pool.submit(_ensure_written, spark, sf_dir, fmt) for fmt in fmts
+        ]:
+            fut.result()
 
 
 def _read_events_text(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:

@@ -377,11 +377,21 @@ def conversion_stream(
 # (/dev/shm): the per-store fsync cost that set the r12 knee is gone,
 # so state-pass parallelism wins again — evict-gate A/B 1 → 13.1 s,
 # 2 → 10.0, 4 → 8.6, 8 → 7.0; all-seven-gates sweep 4 → 26.5-27.1 s,
-# 16 → 23.9, 32 → 24.4 (quiet probes 0.09-0.14, hashes identical at
-# every width — the gates prove partition-independence). 16 is the new
-# knee: past it the extra task overhead cancels the parallelism.
+# 16 → 23.9, 32 → 24.4.
+# Round-14 re-validation (r13 VERDICT item 2 — the driver's clean
+# full-suite run contradicted the 16 pick): cold-PROCESS sweeps
+# (scripts/ab_stream_cold.py, fresh JVM per config, all seven gates in
+# bench order, cold + warm rep, two interleaved rounds, quiet probes
+# 0.09-0.13): cold totals 16 → 30.0/29.9 s, 8 → 27.3/27.4, 4 →
+# 28.0/29.0; warm totals 16 → 21.7/20.8, 8 → 19.4/19.7, 4 → 20.2/20.0.
+# 8 wins BOTH brackets in BOTH rounds — the r13 pick of 16 was a
+# warm-pin artifact (isolated pins miss the per-store setup cost a
+# cold suite pays). Scratch re-checked at 8: /dev/shm 27.3/19.4 vs
+# disk 28.0-28.3/19.6-21.2 — shm stays. Hashes identical at every
+# width (the gates prove partition-independence). Production sizes
+# this to the cluster and keyspace via the env knob.
 STREAM_SHUFFLE_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "16")
+    os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
 )
 
 # Scratch root for the BOUNDED-replay gates' checkpoints. Without an
