@@ -873,8 +873,15 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     |langs|·k·|partitions| rows, never the per-doc table (the skew a
     5-partition window over all docs would hit at 100 TB)."""
     docs = load_table(spark, sf_dir, "documents")
+    # spread BELOW the tokenizer projection (round-13 batch-5 pattern):
+    # three consumers (freq, n_total, per_doc) each re-run the tokenize
+    # +explode subtree, and on the single-split documents scan each ran
+    # it in ONE task (stage profile r14: 3 × ~0.5 s serial stages) —
+    # widening the raw rows first runs all three at full parallelism;
+    # no-ops at scale (guide §2.2)
     toks = (
-        docs.select(
+        spread(docs.select("doc_id", "lang", "text"))
+        .select(
             "doc_id", "lang", F.explode_outer(tx.tokens("text")).alias("w")
         )
         .where(F.col("w").isNotNull())
