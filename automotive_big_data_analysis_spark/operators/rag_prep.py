@@ -296,7 +296,7 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dscore = emb.join(F.broadcast(qv)).select(
         F.col("vec_id").alias("doc_id"),
-        F.round(V.cosine_unrolled("qv", "v"), 6).alias("cos"),
+        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
     )
     dtop = dscore.orderBy(F.col("cos").desc(), "doc_id").limit(RRF_DEPTH)
     wd = Window.orderBy(F.col("cos").desc(), "doc_id")

@@ -89,7 +89,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "vec_id",
-        F.round(V.cosine_unrolled("qv", "v"), 6).alias("cosine"),
+        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -171,7 +171,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "vec_id",
-        F.round(V.cosine_unrolled("qv", "v"), 6).alias("cosine"),
+        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -482,11 +482,12 @@ def knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-deriving it per query via an L-branch union that re-scanned and
     re-spread the embeddings per table — 4 scans + 4 round-robin
     exchanges, and ~2.5k py4j calls constructing the L×8-plane literal
-    tree, pure driver latency (guide §2.4/§5); and the in-bucket exact
-    scoring uses the codegen'd unrolled cosine
-    (``vectors.cosine_unrolled`` — bit-identical ascending folds) in
-    place of the interpreted ``aggregate``/``zip_with`` fold (guide
-    §1.2: per-task work, after the shape is right)."""
+    tree, pure driver latency (guide §2.4/§5). Probe-bracketed pins:
+    3.7 -> ~1.4 s. (A cosine_unrolled swap for the pair scoring was
+    ALSO probed and rejected family-wide: at these dimension-sized
+    candidate counts the ~800-node unrolled tree costs more in plan
+    analysis than the interpreted fold costs at execution —
+    knn_bruteforce pinned 0.44 fold vs 0.72 unrolled.)"""
     post = _lsh_mt_postings(spark, sf_dir)
     masks = [m for m, _ in _lsh_probe_masks(LSH_MT_RADIUS)]
     mask_arr = F.array(*[F.lit(m) for m in masks])
@@ -522,7 +523,7 @@ def knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine_unrolled("qv", "v"), 6).alias("cosine"),
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
         )
         # a pair discovered by several tables (or several masks across
         # tables) must rank once; cosine is deterministic per pair so
@@ -628,7 +629,7 @@ def knn_ivf(
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine_unrolled("qv", "v"), 6).alias("cosine"),
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -683,7 +684,7 @@ def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine_unrolled("qv", "v"), 6).alias("cosine"),
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1055,7 +1056,7 @@ def _rerank_exact(
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine_unrolled("qv", "v"), 6).alias("cosine"),
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1564,7 +1565,7 @@ def _recall_tradeoff_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "vec_id",
         "pr",
-        F.round(V.cosine_unrolled("qv", "v"), 6).alias("cos"),
+        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
     )
     ivf = _recall_frontier_rows(
         ivf_scored, bf, truth, levels, "ivf", [F.col("cos").desc()]
@@ -1624,7 +1625,7 @@ def _recall_tradeoff_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "pr",
-            F.round(V.cosine_unrolled("qv", "v"), 6).alias("cos"),
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
         )
     )
     lsh = _recall_frontier_rows(
@@ -1697,7 +1698,7 @@ def _recall_tradeoff_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "pr_r",
         "pr_t",
-        F.round(V.cosine_unrolled("qv", "v"), 6).alias("cos"),
+        F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
     )
     lsh_mt = _recall_frontier_rows(
         mt_scored.select("query_id", "vec_id", F.col("pr_r").alias("pr"), "cos"),
@@ -1766,7 +1767,7 @@ def _recall_tradeoff_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "pr",
-            F.round(V.cosine_unrolled("qv", "v"), 6).alias("cos"),
+            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
         )
     )
     sq8_rr = _recall_frontier_rows(
@@ -2094,6 +2095,11 @@ def projection_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     a compile-time literal — nothing is broadcast or joined), then a
     |labels|-row partial-combined aggregate."""
     emb = _emb(spark, sf_dir)
+    # (round 14, measured and REJECTED: replacing the fold-based
+    # projection with a parsed 16×64-term unrolled chain pinned SLOWER —
+    # 1.26 -> 1.89 s — the ~4k-node expression tree loses codegen and
+    # interprets worse than the lambda fold; the py4j build cost is
+    # amortized by Python's plan cache within the process)
     comps = V.project(F.col("v"))
     pn2 = comps[0] * comps[0]
     for y in comps[1:]:
