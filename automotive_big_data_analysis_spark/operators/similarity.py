@@ -1441,13 +1441,18 @@ def build_indexes(spark: SparkSession, sf_dir: str) -> None:
         lambda: _lsh_postings(spark, sf_dir),
         lambda: _lsh_mt_postings(spark, sf_dir),
         lambda: _sq8_codes(spark, sf_dir),
-        lambda: _hist_codebook(spark, sf_dir),
         lambda: _bf_table(spark, sf_dir),
     ]
     with ThreadPoolExecutor(max_workers=4) as pool:
         for fut in [pool.submit(fn) for fn in chains]:
             fut.result()
-    _frontier_table(spark, sf_dir)
+    # the history-only codebook is the one artifact the frontier sweep
+    # does NOT consume — its Lloyd training (≈4 s) overlaps the sweep
+    # instead of delaying it
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        hist_fut = pool.submit(_hist_codebook, spark, sf_dir)
+        _frontier_table(spark, sf_dir)
+        hist_fut.result()
 
 
 # IVF / IVF-PQ probe depths swept: corpus-derived fractions of K
