@@ -614,3 +614,20 @@ def test_frame_exec_reads_payload_exactly_once(spark):
     assert "text" in schemas[0]  # the payload source column IS read here
     plan = px.physical_plan(df)
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_lsh_multitable_probes_read_stored_signatures(spark):
+    """Round-14 pin: knn_lsh_multitable's probe side must read the
+    query signatures FROM the stored multi-table postings — never
+    re-derive them from the embeddings (the old shape re-scanned and
+    round-robin-spread the embeddings once PER TABLE inside the
+    broadcast build, and its plane-literal expression tree cost ~2 s of
+    driver latency per invocation)."""
+    df = similarity.knn_lsh_multitable(spark, SF)
+    plan = px.physical_plan(df)
+    # no probe-side re-derivation: no round-robin spread of the query
+    # slice, no raw-embeddings scan anywhere in the plan
+    assert "RoundRobinPartitioning" not in plan, plan
+    assert "embeddings.parquet" not in plan, plan
+    # both join sides come from the stored postings table
+    assert plan.count("lsh_mt_postings") >= 2, plan
