@@ -577,7 +577,21 @@ def stream_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # holds only the columns the accounting reads (the two timestamps
     # exist to express the join condition, not the result).
     name = f"stream_conv_{uuid.uuid4().hex[:8]}"
-    out = run_to_memory(joined, name, output_mode="append")
+    # Half the family width for THIS gate: a stream-stream join keeps
+    # state on BOTH sides, so per-batch commit cost is 2× the aggregate
+    # gates' per partition, while its keyspace (users) is no larger.
+    # Round-14 cold-process sweep, 4 reps each: width 4 → 6.46/6.42 s
+    # cold, 2.69/2.66 warm; width 8 → 6.91/6.79 cold, 3.02/2.96 warm —
+    # the join gate alone prefers the narrower width on every rep while
+    # the aggregate/evict gates prefer the family default. Derived from
+    # the env-overridable family knob, so production scaling carries
+    # the same 2-sides-per-key discount.
+    out = run_to_memory(
+        joined,
+        name,
+        output_mode="append",
+        shuffle_partitions=max(1, STREAM_SHUFFLE_PARTITIONS // 2),
+    )
     rows = out.groupBy("user_id").agg(
         F.count("*").alias("n_pairs"),
         F.count_distinct("click_id").alias("n_clicks_converted"),
