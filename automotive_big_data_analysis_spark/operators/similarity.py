@@ -1780,6 +1780,11 @@ def _recall_tradeoff_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cos").desc()],
     )
 
+    # (Round 14, measured and NOT kept: materializing the six slices
+    # concurrently via pooled eager localCheckpoints changed the ann
+    # build 19.5 -> 19.2 s — noise — because the slices share the IVF
+    # candidate subtree and recomputing it per thread cancels the
+    # overlap. The fused union stays.)
     return (
         lsh.unionByName(ivf)
         .unionByName(ivfpq)
